@@ -1,0 +1,22 @@
+"""kg_microbe_merge_spark — a from-scratch PySpark-native knowledge-graph
+construction engine with the query/merge semantics of
+Knowledge-Graph-Hub/kg-microbe-merge (reference at /root/reference, studied
+for behavior only — no code copied; the reference is DuckDB-SQL-codegen,
+this engine is declarative DataFrame plans optimized by Catalyst).
+
+Layout
+------
+- ``session``     SparkSession factory tuned for the local[32] sandbox while
+                  keeping cluster-scale defaults (AQE, skew join, Arrow).
+- ``sources``     KGX TSV multi-file union loader / sinks, synthetic corpus.
+- ``operators``   merge (nodes group-merge, edge union, coverage check),
+                  connected components, dedup family, similarity search,
+                  multimodal plumbing.
+- ``functions``   text extraction, triple extraction, entity linking,
+                  text-analysis column functions — all JVM-side
+                  ``pyspark.sql.functions`` or Arrow-vectorized pandas UDFs.
+- ``plans``       end-to-end pipeline with checkpoint/resume + lineage.
+- ``streaming``   Structured Streaming ingestion of the events table.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,331 @@
+"""Document deduplication family for training-data pipelines.
+
+All variants are declarative DataFrame plans built from JVM-side
+functions — no Python in the hot path (the shingle/hash math uses
+``xxhash64``/``md5``/higher-order array functions, all codegen'd).
+
+Operators:
+- :func:`dedup_exact` — hash-groupBy on normalized content.
+- :func:`shingles` / :func:`ngram_jaccard_pairs` — n-gram shingling and
+  exact Jaccard over candidate pairs via shingle-inverted-index join.
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash +
+  banded LSH: shingle → K hash slots → band → bucket join.
+- :func:`simhash64` / :func:`simhash_near_dups` — 64-bit SimHash with
+  Hamming verification via banded bucketing.
+- :func:`embedding_near_dups` — cosine near-duplicates over an
+  ``array<float>`` column (see operators/similarity.py for top-k ANN).
+
+Scale notes
+-----------
+* Every candidate-generation step is join-on-bucket: cost is bounded by
+  bucket sizes, never all-pairs. Hub buckets (boilerplate shingles) are
+  the skew risk — ``ngram_jaccard_pairs`` drops shingles above a
+  document-frequency ceiling before the self-join (standard web-dedup
+  practice) and AQE skew-join splits what remains.
+* MinHash signature build is one groupBy(doc) over exploded shingles with
+  ``min`` per hash slot — partially aggregable map-side, so the shuffle
+  carries K longs per doc, not the shingle stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per exact normalized content.
+
+    One hash aggregation; the fingerprint is computed map-side so the
+    shuffle key is a 32-char digest, not the document text.
+    """
+    fp = F.md5(normalized_text(F.col(text_col)))
+    return (
+        df.withColumn("_fp", fp)
+        .groupBy("_fp")
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .drop("_fp")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) from normalized text, as an
+    array of 64-bit hashes (JVM-side: split → transform window → hash)."""
+    toks = F.split(normalized_text(text), " ")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - F.lit(1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array(F.xxhash64(F.concat_ws(" ", toks)))
+        )
+    )
+
+
+def _shingle_index(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_doc_freq: int | None
+) -> DataFrame:
+    """Inverted index (shingle, doc_id, set_size), with hot-shingle
+    (stop-shingle) removal above ``max_doc_freq``."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col), n).alias("sh"),
+        )
+        .withColumn("set_size", F.size("sh"))
+        .filter(F.col("set_size") > 0)
+        .select("doc_id", "set_size", F.explode("sh").alias("shingle"))
+    )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Candidate pairs come from the shingle inverted index (docs sharing ≥1
+    shingle); intersection size is a count per pair; union =
+    |A| + |B| − |A∩B|. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    """
+    sh = _shingle_index(df, text_col, id_col, n, max_doc_freq)
+    a = sh.select(
+        F.col("shingle"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    b = sh.select(
+        F.col("shingle"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """K-slot MinHash signature per document.
+
+    Each slot k re-hashes the shingle with a distinct salt and takes the
+    min — one groupBy with K partially-aggregable ``min`` columns.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        )
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs.
+
+    Bands of r = num_hashes/bands rows are hashed to buckets; docs
+    sharing any band bucket are candidates; candidates are verified with
+    the signature-estimated Jaccard (fraction of matching slots) ≥
+    threshold. Output: (doc_a, doc_b, est_jaccard).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", bnd * r + j + 1)
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(
+        "band", "bucket", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    b = banded.select(
+        "band", "bucket", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash64(text: Column, n: int = 2) -> Column:
+    """64-bit SimHash over word n-gram shingles, entirely with array
+    higher-order functions: for each bit, the sign of Σ±1 across shingle
+    hashes decides the bit."""
+    sh = shingles(text, n)
+    bits = [
+        F.when(
+            F.aggregate(
+                sh,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for i, bit in enumerate(bits):
+        out = out.bitwiseOR(F.shiftleft(bit, i))
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs with Hamming distance ≤ max_hamming.
+
+    Candidate generation: split the 64-bit hash into ``bands`` 16-bit
+    blocks; by pigeonhole any pair within distance < bands shares an
+    exact block → equi-join per block, then verify exact Hamming via
+    bit_count(xor). Output: (doc_a, doc_b, hamming).
+    """
+    width = 64 // bands
+    h = df.select(
+        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col), n).alias("sh")
+    )
+    blocks = h.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftrightunsigned("sh", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+    a = blocks.select("block", "key", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = blocks.select("block", "key", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cand = (
+        a.join(b, ["block", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column.
+
+    Brute-force all-pairs (correctness baseline; see
+    operators/similarity.py lsh_cosine_topk for the scale path).
+    Output: (id_a, id_b, cosine), id_a < id_b, rounded to 6 decimals.
+    """
+    from .similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
