@@ -1,38 +1,758 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KGX nodes-group-merge (reference A3,
+utils/duckdb_utils.py:319-342 semantics) over sf0.001. ``queries()``
+covers every operator family from SURVEY.md §2 plus the training-data
+pipeline operators (dedup / similarity / text analysis); each entry that
+is ANSI-SQL-expressible has a DuckDB twin in ``oracle_sql()`` with
+value-aligned column names and deterministic float handling:
+
+* monetary sums use the integer-cents trick
+  (``sum(cast(round(x*100) as bigint)) / 100.0``) so the aggregate is an
+  exact integer sum in both engines — no float summation-order drift;
+* per-row scalar floats are computed with the identical IEEE expression
+  tree in both engines and rounded to 6 decimals;
+* timestamps are formatted to strings before output.
+
+Hash-seeded operators (MinHash/SimHash/sign-LSH use xxhash64/sha2,
+which DuckDB cannot reproduce) are exposed without an oracle → the
+driver records the weaker rows-only check; their accuracy is instead
+pytest-verified against exact Jaccard/cosine oracles in
+``tests/test_dedup.py`` / ``tests/test_similarity.py``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kg_microbe_merge_spark.functions.text import (
+    fingerprint_md5,
+    lang_id_en,
+    quality_score,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+from kg_microbe_merge_spark.functions.triples import extract_triples_regexp
+from kg_microbe_merge_spark.operators.components import connected_components
+from kg_microbe_merge_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from kg_microbe_merge_spark.operators.merge import (
+    coverage_check,
+    edge_endpoint_ids,
+    edges_merge,
+    edges_merge_provenance,
+    nodes_merge,
+    priority_dedup,
+)
+from kg_microbe_merge_spark.operators.similarity import (
+    brute_force_cosine_topk,
+    lsh_cosine_topk,
+)
+
+SF001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents_sum(col, alias: str):
+    """Exact money sum: per-row round to integer cents (identical IEEE
+    double ops in Spark and DuckDB), integer-sum, back to units."""
+    return (F.sum(F.round(col * 100).cast("long")) / F.lit(100.0)).alias(alias)
+
+
+def _cents_sum_sql(expr: str, alias: str) -> str:
+    return f"sum(cast(round(({expr}) * 100) as bigint)) / 100.0 AS {alias}"
+
+
+# The KGX-shaped projection of lineitem used by the flagship A3 query:
+# one "source row" per lineitem; duplicate node ids are order keys.
+def _kgx_nodes_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("L:"), F.col("l_orderkey")).alias("id"),
+        F.col("l_returnflag").alias("category"),
+        F.col("l_linestatus").alias("name"),
+        F.concat(F.lit("P:"), F.col("l_partkey")).alias("xref"),
+        F.col("l_returnflag").alias("provided_by"),
+        F.concat(F.lit("S:"), F.col("l_suppkey")).alias("synonym"),
+    )
+
+
+_KGX_NODES_SQL = """
+    SELECT 'L:' || l_orderkey AS id,
+           l_returnflag       AS category,
+           l_linestatus       AS name,
+           'P:' || l_partkey  AS xref,
+           l_returnflag       AS provided_by,
+           'S:' || l_suppkey  AS synonym
+    FROM lineitem
+"""
+
+# DuckDB twin of operators.merge.pipe_agg (NULL-skipping sorted-distinct
+# pipe join; NULL when the group has no non-null values).
+def _pipe_agg_sql(col: str) -> str:
+    return (
+        f"CASE WHEN count({col}) > 0 THEN "
+        f"array_to_string(list_sort(list_distinct(list({col}) "
+        f"FILTER (WHERE {col} IS NOT NULL))), '|') END AS {col}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — SURVEY.md §2 relational / KGX core
+
+
+def q_a3_nodes_group_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 flagship: group-merge duplicate node rows by id with priority
+    name resolution ('R' is the priority source) + sorted-distinct
+    pipe-joins (reference utils/duckdb_utils.py:319-342)."""
+    return nodes_merge(_kgx_nodes_from_lineitem(spark, sf_dir), ["R"])
+
+
+def q_a3_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 with explicit two-phase salted aggregation (hub-id skew path);
+    must be value-identical to the unsalted plan."""
+    return nodes_merge(_kgx_nodes_from_lineitem(spark, sf_dir), ["R"], salt_buckets=8)
+
+
+_A3_SQL = f"""
+    SELECT id,
+           coalesce(max(CASE WHEN provided_by IN ('R') THEN name END),
+                    max(name)) AS name,
+           {_pipe_agg_sql('category')},
+           {_pipe_agg_sql('xref')},
+           {_pipe_agg_sql('provided_by')},
+           {_pipe_agg_sql('synonym')}
+    FROM ({_KGX_NODES_SQL})
+    GROUP BY id
+"""
+
+
+def q_a4_edges_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: distinct-(subject, predicate, object) edge union
+    (reference utils/duckdb_utils.py:442-448)."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("P:"), F.col("l_partkey")).alias("subject"),
+        F.col("l_returnflag").alias("predicate"),
+        F.concat(F.lit("S:"), F.col("l_suppkey")).alias("object"),
+    )
+    return edges_merge(e)
+
+
+def q_a4_edges_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-full: provenance-preserving edge union — pipe-agg payload per
+    (s,p,o) (north-star variant; expected_edges_merged_full.tsv)."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("P:"), F.col("l_partkey")).alias("subject"),
+        F.col("l_returnflag").alias("predicate"),
+        F.concat(F.lit("S:"), F.col("l_suppkey")).alias("object"),
+        F.col("l_linestatus").alias("relation"),
+        F.concat(F.lit("O:"), F.col("l_orderkey")).alias("knowledge_source"),
+    )
+    return edges_merge_provenance(e)
+
+
+_EDGES_SQL = """
+    SELECT 'P:' || l_partkey AS subject,
+           l_returnflag      AS predicate,
+           'S:' || l_suppkey AS object,
+           l_linestatus      AS relation,
+           'O:' || l_orderkey AS knowledge_source
+    FROM lineitem
+"""
+
+
+def q_w1_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+P2: priority dedup ranking — base-table rows outrank subset
+    rows inside each key partition (reference utils/duckdb_utils.py:167-187)."""
+    d = _t(spark, sf_dir, "documents").withColumn("source_table", F.col("source"))
+    win = priority_dedup(
+        d, keys=["lang"], base_table="src0", keep_winners=True, tiebreak_cols=["doc_id"]
+    )
+    return win.select("doc_id", "lang", "source")
+
+
+def q_j2_coverage_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A6/U1/F6: edge-endpoint union → anti-join vs nodes → prefix
+    category inference (reference utils/edge_vs_node_check.py:23-84)."""
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    edges = orders.join(events, orders.o_custkey == events.user_id, "inner").select(
+        F.concat(F.lit("EC:"), F.col("o_custkey")).alias("subject"),
+        F.concat(F.lit("UniprotKB:"), F.col("user_id")).alias("object"),
+    )
+    nodes = customer.select(F.concat(F.lit("EC:"), F.col("c_custkey")).alias("id"))
+    return coverage_check(nodes, edges)
+
+
+def q_u1_endpoint_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/U1: distinct union of subject and object endpoint ids."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("P:"), F.col("l_partkey")).alias("subject"),
+        F.concat(F.lit("S:"), F.col("l_suppkey")).alias("object"),
+    )
+    return edge_endpoint_ids(e)
+
+
+def q_a2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: row count + exact distinct counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg throughput query (headline bench)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-12-01")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _cents_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _cents_sum(disc_price, "sum_disc_price"),
+            _cents_sum(charge, "sum_charge"),
+            F.round(
+                F.sum(F.round(F.col("l_discount") * 100).cast("long"))
+                / (F.lit(100.0) * F.count("*")),
+                6,
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_join_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join (orders⋈customer⋈nation⋈region) + agg — the
+    broadcast-dim join pattern."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _cents_sum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/P3: semi-join restriction — lineitems of high-value orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        li.join(big, li.l_orderkey == big.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (plain): customers without any high-value order."""
+    customer = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: 3 highest-value orders per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: global order + limit (total sort via range partitioning)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(50)
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (tumbling 1h window, batch form)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n"), _cents_sum(F.col("value"), "sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON path extraction over the events props column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("k_mod")
+    )
+
+
+def q_s2_union_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: multi-source union with schema alignment (NULL-padding missing
+    columns — the reference's documented intent, SURVEY §1.3)."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("source") == "src0").select("doc_id", "text", "lang")
+    b = d.filter(F.col("source") == "src1").select("doc_id", "source", "n_chars")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: distributed connected components (large-star/small-star) over
+    a customer–order–nation graph; component = lexicographic min id."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    e1 = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("dst"),
+    )
+    e2 = customer.select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    return connected_components(e1.unionByName(e2))
+
+
+# ---------------------------------------------------------------------------
+# queries — training-data pipeline operators (documents / embeddings)
+
+
+def q_triples_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side SVO triple extraction over the documents table
+    (regexp_extract_all — zero Python; the pandas-UDF twin is
+    pytest-verified on the HTML corpus)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    out = extract_triples_regexp(
+        d.select("doc_id", "text"),
+        verbs=["join", "merge", "scan", "filter"],
+        stop=["a", "the"],
+    )
+    return out.select("doc_id", "subj", "pred", "obj")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-content hash groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_exact(d, text_col="text", id_col="doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts (ws + BPE-ish), md5 fingerprint,
+    heuristic lang-id, composite quality score."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count_ws(t).alias("n_tok"),
+        token_count_bpe_ish(t).alias("n_bpe"),
+        fingerprint_md5(t).alias("fingerprint"),
+        lang_id_en(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.5, n=3, text_col="text", id_col="doc_id")
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors (brute force baseline) for the first
+    5 vectors as queries."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return brute_force_cosine_topk(e, q, k=10)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-duplicate pairs (brute-force correctness baseline)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, threshold=0.35)
+
+
+# --- hash-seeded approximate variants: rows-only driver check ---
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.5, num_hashes=64, bands=16, n=3)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=6, n=2)
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return lsh_cosine_topk(e, q, k=10, dim=64, bits=8, tables=8)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_a3_nodes_group_merge(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "a3_nodes_group_merge": q_a3_nodes_group_merge,
+        "a3_nodes_group_merge_salted": q_a3_salted,
+        "a4_edges_distinct": q_a4_edges_distinct,
+        "a4_edges_provenance": q_a4_edges_provenance,
+        "w1_priority_dedup": q_w1_priority_dedup,
+        "j2_coverage_anti": q_j2_coverage_anti,
+        "u1_endpoint_union": q_u1_endpoint_union,
+        "a2_count_distinct": q_a2_count_distinct,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "join_star_agg": q_join_star_agg,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "topk_per_group": q_topk_per_group,
+        "global_topk": q_global_topk,
+        "events_hourly": q_events_hourly,
+        "json_extract": q_json_extract,
+        "s2_union_align": q_s2_union_align,
+        "cc_components": q_cc_components,
+        "triples_extract": q_triples_extract,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_near_dups": q_simhash_near_dups,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    pipe = _pipe_agg_sql
+    sql: dict[str, str] = {}
+
+    sql["a3_nodes_group_merge"] = _A3_SQL
+    sql["a3_nodes_group_merge_salted"] = _A3_SQL
+
+    sql["a4_edges_distinct"] = f"""
+        SELECT DISTINCT subject, predicate, object FROM ({_EDGES_SQL})
     """
-    return {}
+
+    sql["a4_edges_provenance"] = f"""
+        SELECT subject, predicate, object,
+               {pipe('relation')},
+               {pipe('knowledge_source')}
+        FROM ({_EDGES_SQL})
+        GROUP BY subject, predicate, object
+    """
+
+    sql["w1_priority_dedup"] = """
+        SELECT doc_id, lang, source FROM (
+            SELECT doc_id, lang, source,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY CASE WHEN source = 'src0' THEN 1 ELSE 2 END,
+                                doc_id) AS rn
+            FROM documents) WHERE rn = 1
+    """
+
+    sql["j2_coverage_anti"] = """
+        WITH edges AS (
+            SELECT 'EC:' || o_custkey AS subject,
+                   'UniprotKB:' || user_id AS object
+            FROM orders JOIN events ON o_custkey = user_id
+        ), endpoints AS (
+            SELECT subject AS id FROM edges
+            UNION
+            SELECT object FROM edges
+        ), missing AS (
+            SELECT id FROM endpoints
+            WHERE id NOT IN (SELECT 'EC:' || c_custkey FROM customer)
+        )
+        SELECT id,
+               CASE WHEN starts_with(id, 'EC:') THEN 'biolink:Enzyme'
+                    WHEN starts_with(id, 'assay:') THEN 'biolink:PhenotypicQuality'
+                    WHEN starts_with(id, 'trophic_type:') THEN 'biolink:BiologicalProcess'
+                    WHEN starts_with(id, 'cell_shape:') THEN 'biolink:PhenotypicQuality'
+                    WHEN starts_with(id, 'UniprotKB:') THEN 'biolink:Enzyme'
+                    WHEN starts_with(id, 'medium:') THEN 'biolink:ChemicalEntity'
+                    WHEN starts_with(id, 'carbon_substrates:') THEN 'biolink:ChemicalEntity'
+                    ELSE 'Unknown' END AS category
+        FROM missing
+    """
+
+    sql["u1_endpoint_union"] = """
+        SELECT 'P:' || l_partkey AS id FROM lineitem
+        UNION
+        SELECT 'S:' || l_suppkey FROM lineitem
+    """
+
+    sql["a2_count_distinct"] = """
+        SELECT cast(count(*) AS BIGINT) AS n_rows,
+               cast(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+               cast(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem
+    """
+
+    sql["q1_pricing_summary"] = f"""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               {_cents_sum_sql('l_extendedprice', 'sum_base_price')},
+               {_cents_sum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+               {_cents_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+               round(sum(cast(round(l_discount * 100) as bigint))
+                     / (100.0 * count(*)), 6) AS avg_disc,
+               cast(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["join_star_agg"] = f"""
+        SELECT r_name,
+               cast(count(*) AS BIGINT) AS n_orders,
+               {_cents_sum_sql('o_totalprice', 'revenue')}
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+    sql["semi_join"] = """
+        SELECT l_returnflag, cast(count(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        GROUP BY l_returnflag
+    """
+
+    sql["anti_join"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """
+
+    sql["topk_per_group"] = """
+        SELECT o_custkey, o_orderkey, o_totalprice, cast(rank AS INTEGER) AS rank
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders)
+        WHERE rank <= 3
+    """
+
+    sql["global_topk"] = """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+    """
+
+    sql["events_hourly"] = f"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type,
+               cast(count(*) AS BIGINT) AS n,
+               {_cents_sum_sql('value', 'sum_value')}
+        FROM events
+        GROUP BY 1, 2
+    """
+
+    sql["json_extract"] = """
+        SELECT cast(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+               cast(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1
+    """
+
+    sql["s2_union_align"] = """
+        SELECT doc_id, text, lang, NULL AS source, NULL AS n_chars
+        FROM documents WHERE source = 'src0'
+        UNION ALL
+        SELECT doc_id, NULL, NULL, source, n_chars
+        FROM documents WHERE source = 'src1'
+    """
+
+    sql["cc_components"] = """
+        WITH rep AS (
+            SELECT c_nationkey, min('C' || c_custkey) AS m
+            FROM customer GROUP BY c_nationkey)
+        SELECT 'C' || c_custkey AS node, m AS component
+        FROM customer JOIN rep USING (c_nationkey)
+        UNION ALL
+        SELECT DISTINCT 'N' || c_nationkey, m
+        FROM customer JOIN rep USING (c_nationkey)
+        UNION ALL
+        SELECT 'O' || o_orderkey, m
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN rep USING (c_nationkey)
+    """
+
+    sql["triples_extract"] = r"""
+        WITH m AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(
+                       text, '(\w+) (join|merge|scan|filter) (\w+)', 0)) AS hit
+            FROM documents WHERE lang = 'en')
+        SELECT doc_id,
+               string_split(hit, ' ')[1] AS subj,
+               string_split(hit, ' ')[2] AS pred,
+               string_split(hit, ' ')[3] AS obj
+        FROM m
+        WHERE string_split(hit, ' ')[1] NOT IN ('a', 'the')
+          AND string_split(hit, ' ')[3] NOT IN ('a', 'the')
+    """
+
+    _norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    sql["dedup_exact"] = f"""
+        SELECT min(doc_id) AS doc_id, cast(count(*) AS BIGINT) AS dup_count
+        FROM documents
+        GROUP BY md5({_norm})
+    """
+
+    _toks = f"regexp_split_to_array({_norm}, ' ')"
+    sql["text_quality"] = f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok,
+                   len(list_filter({_toks},
+                       t -> t IN ('the','a','and','of','to','in','is','it','that','for')))
+                       AS stop_hits
+            FROM documents)
+        SELECT doc_id,
+               cast(n_tok AS INTEGER) AS n_tok,
+               cast(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0))
+                    AS INTEGER) AS n_bpe,
+               md5({_norm}) AS fingerprint,
+               CASE WHEN (CASE WHEN n_tok > 0
+                          THEN cast(stop_hits AS DOUBLE) / cast(n_tok AS DOUBLE)
+                          ELSE 0.0 END) >= 0.05
+                    THEN 'en' ELSE 'unk' END AS lang_pred,
+               round(0.4 * least(1.0, cast(n_tok AS DOUBLE) / 64.0)
+                     + 0.3 * (CASE WHEN length(text) > 0
+                              THEN cast(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                                   / cast(length(text) AS DOUBLE)
+                              ELSE 0.0 END)
+                     + 0.3 * least(1.0,
+                           (CASE WHEN n_tok > 0
+                            THEN cast(stop_hits AS DOUBLE) / cast(n_tok AS DOUBLE)
+                            ELSE 0.0 END) * 5.0), 6) AS quality
+        FROM base
+    """
+
+    sql["ngram_jaccard"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_toks} AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3
+                        THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                            for i in range(1, len(t) - 1)])
+                        ELSE [array_to_string(t, ' ')] END AS s
+            FROM toks),
+        ex AS (
+            SELECT doc_id, len(s) AS sz, unnest(s) AS shingle
+            FROM sh WHERE len(s) > 0),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sz AS size_a, b.sz AS size_b,
+                   count(*) AS i
+            FROM ex a JOIN ex b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b,
+               round(cast(i AS DOUBLE) / (size_a + size_b - i), 6) AS jaccard
+        FROM inter
+        WHERE round(cast(i AS DOUBLE) / (size_a + size_b - i), 6) >= 0.5
+    """
+
+    _cos = (
+        "round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    sql["embedding_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id, {_cos} AS cosine
+            FROM e a JOIN e b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < 5)
+        SELECT query_id, vec_id, cosine, cast(rank AS INTEGER) AS rank
+        FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+            FROM s)
+        WHERE rank <= 10
+    """
+
+    sql["embedding_near_dups"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos} AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_cos} >= 0.35
+    """
+
+    # minhash_lsh / simhash_near_dups / lsh_cosine_topk intentionally have
+    # no oracle: they are seeded by Spark's xxhash64/sha2, which DuckDB
+    # cannot reproduce. Their recall/precision vs the exact operators is
+    # pytest-verified (tests/test_dedup.py, tests/test_similarity.py).
+    return sql

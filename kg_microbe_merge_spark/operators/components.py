@@ -98,9 +98,10 @@ def connected_components(
             e = e.localCheckpoint(eager=False)
         # Converged when the edge multiset is stable: compare an
         # order-insensitive checksum (one aggregation, no join).
+        # bit_xor (not sum) — overflow-free under ANSI mode at any scale.
         checksum = e.select(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64("src", "dst")).alias("h"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
         ).first()
         checksum = (checksum["n"], checksum["h"])
         if checksum == prev_checksum:

@@ -233,7 +233,13 @@ def minhash_lsh_pairs(
 def simhash64(text: Column, n: int = 2) -> Column:
     """64-bit SimHash over word n-gram shingles, entirely with array
     higher-order functions: for each bit, the sign of Σ±1 across shingle
-    hashes decides the bit."""
+    hashes decides the bit.
+
+    NOTE: expression-tree form (64 array-folds per row) — fine for small
+    shingle sets; the hot path uses :func:`simhash_signatures`, whose
+    explode→groupBy shape is one hash aggregation with 64 partially
+    aggregable ``sum`` columns (map-side combine, whole-stage codegen).
+    """
     sh = shingles(text, n)
     bits = [
         F.when(
@@ -254,6 +260,32 @@ def simhash64(text: Column, n: int = 2) -> Column:
     return out
 
 
+def simhash_signatures(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sh) 64-bit SimHash via explode + one groupBy with 64
+    ``sum(±1)`` columns — the aggregation is partial map-side, so the
+    shuffle carries 64 longs per doc, never the shingle stream."""
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("h"),
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*sums)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, b))
+    return agg.select("doc_id", sig.alias("sh"))
+
+
 def simhash_near_dups(
     df: DataFrame,
     max_hamming: int = 3,
@@ -270,9 +302,7 @@ def simhash_near_dups(
     bit_count(xor). Output: (doc_a, doc_b, hamming).
     """
     width = 64 // bands
-    h = df.select(
-        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col), n).alias("sh")
-    )
+    h = simhash_signatures(df, n=n, text_col=text_col, id_col=id_col)
     blocks = h.select(
         "doc_id",
         "sh",
@@ -318,10 +348,10 @@ def embedding_near_dups(
     operators/similarity.py lsh_cosine_topk for the scale path).
     Output: (id_a, id_b, cosine), id_a < id_b, rounded to 6 decimals.
     """
-    from .similarity import cosine_expr
+    from .similarity import _as_double, cosine_expr
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     cos = cosine_expr(F.col("va"), F.col("vb"))
     return (

@@ -1,0 +1,116 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares it
+against the DuckDB ``oracle_sql()`` twin: row count, column-name set,
+and exact cell values after sorting columns by name and rows by value.
+Exit code 1 on any mismatch. Usage: python scripts/check_correctness.py
+[query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entry_mod
+from kg_microbe_merge_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: None if v is None or (isinstance(v, float) and math.isnan(v)) else str(v))
+        else:
+            df[c] = df[c].astype("float64", errors="ignore")
+    df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_df, oracle_df) -> list[str]:
+    errs = []
+    s_cols, o_cols = sorted(spark_df.columns), sorted(oracle_df.columns)
+    if s_cols != o_cols:
+        return [f"schema mismatch: spark={s_cols} oracle={o_cols}"]
+    if len(spark_df) != len(oracle_df):
+        errs.append(f"rowcount mismatch: spark={len(spark_df)} oracle={len(oracle_df)}")
+    s = normalize(spark_df)
+    o = normalize(oracle_df)
+    if len(s) == len(o):
+        for c in s.columns:
+            a, b = s[c], o[c]
+            if a.dtype.kind == "f" and b.dtype.kind == "f":
+                eq = ((a == b) | (a.isna() & b.isna())).all()
+            else:
+                eq = a.fillna("\0").astype(str).equals(b.fillna("\0").astype(str))
+            if not eq:
+                bad = (~((a.fillna("\0").astype(str)) == (b.fillna("\0").astype(str)))).idxmax()
+                errs.append(
+                    f"value mismatch col={c} first_row={bad} "
+                    f"spark={s[c].iloc[bad]!r} oracle={o[c].iloc[bad]!r}"
+                )
+    return errs
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        import time
+
+        t0 = time.monotonic()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        dt = time.monotonic() - t0
+        if name not in oracles:
+            print(f"ok*   {name}: rows={len(sdf)} ({dt:.1f}s) [rows-only, no oracle]")
+            if len(sdf) == 0:
+                print(f"      WARNING: {name} returned 0 rows")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle error {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        errs = compare(name, sdf, odf)
+        if errs:
+            print(f"FAIL  {name}: rows={len(sdf)} ({dt:.1f}s)")
+            for e in errs[:5]:
+                print(f"      {e}")
+            failed.append(name)
+        else:
+            print(f"ok    {name}: rows={len(sdf)} ({dt:.1f}s)")
+    print()
+    if failed:
+        print(f"FAILED: {len(failed)}: {failed}")
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
