@@ -403,9 +403,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index,
+    over the stop-shingle-filtered universe (doc-freq ceiling 50)."""
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.5, n=3, text_col="text", id_col="doc_id")
+    return ngram_jaccard_pairs(
+        d, threshold=0.5, n=3, text_col="text", id_col="doc_id", max_doc_freq=50
+    )
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,9 +711,17 @@ def oracle_sql() -> dict[str, str]:
                                             for i in range(1, len(t) - 1)])
                         ELSE [array_to_string(t, ' ')] END AS s
             FROM toks),
+        ex0 AS (
+            SELECT doc_id, unnest(s) AS shingle FROM sh),
+        hot AS (
+            SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > 50),
+        ex1 AS (
+            SELECT doc_id, shingle FROM ex0
+            WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        sz AS (
+            SELECT doc_id, count(*) AS sz FROM ex1 GROUP BY doc_id),
         ex AS (
-            SELECT doc_id, len(s) AS sz, unnest(s) AS shingle
-            FROM sh WHERE len(s) > 0),
+            SELECT ex1.doc_id, sz.sz, shingle FROM ex1 JOIN sz USING (doc_id)),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.sz AS size_a, b.sz AS size_b,
@@ -724,12 +735,17 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(cast(i AS DOUBLE) / (size_a + size_b - i), 6) >= 0.5
     """
 
-    _cos = (
-        "round(list_dot_product(a.v, b.v) / "
-        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
-    )
+    # mirror of the Spark path: L2-normalize each vector first (per-
+    # element divide by a once-computed norm), then a single dot product.
+    _norm_cte = """
+        e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+        e AS (SELECT vec_id,
+                     [x / sqrt(list_dot_product(v0, v0)) for x in v0] AS v
+              FROM e0)
+    """
+    _cos = "round(list_dot_product(a.v, b.v), 6)"
     sql["embedding_topk"] = f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH {_norm_cte},
         s AS (
             SELECT a.vec_id AS query_id, b.vec_id AS vec_id, {_cos} AS cosine
             FROM e a JOIN e b ON b.vec_id <> a.vec_id
@@ -745,7 +761,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["embedding_near_dups"] = f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        WITH {_norm_cte}
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos} AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE {_cos} >= 0.35

@@ -1,0 +1,117 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "triples_per_sec": N, ...}
+
+Execution is forced with the noop sink (full computation, no driver
+collect). The web-KG throughput number (triples/sec for the
+corpus→extract→triples path — the north-star metric) is measured on a
+freshly generated in-memory corpus so it exercises the pandas-UDF
+stages, not parquet IO.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from kg_microbe_merge_spark.functions.extract import with_extracted_text
+from kg_microbe_merge_spark.functions.triples import with_triples
+from kg_microbe_merge_spark.session import get_spark
+from kg_microbe_merge_spark.sources.corpus import generate_corpus
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS_PIPELINE = int(os.environ.get("BENCH_PIPELINE_DOCS", "20000"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "a3_nodes_group_merge",
+    "a3_nodes_group_merge_salted",
+    "a4_edges_distinct",
+    "a4_edges_provenance",
+    "w1_priority_dedup",
+    "j2_coverage_anti",
+    "join_star_agg",
+    "semi_join",
+    "topk_per_group",
+    "events_hourly",
+    "cc_components",
+    "triples_extract",
+    "dedup_exact",
+    "text_quality",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "simhash_near_dups",
+    "embedding_topk",
+    "embedding_near_dups",
+    "lsh_cosine_topk",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="kgms-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # North-star throughput: HTML extract → SVO triples over a
+    # pre-materialized corpus (synthesis is not part of the measured
+    # path — a production run reads the crawl from Iceberg/parquet).
+    import shutil
+    import tempfile
+
+    corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
+    generate_corpus(spark, N_DOCS_PIPELINE, seed=42).write.mode("overwrite").parquet(
+        corpus_dir
+    )
+    corpus = spark.read.parquet(corpus_dir)
+    extracted = with_extracted_text(corpus).select("url", "text", "lang")
+    triples = with_triples(extracted.filter("lang = 'en'").select("url", "text"))
+    t0 = time.monotonic()
+    n_triples = triples.count()
+    pipeline_sec = time.monotonic() - t0
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    timings["webkg_extract_triples"] = round(pipeline_sec, 3)
+    triples_per_sec = n_triples / pipeline_sec if pipeline_sec > 0 else 0.0
+
+    sf = 0.1
+    if "sf0.01" in SF_DIR:
+        sf = 0.01
+    elif "sf0.001" in SF_DIR:
+        sf = 0.001
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "triples_per_sec": round(triples_per_sec, 1),
+                "n_triples": n_triples,
+                "pipeline_docs": N_DOCS_PIPELINE,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

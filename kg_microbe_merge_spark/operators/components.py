@@ -84,8 +84,15 @@ def connected_components(
     lexicographic, which is all canonicalization needs: a stable,
     deterministic representative).
     """
+    # node universe from the RAW edge list (before self-loop removal) so
+    # nodes appearing only in self-loops still get a component (themselves)
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    all_nodes = (
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     e = _canonical_edges(edges, src, dst)
-    all_nodes = e.select(F.col("src").alias("node")).distinct()
 
     prev_checksum = None
     for i in range(max_iterations):

@@ -29,7 +29,7 @@ Scale notes
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text
@@ -74,16 +74,18 @@ def shingles(text: Column, n: int = 3) -> Column:
 def _shingle_index(
     df: DataFrame, text_col: str, id_col: str, n: int, max_doc_freq: int | None
 ) -> DataFrame:
-    """Inverted index (shingle, doc_id, set_size), with hot-shingle
-    (stop-shingle) removal above ``max_doc_freq``."""
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            shingles(F.col(text_col), n).alias("sh"),
-        )
-        .withColumn("set_size", F.size("sh"))
-        .filter(F.col("set_size") > 0)
-        .select("doc_id", "set_size", F.explode("sh").alias("shingle"))
+    """Inverted index (shingle, doc_id, set_size).
+
+    With ``max_doc_freq``, shingles appearing in more than that many
+    documents (stop-shingles: boilerplate) are removed from the universe
+    BEFORE set sizes are computed, so downstream Jaccard is exact over
+    the filtered universe — the standard web-dedup candidate-pruning
+    practice; sum(df²) join cost is bounded by ceiling², never by the
+    hottest boilerplate shingle.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
     if max_doc_freq is not None:
         hot = (
@@ -93,7 +95,8 @@ def _shingle_index(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    return sh
+    w = Window.partitionBy("doc_id")
+    return sh.withColumn("set_size", F.count("*").over(w))
 
 
 def ngram_jaccard_pairs(
@@ -292,16 +295,22 @@ def simhash_near_dups(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bands: int = 4,
+    bands: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs with Hamming distance ≤ max_hamming.
 
-    Candidate generation: split the 64-bit hash into ``bands`` 16-bit
-    blocks; by pigeonhole any pair within distance < bands shares an
-    exact block → equi-join per block, then verify exact Hamming via
-    bit_count(xor). Output: (doc_a, doc_b, hamming).
+    Candidate generation: split the 64-bit hash into ``bands`` blocks
+    (default ``max_hamming + 1`` — the pigeonhole guarantee: any pair
+    within distance ≤ max_hamming has at least one block with zero
+    differing bits) → equi-join per block, then verify exact Hamming via
+    bit_count(xor). Output: (doc_a, doc_b, hamming). Passing a smaller
+    ``bands`` trades guaranteed recall for fewer/larger candidate
+    buckets.
     """
-    width = 64 // bands
+    bands = bands if bands is not None else min(max_hamming + 1, 64)
+    base_w, rem = divmod(64, bands)
+    widths = [base_w + (1 if i < rem else 0) for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
     h = simhash_signatures(df, n=n, text_col=text_col, id_col=id_col)
     blocks = h.select(
         "doc_id",
@@ -311,8 +320,8 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(i).alias("block"),
-                        F.shiftrightunsigned("sh", i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        F.shiftrightunsigned("sh", offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("key"),
                     )
                     for i in range(bands)
@@ -348,12 +357,12 @@ def embedding_near_dups(
     operators/similarity.py lsh_cosine_topk for the scale path).
     Output: (id_a, id_b, cosine), id_a < id_b, rounded to 6 decimals.
     """
-    from .similarity import _as_double, cosine_expr
+    from .similarity import dot_expr, normalized_vectors
 
-    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    a = normalized_vectors(df, id_col, vec_col, "id_a", "va")
+    b = normalized_vectors(df, id_col, vec_col, "id_b", "vb")
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_expr(F.col("va"), F.col("vb"))
+    cos = dot_expr(F.col("va"), F.col("vb"))
     return (
         pairs.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)

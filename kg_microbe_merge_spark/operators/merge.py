@@ -102,14 +102,29 @@ def nodes_merge(
             F.max("name").alias("_max_name"),
             *[F.collect_set(F.col(c)).alias(f"_set_{c}") for c in other_cols],
         )
-        def final_pipe(c: str) -> Column:
-            arr = F.array_distinct(F.flatten(F.collect_list(F.col(f"_set_{c}"))))
-            joined = F.array_join(F.array_sort(arr), MULTIVALUE_SEP)
-            return F.when(F.size(arr) > 0, joined).alias(c)
-
-        out = partial.groupBy("id").agg(
+        # Final phase: materialize each merged set ONCE as a named column,
+        # then derive the pipe-join in a cheap post-agg projection (the
+        # when/size + join both reference the materialized column instead
+        # of re-evaluating flatten+distinct over the collected lists).
+        merged = partial.groupBy("id").agg(
             F.coalesce(F.max("_prio_name"), F.max("_max_name")).alias("name"),
-            *[final_pipe(c) for c in other_cols],
+            *[
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(F.col(f"_set_{c}"))))
+                ).alias(f"_arr_{c}")
+                for c in other_cols
+            ],
+        )
+        out = merged.select(
+            "id",
+            "name",
+            *[
+                F.when(
+                    F.size(F.col(f"_arr_{c}")) > 0,
+                    F.array_join(F.col(f"_arr_{c}"), MULTIVALUE_SEP),
+                ).alias(c)
+                for c in other_cols
+            ],
         )
     return out.select("id", "name", *other_cols).select(*nodes.columns).orderBy("id")
 

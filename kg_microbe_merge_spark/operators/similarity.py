@@ -1,23 +1,29 @@
 """Similarity search over embedding columns (``array<float>``).
 
 - :func:`brute_force_cosine_topk` — exact top-k neighbors; the
-  correctness baseline. JVM-side dot product via ``zip_with`` +
-  ``aggregate`` (no Python).
+  correctness baseline. Vectors are L2-normalized ONCE per side, so the
+  per-pair work is a single JVM ``zip_with``+``aggregate`` dot product
+  (3× less fold work than computing norms inside the pair loop).
 - :func:`lsh_cosine_topk` — random-hyperplane (sign-LSH) bucketed
-  variant: the 100 TB path. Each vector hashes to a B-bit signature from
-  deterministic pseudo-random hyperplanes; candidates share a signature
-  bucket (multi-probe via multiple independent tables); exact cosine
-  re-ranks within candidates.
+  variant: the 100 TB path. Signatures are computed with one numpy
+  matmul per Arrow batch (``mapInPandas`` — vectorized, no per-row
+  Python); candidates share a (table, signature) bucket; exact cosine
+  re-ranks the small candidate set JVM-side.
 
 Scale notes: brute force is O(Q·N) and only for small Q (it broadcasts
 the query set); the LSH variant's cost is Σ bucket², tuned by bits/
-tables. Both keep the big side un-shuffled until candidate join.
+tables. The big side is never shuffled before candidate bucketing.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -43,6 +49,20 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def normalized_vectors(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str
+) -> DataFrame:
+    """(id, unit-vector) projection: norm computed once per row as a
+    named column, then a cheap per-element divide."""
+    d = df.select(
+        F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", norm_expr(F.col("_v")))
+    return d.select(
+        out_id,
+        F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias(out_vec),
+    )
+
+
 def brute_force_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -57,16 +77,11 @@ def brute_force_cosine_topk(
     is a per-query window over the scored join. Self-matches (same id)
     are excluded. Output: (query_id, vec_id, cosine, rank).
     """
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    )
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vv")
-    )
+    q = normalized_vectors(queries, query_id_col, vec_col, "query_id", "qv")
+    v = normalized_vectors(vectors, id_col, vec_col, "vec_id", "vv")
     scored = (
         v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("vv")), 6))
+        .withColumn("cosine", F.round(dot_expr(F.col("qv"), F.col("vv")), 6))
         .select("query_id", "vec_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -91,14 +106,51 @@ def _hyperplane(dim: int, bit: int, table: int) -> list[float]:
     return comps
 
 
-def signature_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """B-bit sign signature of ``vec`` against the given hyperplanes."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        d = dot_expr(vec, F.array(*[F.lit(c) for c in plane]))
-        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = sig.bitwiseOR(F.shiftleft(bit, i))
-    return sig
+_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("nv", T.ArrayType(T.DoubleType()), False),
+        T.StructField("table", T.IntegerType(), False),
+        T.StructField("sig", T.LongType(), False),
+    ]
+)
+
+
+def _with_signatures(
+    df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray
+) -> DataFrame:
+    """(id, normalized vector, table, sig) via one numpy matmul per Arrow
+    batch — signature cost is a (batch × dim) @ (dim × bits) GEMM, not
+    bits×tables interpreted expression folds per row."""
+    tables, bits, _dim = planes.shape
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(V, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0
+            Vn = V / nrm
+            frames = []
+            for t in range(tables):
+                bits_mat = (V @ planes[t].T) >= 0.0
+                sigs = (bits_mat * weights).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id": ids,
+                            "nv": list(Vn),
+                            "table": np.int32(t),
+                            "sig": sigs,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(assign, _SIG_SCHEMA)
 
 
 def lsh_cosine_topk(
@@ -106,8 +158,8 @@ def lsh_cosine_topk(
     queries: DataFrame,
     k: int = 10,
     dim: int = 64,
-    bits: int = 12,
-    tables: int = 4,
+    bits: int = 8,
+    tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -115,33 +167,19 @@ def lsh_cosine_topk(
     """Approximate top-k cosine neighbors via random-hyperplane LSH.
 
     Both sides get ``tables`` independent B-bit signatures; candidates
-    are pairs sharing (table, signature); exact cosine re-ranks. Recall
-    is tuned by (bits↓, tables↑). Output schema matches the brute-force
-    variant.
+    are pairs sharing (table, signature); exact cosine (dot of unit
+    vectors) re-ranks. Recall is tuned by (bits↓, tables↑). Output
+    schema matches the brute-force variant.
     """
-    all_planes = [
-        [_hyperplane(dim, b, t) for b in range(bits)] for t in range(tables)
-    ]
-
-    def with_sigs(df: DataFrame, idc: str, out_id: str, out_vec: str) -> DataFrame:
-        d = df.select(
-            F.col(idc).alias(out_id), _as_double(F.col(vec_col)).alias(out_vec)
-        )
-        sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    signature_expr(F.col(out_vec), all_planes[t]).alias("sig"),
-                )
-                for t in range(tables)
-            ]
-        )
-        return d.select(out_id, out_vec, F.explode(sigs).alias("ts")).select(
-            out_id, out_vec, F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig")
-        )
-
-    v = with_sigs(vectors, id_col, "vec_id", "vv")
-    q = with_sigs(queries, query_id_col, "query_id", "qv")
+    planes = np.array(
+        [[_hyperplane(dim, b, t) for b in range(bits)] for t in range(tables)]
+    )
+    v = _with_signatures(vectors, id_col, vec_col, planes).withColumnRenamed(
+        "id", "vec_id"
+    ).withColumnRenamed("nv", "vv")
+    q = _with_signatures(queries, query_id_col, vec_col, planes).withColumnRenamed(
+        "id", "query_id"
+    ).withColumnRenamed("nv", "qv")
     cand = (
         v.join(q.hint("broadcast"), ["table", "sig"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -149,7 +187,7 @@ def lsh_cosine_topk(
         .distinct()
     )
     scored = cand.withColumn(
-        "cosine", F.round(cosine_expr(F.col("qv"), F.col("vv")), 6)
+        "cosine", F.round(dot_expr(F.col("qv"), F.col("vv")), 6)
     ).select("query_id", "vec_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()

@@ -1,0 +1,90 @@
+"""Dedup family: exact dedup semantics; MinHash-LSH and SimHash checked
+against the exact n-gram-Jaccard oracle computed by the same engine
+(recall on true near-dups, sanity on precision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kg_microbe_merge_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+
+
+def _docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun light"
+    )
+    rows = []
+    # family 0: exact dups (whitespace/case variants normalize together)
+    rows.append((0, base))
+    rows.append((1, base.upper()))
+    rows.append((2, "  " + base.replace(" ", "   ") + "  "))
+    # family 1: near dup (one word changed)
+    rows.append((3, base.replace("lazy", "sleepy")))
+    # family 2: unrelated docs
+    rows.append((4, "completely different content about spark shuffle "
+                    "partitions and adaptive query execution plans today"))
+    rows.append((5, "yet another unrelated document describing iceberg "
+                    "table snapshots manifests and commit protocols"))
+    # more near-dup families for recall stats
+    for i in range(6, 26, 2):
+        doc = f"document family {i} " + " ".join(
+            f"tok{i}w{j}" for j in range(30)
+        )
+        rows.append((i, doc))
+        rows.append((i + 1, doc.replace("w5", "w5x").replace("w17", "w17x")))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_groups(spark):
+    out = dedup_exact(_docs(spark)).collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_id[0] == 3          # docs 0,1,2 collapse to min id 0
+    assert 1 not in by_id and 2 not in by_id
+    assert by_id[3] == 1
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    docs = _docs(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.6, n=3).collect()
+    }
+    assert exact, "fixture must contain true near-dup pairs"
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.5, num_hashes=128, bands=32, n=3
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} vs exact jaccard"
+
+
+def test_simhash_flags_near_dups(spark):
+    docs = _docs(spark)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dups(docs, max_hamming=10, n=2).collect()
+    }
+    # the one-word-changed pair must be caught
+    assert (0, 3) in pairs or (3, 0) in pairs
+    # unrelated docs must not be
+    assert (4, 5) not in pairs and (5, 4) not in pairs
+
+
+def test_ngram_jaccard_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"], r["jaccard"]) == (1, 2, 1.0)

@@ -1,0 +1,100 @@
+"""ANN similarity search (LSH recall vs brute force) and entity-linking
+semantics (ambiguity resolution, unlinked fallback, same_as candidates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kg_microbe_merge_spark.functions.linking import (
+    link_mentions,
+    resolve_alias_dictionary,
+    same_as_candidates,
+)
+from kg_microbe_merge_spark.operators.similarity import (
+    brute_force_cosine_topk,
+    lsh_cosine_topk,
+)
+
+DIM = 16
+
+
+def _vectors(spark, n=200, seed=3):
+    rng = np.random.default_rng(seed)
+    # clustered vectors so top-k has structure: 10 centroids + noise
+    centroids = rng.standard_normal((10, DIM))
+    rows = []
+    for i in range(n):
+        c = centroids[i % 10]
+        v = c + 0.15 * rng.standard_normal(DIM)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_shape_and_selfexclusion(spark):
+    vecs = _vectors(spark)
+    q = vecs.filter("vec_id < 3").withColumnRenamed("vec_id", "query_id")
+    out = brute_force_cosine_topk(vecs, q, k=5).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r["vec_id"] != r["query_id"]
+        assert 1 <= r["rank"] <= 5
+    # nearest neighbors of a clustered point share its cluster (mod 10)
+    top1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    for qid, vid in top1.items():
+        assert vid % 10 == qid % 10
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    vecs = _vectors(spark)
+    q = vecs.filter("vec_id < 10").withColumnRenamed("vec_id", "query_id")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_cosine_topk(vecs, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_cosine_topk(vecs, q, k=5, dim=DIM, bits=6, tables=12).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH top-k recall {recall:.2f}"
+
+
+def _aliases(spark):
+    return spark.createDataFrame(
+        [
+            ("apple", "FRUIT:1", 0.9),
+            ("apple", "COMPANY:1", 0.6),
+            ("banana", "FRUIT:2", 0.8),
+        ],
+        "alias string, entity_id string, prior double",
+    )
+
+
+def test_resolve_alias_dictionary_picks_max_prior(spark):
+    best = {
+        r["alias"]: (r["entity_id"], r["prior"])
+        for r in resolve_alias_dictionary(_aliases(spark)).collect()
+    }
+    assert best["apple"] == ("FRUIT:1", 0.9)
+    assert best["banana"] == ("FRUIT:2", 0.8)
+
+
+def test_link_mentions_fallback_and_scores(spark):
+    triples = spark.createDataFrame(
+        [("d1", "apple", "grows_on", "tree"), ("d2", "banana", "is_a", "apple")],
+        "url string, subj string, pred string, obj string",
+    )
+    out = {(r["url"]): r for r in link_mentions(triples, _aliases(spark)).collect()}
+    assert out["d1"]["subj"] == "FRUIT:1"
+    assert out["d1"]["subj_score"] == 0.9
+    assert out["d1"]["obj"] == "surface:tree"      # unlinked keeps surface
+    assert out["d1"]["obj_score"] is None
+    assert out["d2"]["obj"] == "FRUIT:1"
+
+
+def test_same_as_candidates(spark):
+    cands = {
+        (r["src"], r["dst"]) for r in same_as_candidates(_aliases(spark)).collect()
+    }
+    assert cands == {("COMPANY:1", "FRUIT:1")}
