@@ -57,7 +57,15 @@ def dedup_exact(
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct) from normalized text, as an
-    array of 64-bit hashes (JVM-side: split → transform window → hash)."""
+    array of 64-bit hashes.
+
+    Expression form — beware: the per-element ``transform`` lambda is an
+    interpreted HigherOrderFunction and Catalyst's CollapseProject
+    inlines the normalize+split chain into EVERY element evaluation, so
+    this is O(tokens × regex-normalize) per row. Use only on small data;
+    every hot path goes through :func:`shingle_postings` (posexplode +
+    window lead — whole-stage codegen, one normalize per row).
+    """
     toks = F.split(normalized_text(text), " ")
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     grams = F.transform(
@@ -68,6 +76,44 @@ def shingles(text: Column, n: int = 3) -> Column:
         F.when(F.size(toks) >= n, grams).otherwise(
             F.array(F.xxhash64(F.concat_ws(" ", toks)))
         )
+    )
+
+
+def shingle_postings(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Distinct (doc_id, shingle-hash) postings — the shared shingle
+    producer for Jaccard/MinHash/SimHash.
+
+    Shape: normalize+split ONCE per row → ``posexplode`` tokens →
+    window ``lead`` builds each n-gram from consecutive rows → hash →
+    distinct. Everything is whole-stage-codegen'd; cost is linear in
+    token count. Documents shorter than ``n`` tokens contribute one
+    whole-document shingle (``concat_ws`` skips the null leads, so the
+    pos-0 row *is* the whole document).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    ntok = F.count("*").over(Window.partitionBy("doc_id"))
+    grams = toks.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("gram"),
+        F.col("pos"),
+        ntok.alias("ntok"),
+    )
+    keep = (F.col("pos") <= F.col("ntok") - n) | (
+        (F.col("ntok") < n) & (F.col("pos") == 0)
+    )
+    return (
+        grams.filter(keep)
+        .select("doc_id", F.xxhash64("gram").alias("shingle"))
+        .distinct()
     )
 
 
@@ -83,10 +129,7 @@ def _shingle_index(
     practice; sum(df²) join cost is bounded by ceiling², never by the
     hottest boilerplate shingle.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    sh = shingle_postings(df, n, text_col, id_col)
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("shingle")
@@ -150,12 +193,7 @@ def minhash_signatures(
     Each slot k re-hashes the shingle with a distinct salt and takes the
     min — one groupBy with K partially-aggregable ``min`` columns.
     """
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-        )
-    )
+    sh = shingle_postings(df, n, text_col, id_col)
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
         for k in range(num_hashes)
@@ -269,9 +307,8 @@ def simhash_signatures(
     """(doc_id, sh) 64-bit SimHash via explode + one groupBy with 64
     ``sum(±1)`` columns — the aggregation is partial map-side, so the
     shuffle carries 64 longs per doc, never the shingle stream."""
-    exploded = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("h"),
+    exploded = shingle_postings(df, n, text_col, id_col).withColumnRenamed(
+        "shingle", "h"
     )
     sums = [
         F.sum(

@@ -155,7 +155,11 @@ def run_pipeline(
         fp,
         metrics_key="subj",
     )
-    same_as = same_as_candidates(aliases)
+    # min_prior gates out low-confidence ambiguous aliases (the corpus
+    # fixture plants prior-0.1 cross-entity aliases): without it two
+    # distinct entities sharing a weak alias would over-merge into one
+    # canonical id.
+    same_as = same_as_candidates(aliases, min_prior=0.5)
     mapping = run.stage(
         "components",
         lambda: connected_components(same_as),

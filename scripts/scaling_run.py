@@ -1,0 +1,81 @@
+"""One scaling-bench level: run the corpus→extract→triples→link→KG-edge
+path on local[N] against a pre-materialized corpus and print one JSON
+line. Invoked by scripts/scaling_bench.py once per parallelism level —
+separate processes so each level gets a fresh JVM with exactly N cores.
+
+Usage: python scripts/scaling_run.py <cores> <corpus_dir>
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from kg_microbe_merge_spark.functions.extract import with_extracted_text
+from kg_microbe_merge_spark.functions.linking import link_mentions
+from kg_microbe_merge_spark.functions.triples import with_triples
+from kg_microbe_merge_spark.operators.merge import edges_merge_provenance
+from kg_microbe_merge_spark.session import get_spark
+from kg_microbe_merge_spark.sources.corpus import alias_dictionary
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    corpus_dir = sys.argv[2]
+    spark = get_spark(
+        app_name=f"scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    corpus = spark.read.parquet(corpus_dir)
+    aliases = alias_dictionary(spark)
+
+    def build():
+        extracted = with_extracted_text(corpus).select("url", "text", "lang")
+        triples = with_triples(
+            extracted.filter(F.col("lang") == "en").select("url", "text")
+        )
+        linked = link_mentions(triples, aliases)
+        edges = linked.select(
+            F.col("subj").alias("subject"),
+            F.concat(F.lit("biolink:"), F.col("pred")).alias("predicate"),
+            F.col("obj").alias("object"),
+            F.col("pred").alias("relation"),
+            F.col("url").alias("knowledge_source"),
+        )
+        return edges_merge_provenance(edges)
+
+    # warm-up on a slice: JIT, Python worker pool spin-up (excluded from
+    # the measured run, same at both levels)
+    build().limit(10).write.format("noop").mode("overwrite").save()
+
+    t0 = time.monotonic()
+    out = build()
+    out.write.format("noop").mode("overwrite").save()
+    wall = time.monotonic() - t0
+    # triple count for the throughput numerator (cheap second pass over
+    # the cached-size corpus is NOT used — count the extracted triples
+    # only once, untimed, for the report)
+    extracted = with_extracted_text(corpus).select("url", "text", "lang")
+    n_triples = with_triples(
+        extracted.filter(F.col("lang") == "en").select("url", "text")
+    ).count()
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "wall_sec": round(wall, 2),
+                "n_triples": n_triples,
+                "triples_per_sec": round(n_triples / wall, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,14 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     # resolve to the SRCA (lexicographically smaller) namespace
     assert not [i for i in node_ids if i.startswith("SRCB:")]
 
+    # no over-merge: weak (prior 0.1) ambiguous aliases must NOT chain
+    # adjacent entities together — each component is exactly SRCA:i↔SRCB:i,
+    # so every SRCA id maps to itself
+    mapping = {r["node"]: r["component"] for r in out["mapping"].collect()}
+    for node, comp in mapping.items():
+        num = node.split(":")[1]
+        assert comp == f"SRCA:{num}", f"over-merged: {node} -> {comp}"
+
     # manifest written, one entry per stage
     manifest = json.load(open(os.path.join(wd, MANIFEST_NAME)))
     for stage in ("corpus", "extracted", "triples", "linked",
