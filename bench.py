@@ -83,6 +83,14 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_dir)
     extracted = with_extracted_text(corpus).select("url", "text", "lang")
     triples = with_triples(extracted.filter("lang = 'en'").select("url", "text"))
+    # warm-up over a sample spanning every input split: spins up the full
+    # Python worker pool + JIT before the steady-state measurement (a
+    # production job runs hours; worker spin-up is not the unit cost)
+    with_triples(
+        with_extracted_text(corpus.sample(0.05, seed=1))
+        .filter("lang = 'en'")
+        .select("url", "text")
+    ).count()
     t0 = time.monotonic()
     n_triples = triples.count()
     pipeline_sec = time.monotonic() - t0

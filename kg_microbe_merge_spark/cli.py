@@ -1,0 +1,163 @@
+"""Command-line surface — parity with the reference's ``kg`` CLI
+(run.py:92-207 behavior): merge KGX TSV products, run the web-KG
+pipeline, QC coverage checks, ad-hoc SQL.
+
+    python -m kg_microbe_merge_spark merge --transform-dir data/transformed \\
+        --output out/ [--subsets ontologies,bacdive] [--tar]
+    python -m kg_microbe_merge_spark pipeline --work-dir out/run1 --n-docs 5000
+    python -m kg_microbe_merge_spark coverage --nodes merged_nodes.tsv \\
+        --edges merged_edges.tsv --output missing.tsv
+    python -m kg_microbe_merge_spark sql --kg-dir out/ "SELECT count(*) FROM nodes"
+
+The reference's SPARQL federation command (query.py) and the declared-
+but-unimplemented ML holdout split (run.py:273 raises NotImplementedError)
+are intentionally out of scope, as in the reference itself.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from .session import get_spark
+
+
+def _cmd_merge(args: argparse.Namespace) -> None:
+    from .operators.merge import (
+        coverage_check,
+        edges_merge,
+        edges_merge_provenance,
+        nodes_merge,
+    )
+    from .sources.files import (
+        collect_paths_from_directory,
+        collect_subset_kg_paths,
+        discover_priority_sources,
+        tarball_files_in_dir,
+        unzip_files_in_dir,
+    )
+    from .sources.kgx import read_kgx_tsv, write_tsv_single
+
+    spark = get_spark(app_name="kg-merge")
+    if args.untar:
+        unzip_files_in_dir(args.transform_dir)
+    if args.subsets:
+        nodes_paths, edges_paths = collect_subset_kg_paths(
+            args.transform_dir, args.subsets.split(",")
+        )
+    else:
+        nodes_paths, edges_paths = collect_paths_from_directory(args.transform_dir)
+    if not nodes_paths:
+        raise SystemExit(f"no *_nodes.tsv found under {args.transform_dir}")
+    priority = (
+        args.priority.split(",") if args.priority
+        else discover_priority_sources(nodes_paths)
+    )
+    os.makedirs(args.output, exist_ok=True)
+    nodes = read_kgx_tsv(spark, nodes_paths)
+    merged_nodes = nodes_merge(nodes, priority, salt_buckets=args.salt_buckets)
+    write_tsv_single(merged_nodes, os.path.join(args.output, "merged_kg_nodes.tsv"))
+    edges = read_kgx_tsv(spark, edges_paths, exclude_columns=["id"])
+    write_tsv_single(
+        edges_merge(edges), os.path.join(args.output, "merged_kg_edges.tsv")
+    )
+    write_tsv_single(
+        edges_merge_provenance(edges),
+        os.path.join(args.output, "merged_kg_edges_full.tsv"),
+    )
+    missing = coverage_check(merged_nodes, edges)
+    write_tsv_single(
+        missing, os.path.join(args.output, "edges_missing_nodes_with_category.tsv")
+    )
+    if args.tar:
+        tarball_files_in_dir(
+            args.output, os.path.join(args.output, "merged-kg.tar.gz")
+        )
+    print(f"merged {len(nodes_paths)} node files / {len(edges_paths)} edge files "
+          f"-> {args.output} (priority: {priority})")
+
+
+def _cmd_pipeline(args: argparse.Namespace) -> None:
+    from .plans.pipeline import run_pipeline
+
+    spark = get_spark(app_name="kg-pipeline")
+    out = run_pipeline(
+        spark, args.work_dir, n_docs=args.n_docs, seed=args.seed,
+        salt_buckets=args.salt_buckets,
+    )
+    print({k: v.count() for k, v in out.items()})
+
+
+def _cmd_coverage(args: argparse.Namespace) -> None:
+    from .operators.merge import coverage_check
+    from .sources.kgx import read_kgx_tsv, write_tsv_single
+
+    spark = get_spark(app_name="kg-coverage")
+    nodes = read_kgx_tsv(spark, [args.nodes])
+    edges = read_kgx_tsv(spark, [args.edges], exclude_columns=["id"])
+    missing = coverage_check(nodes, edges)
+    write_tsv_single(missing, args.output)
+    print(f"{missing.count()} missing endpoints -> {args.output}")
+
+
+def _cmd_sql(args: argparse.Namespace) -> None:
+    from .plans.sqlapi import register_kg_views, register_testdata_views
+    from .sources.kgx import read_kgx_tsv
+
+    spark = get_spark(app_name="kg-sql")
+    if args.kg_dir:
+        nodes_tsv = os.path.join(args.kg_dir, "merged_kg_nodes.tsv")
+        edges_tsv = os.path.join(args.kg_dir, "merged_kg_edges_full.tsv")
+        register_kg_views(
+            spark,
+            nodes=read_kgx_tsv(spark, [nodes_tsv]) if os.path.exists(nodes_tsv) else None,
+            edges=read_kgx_tsv(spark, [edges_tsv]) if os.path.exists(edges_tsv) else None,
+        )
+    if args.testdata_dir:
+        register_testdata_views(spark, args.testdata_dir)
+    spark.sql(args.query).show(args.limit, truncate=False)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="kg_microbe_merge_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    m = sub.add_parser("merge", help="merge KGX TSV transform products")
+    m.add_argument("--transform-dir", required=True)
+    m.add_argument("--output", required=True)
+    m.add_argument("--subsets", default=None,
+                   help="comma-separated subset dir-name filters")
+    m.add_argument("--priority", default=None,
+                   help="comma-separated priority provided_by sources "
+                        "(default: auto-discover from ontologies/ files)")
+    m.add_argument("--salt-buckets", type=int, default=1)
+    m.add_argument("--untar", action="store_true")
+    m.add_argument("--tar", action="store_true")
+    m.set_defaults(fn=_cmd_merge)
+
+    pl = sub.add_parser("pipeline", help="run the web-KG construction pipeline")
+    pl.add_argument("--work-dir", required=True)
+    pl.add_argument("--n-docs", type=int, default=2000)
+    pl.add_argument("--seed", type=int, default=42)
+    pl.add_argument("--salt-buckets", type=int, default=1)
+    pl.set_defaults(fn=_cmd_pipeline)
+
+    c = sub.add_parser("coverage", help="edge-endpoint vs nodes QC check")
+    c.add_argument("--nodes", required=True)
+    c.add_argument("--edges", required=True)
+    c.add_argument("--output", required=True)
+    c.set_defaults(fn=_cmd_coverage)
+
+    s = sub.add_parser("sql", help="ad-hoc SQL over a merged KG")
+    s.add_argument("query")
+    s.add_argument("--kg-dir", default=None)
+    s.add_argument("--testdata-dir", default=None)
+    s.add_argument("--limit", type=int, default=20)
+    s.set_defaults(fn=_cmd_sql)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""CLI + file-utils surface: transform-dir discovery, priority
+auto-discovery, end-to-end merge command writing the reference's output
+files, tar round-trip, SQL passthrough, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import os
+import tarfile
+
+from kg_microbe_merge_spark.operators.multimodal import (
+    generate_media,
+    sample_frames,
+    with_media_features,
+)
+from kg_microbe_merge_spark.sources.files import (
+    collect_paths_from_directory,
+    collect_subset_kg_paths,
+    discover_priority_sources,
+    tarball_files_in_dir,
+    unzip_files_in_dir,
+)
+
+NODES_TSV = (
+    "id\tcategory\tname\tprovided_by\n"
+    "X:1\tbiolink:A\tname-a\tontology_a.json\n"
+    "X:2\tbiolink:B\tname-b\tontology_a.json\n"
+)
+NODES_TSV_2 = (
+    "id\tcategory\tname\tprovided_by\txref\n"
+    "X:1\tbiolink:A\tname-priority\tontology_b.json\tPMID:7\n"
+)
+EDGES_TSV = (
+    "subject\tpredicate\tobject\trelation\tknowledge_source\n"
+    "X:1\tbiolink:related_to\tX:2\tRO:1\tsrc_a\n"
+    "X:1\tbiolink:related_to\tEC:9.9.9.9\tRO:2\tsrc_a\n"
+)
+
+
+def _make_transform_dir(tmp_path):
+    base = tmp_path / "transformed"
+    onto = base / "ontologies"
+    onto.mkdir(parents=True)
+    (onto / "onto_nodes.tsv").write_text(NODES_TSV_2)
+    (onto / "onto_edges.tsv").write_text(
+        "subject\tpredicate\tobject\trelation\tknowledge_source\n"
+    )
+    other = base / "bacdive"
+    other.mkdir()
+    (other / "bacdive_nodes.tsv").write_text(NODES_TSV)
+    (other / "bacdive_edges.tsv").write_text(EDGES_TSV)
+    return str(base)
+
+
+def test_path_discovery_and_priority(tmp_path):
+    base = _make_transform_dir(tmp_path)
+    nodes, edges = collect_paths_from_directory(base)
+    assert len(nodes) == 2 and len(edges) == 2
+    sub_nodes, sub_edges = collect_subset_kg_paths(base, ["bacdive"])
+    assert len(sub_nodes) == 1 and "bacdive" in sub_nodes[0]
+    prio = discover_priority_sources(nodes)
+    assert prio == ["ontology_b.json"]
+
+
+def test_cli_merge_end_to_end(spark, tmp_path):
+    from kg_microbe_merge_spark.cli import main
+
+    base = _make_transform_dir(tmp_path)
+    out = str(tmp_path / "out")
+    main(["merge", "--transform-dir", base, "--output", out, "--tar"])
+    nodes_out = open(os.path.join(out, "merged_kg_nodes.tsv")).read()
+    # priority source (auto-discovered ontology_b.json) wins the name
+    assert "name-priority" in nodes_out
+    lines = nodes_out.strip().split("\n")
+    assert len(lines) == 3  # header + X:1 + X:2
+    edges_out = open(os.path.join(out, "merged_kg_edges.tsv")).read()
+    assert edges_out.startswith("subject\tpredicate\tobject")
+    missing = open(
+        os.path.join(out, "edges_missing_nodes_with_category.tsv")
+    ).read()
+    assert "EC:9.9.9.9\tbiolink:Enzyme" in missing
+    assert os.path.exists(os.path.join(out, "merged-kg.tar.gz"))
+
+
+def test_tar_roundtrip(tmp_path):
+    d = tmp_path / "pack"
+    d.mkdir()
+    (d / "a.txt").write_text("hello")
+    tar = str(tmp_path / "x.tar.gz")
+    tarball_files_in_dir(str(d), tar)
+    with tarfile.open(tar) as tf:
+        assert "a.txt" in tf.getnames()
+    d2 = tmp_path / "unpack"
+    d2.mkdir()
+    import shutil
+
+    shutil.copy(tar, d2 / "x.tar.gz")
+    unzip_files_in_dir(str(d2))
+    assert (d2 / "a.txt").read_text() == "hello"
+
+
+def test_sql_passthrough(spark):
+    from kg_microbe_merge_spark.plans.sqlapi import (
+        query,
+        register_kg_views,
+        register_testdata_views,
+    )
+
+    nodes = spark.createDataFrame([("X:1", "n")], "id string, name string")
+    register_kg_views(spark, nodes=nodes)
+    assert query(spark, "SELECT count(*) AS n FROM nodes").first()["n"] == 1
+    register_testdata_views(spark, "/root/testdata/sf0.001")
+    assert query(spark, "SELECT count(*) AS n FROM region").first()["n"] == 5
+
+
+def test_multimodal_plumbing(spark):
+    media = generate_media(spark, n=30, seed=7)
+    feats = with_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows[:5]:
+        assert len(r["features"]) == 16
+    # determinism: same payload -> same features across runs
+    again = {r["media_id"]: r["features"] for r in with_media_features(media).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["features"]
+    # frame sampling explodes one row per timestamp step
+    vids = media.filter("kind = 'video'")
+    frames = sample_frames(vids, every_ms=1000)
+    assert frames.count() >= vids.count()
+    assert "frame_ms" in frames.columns
