@@ -327,6 +327,44 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative-sum windows) → per-
+    session stats. 30-minute gap."""
+    from kg_microbe_merge_spark.functions.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    s = sessionize(ev, gap_minutes=30, tiebreak_cols=["event_id"])
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+                "sum_value"
+            ),
+            (
+                F.max(F.col("ts").cast("timestamp_ltz").cast("long"))
+                - F.min(F.col("ts").cast("timestamp_ltz").cast("long"))
+            ).alias("duration_sec"),
+        )
+    )
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event index + running value sum."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.row_number().over(w).alias("event_idx"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(cum)
+            / F.lit(100.0)
+        ).alias("running_value"),
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar JSON path extraction over the events props column."""
     ev = _t(spark, sf_dir, "events")
@@ -470,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "global_topk": q_global_topk,
         "events_hourly": q_events_hourly,
+        "sessionization": q_sessionization,
+        "rolling_stats": q_rolling_stats,
         "json_extract": q_json_extract,
         "s2_union_align": q_s2_union_align,
         "cc_components": q_cc_components,
@@ -614,6 +654,42 @@ def oracle_sql() -> dict[str, str]:
                {_cents_sum_sql('value', 'sum_value')}
         FROM events
         GROUP BY 1, 2
+    """
+
+    sql["sessionization"] = """
+        WITH s AS (
+            SELECT user_id, value, ts, event_id,
+                   cast(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR cast(floor(epoch(ts)) AS BIGINT)
+                                - cast(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s2 AS (
+            SELECT user_id, value, ts_sec,
+                   sum(is_start) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM s)
+        SELECT user_id,
+               cast(session_seq AS BIGINT) AS session_seq,
+               cast(count(*) AS BIGINT) AS n_events,
+               sum(cast(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+               cast(max(ts_sec) - min(ts_sec) AS BIGINT) AS duration_sec
+        FROM s2
+        GROUP BY user_id, session_seq
+    """
+
+    sql["rolling_stats"] = """
+        SELECT user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               cast(row_number() OVER w AS INTEGER) AS event_idx,
+               sum(cast(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) / 100.0 AS running_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
 
     sql["json_extract"] = """
