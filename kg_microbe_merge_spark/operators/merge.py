@@ -129,6 +129,38 @@ def nodes_merge(
     return out.select("id", "name", *other_cols).select(*nodes.columns).orderBy("id")
 
 
+def nodes_merge_skew_aware(
+    nodes: DataFrame,
+    priority_sources: list[str],
+    heavy_threshold: int = 1_000_000,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """A3 with skew handling applied ONLY where it pays.
+
+    Spark's map-side partial aggregation already collapses hub groups
+    whose *distinct* values are few (the common case — measured in
+    scripts/skew_demo.py, blanket salting is a 7× pessimization there).
+    What partial aggregation cannot bound is a hub id whose raw
+    duplicate rows carry mostly-distinct values: all of them land on one
+    reducer. This variant detects such heavy ids with a cheap count
+    aggregation (itself map-side partial → tiny result, broadcast),
+    routes only those through the two-phase salted merge, and merges the
+    rest single-phase.
+    """
+    heavy_ids = (
+        nodes.groupBy("id")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") > heavy_threshold)
+        .select("id")
+    )
+    light = nodes.join(F.broadcast(heavy_ids), "id", "left_anti")
+    heavy = nodes.join(F.broadcast(heavy_ids), "id", "left_semi")
+    merged = nodes_merge(light, priority_sources).unionByName(
+        nodes_merge(heavy, priority_sources, salt_buckets=salt_buckets)
+    )
+    return merged.orderBy("id")
+
+
 def edges_merge(edges: DataFrame) -> DataFrame:
     """Distinct-(subject, predicate, object) edge union, sorted — the
     reference's 3-column golden output (payload columns dropped)."""

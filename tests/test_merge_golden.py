@@ -140,3 +140,21 @@ def test_nodes_merge_null_vs_empty_distinction(spark):
     row = nodes_merge(df, []).collect()[0]
     assert row["category"] == ""  # the empty string is a real value
     assert row["provided_by"] is None  # all-NULL group stays NULL
+
+
+def test_skew_aware_matches_plain(spark):
+    """nodes_merge_skew_aware must be value-identical to nodes_merge on
+    the golden fixtures regardless of which ids are classified heavy."""
+    from kg_microbe_merge_spark.operators.merge import (
+        nodes_merge,
+        nodes_merge_skew_aware,
+    )
+    from tests.kgx_fixtures import NODE_COLUMNS, NODES_FILE_1, NODES_FILE_2, PRIORITY_SOURCES
+
+    rows = [tuple(r[c] for c in NODE_COLUMNS) for r in NODES_FILE_1 + NODES_FILE_2]
+    schema = ", ".join(f"{c} string" for c in NODE_COLUMNS)
+    df = spark.createDataFrame(rows, schema)
+    plain = nodes_merge(df, PRIORITY_SOURCES).collect()
+    # threshold 0 -> every id routed through the salted branch
+    aware = nodes_merge_skew_aware(df, PRIORITY_SOURCES, heavy_threshold=0).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, aware))
