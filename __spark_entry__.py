@@ -466,6 +466,36 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- hash-seeded approximate variants: rows-only driver check ---
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: language filter → token-count
+    bounds → quality threshold → exact-dedup representative selection.
+    One declarative plan: the filters all push into the scan, the dedup
+    is one hash aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        t.alias("text"),
+        token_count_ws(t).alias("n_tok"),
+        quality_score(t).alias("quality"),
+    ).filter(
+        (F.col("n_tok") >= 32)
+        & (F.col("n_tok") <= 4096)
+        & (F.col("quality") >= 0.7)
+    )
+    kept = (
+        scored.groupBy(fingerprint_md5(F.col("text")).alias("_fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("dup_count"),
+            F.min("n_tok").alias("n_tok"),
+            F.min("quality").alias("quality"),
+        )
+        .drop("_fp")
+    )
+    return kept
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, threshold=0.5, num_hashes=64, bands=16, n=3)
@@ -519,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "corpus_curation": q_corpus_curation,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -775,6 +806,39 @@ def oracle_sql() -> dict[str, str]:
                             THEN cast(stop_hits AS DOUBLE) / cast(n_tok AS DOUBLE)
                             ELSE 0.0 END) * 5.0), 6) AS quality
         FROM base
+    """
+
+    sql["corpus_curation"] = f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok,
+                   len(list_filter({_toks},
+                       t -> t IN ('the','a','and','of','to','in','is','it','that','for')))
+                       AS stop_hits
+            FROM documents),
+        scored AS (
+            SELECT doc_id, text, n_tok,
+                   round(0.4 * least(1.0, cast(n_tok AS DOUBLE) / 64.0)
+                         + 0.3 * (CASE WHEN length(text) > 0
+                                  THEN cast(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                                       / cast(length(text) AS DOUBLE)
+                                  ELSE 0.0 END)
+                         + 0.3 * least(1.0,
+                               (CASE WHEN n_tok > 0
+                                THEN cast(stop_hits AS DOUBLE) / cast(n_tok AS DOUBLE)
+                                ELSE 0.0 END) * 5.0), 6) AS quality
+            FROM base),
+        filtered AS (
+            SELECT * FROM scored
+            WHERE n_tok >= 32 AND n_tok <= 4096 AND quality >= 0.7)
+        SELECT min(doc_id) AS doc_id,
+               cast(count(*) AS BIGINT) AS dup_count,
+               cast(min(n_tok) AS INTEGER) AS n_tok,
+               min(quality) AS quality
+        FROM filtered
+        GROUP BY md5({_norm})
     """
 
     sql["ngram_jaccard"] = f"""

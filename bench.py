@@ -43,6 +43,9 @@ HEADLINE = [
     "semi_join",
     "topk_per_group",
     "events_hourly",
+    "sessionization",
+    "rolling_stats",
+    "corpus_curation",
     "cc_components",
     "triples_extract",
     "dedup_exact",
