@@ -128,6 +128,18 @@ def q_a3_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes_merge(_kgx_nodes_from_lineitem(spark, sf_dir), ["R"], salt_buckets=8)
 
 
+def q_a3_skew_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 production skew variant: heavy-id detection routes only hub
+    ids through the salted two-phase (threshold forced low here so the
+    salted branch actually exercises); value-identical to plain A3."""
+    from kg_microbe_merge_spark.operators.merge import nodes_merge_skew_aware
+
+    return nodes_merge_skew_aware(
+        _kgx_nodes_from_lineitem(spark, sf_dir), ["R"],
+        heavy_threshold=20, salt_buckets=8,
+    )
+
+
 _A3_SQL = f"""
     SELECT id,
            coalesce(max(CASE WHEN provided_by IN ('R') THEN name END),
@@ -525,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a3_nodes_group_merge": q_a3_nodes_group_merge,
         "a3_nodes_group_merge_salted": q_a3_salted,
+        "a3_nodes_group_merge_skew_aware": q_a3_skew_aware,
         "a4_edges_distinct": q_a4_edges_distinct,
         "a4_edges_provenance": q_a4_edges_provenance,
         "w1_priority_dedup": q_w1_priority_dedup,
@@ -562,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["a3_nodes_group_merge"] = _A3_SQL
     sql["a3_nodes_group_merge_salted"] = _A3_SQL
+    sql["a3_nodes_group_merge_skew_aware"] = _A3_SQL
 
     sql["a4_edges_distinct"] = f"""
         SELECT DISTINCT subject, predicate, object FROM ({_EDGES_SQL})

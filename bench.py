@@ -34,7 +34,7 @@ N_DOCS_PIPELINE = int(os.environ.get("BENCH_PIPELINE_DOCS", "20000"))
 HEADLINE = [
     "q1_pricing_summary",
     "a3_nodes_group_merge",
-    "a3_nodes_group_merge_salted",
+    "a3_nodes_group_merge_skew_aware",
     "a4_edges_distinct",
     "a4_edges_provenance",
     "w1_priority_dedup",
