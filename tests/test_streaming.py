@@ -76,7 +76,6 @@ def test_crawl_rate_window(spark, tmp_path):
     # append mode emits only watermark-closed windows; all N docs fall in
     # one hour bucket, which never closes -> 0 rows is correct. Verify
     # the windowing itself via the batch equivalent of the same plan.
-    batch = crawl_rate.__wrapped__ if hasattr(crawl_rate, "__wrapped__") else None
     df = spark.read.parquet(corpus_dir)
     batch_agg = (
         df.groupBy(F.window("warc_ts", "1 hour").alias("w"), F.col("lang"))
