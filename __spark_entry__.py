@@ -23,7 +23,12 @@ pytest-verified against exact Jaccard/cosine oracles in
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the sibling package importable regardless of the driver's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

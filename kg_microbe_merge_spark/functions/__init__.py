@@ -1,1 +1,1 @@
-from . import extract, linking, text, triples  # noqa: F401
+from . import extract, linking, sessions, text, triples  # noqa: F401

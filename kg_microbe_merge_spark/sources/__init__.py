@@ -1,1 +1,1 @@
-from . import corpus, kgx  # noqa: F401
+from . import corpus, files, kgx  # noqa: F401
