@@ -193,7 +193,13 @@ def run_pipeline(
         )
         return edges_merge_provenance(e)
 
-    edges = run.stage("kgx_edges", build_edges, fp, metrics_key="subject")
+    # partitioned by predicate: per-predicate directories give partition
+    # pruning to downstream queries that filter on edge type (the common
+    # KG access pattern) — verified in tests via the scan's PartitionFilters
+    edges = run.stage(
+        "kgx_edges", build_edges, fp, metrics_key="subject",
+        partition_by=["predicate"],
+    )
 
     def build_nodes() -> DataFrame:
         ids = (

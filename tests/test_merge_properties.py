@@ -72,3 +72,50 @@ def test_nodes_merge_matches_model(spark, rows):
         for r in nodes_merge(df, priority).collect()
     }
     assert got == _model(rows, priority)
+
+
+EDGE_VALS = st.one_of(st.none(), st.sampled_from(["", "r1", "r2", "RO:57", "s|t"]))
+edge_row_st = st.fixed_dictionaries(
+    {
+        "subject": st.sampled_from(["A:1", "A:2", "B:1"]),
+        "predicate": st.sampled_from(["p", "q"]),
+        "object": st.sampled_from(["X:1", "X:2"]),
+        "relation": EDGE_VALS,
+        "knowledge_source": EDGE_VALS,
+    }
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(edge_row_st, min_size=1, max_size=30))
+def test_edges_merge_provenance_matches_model(spark, rows):
+    from kg_microbe_merge_spark.operators.merge import edges_merge_provenance
+
+    df = spark.createDataFrame(
+        [tuple(r[c] for c in ("subject", "predicate", "object", "relation", "knowledge_source")) for r in rows],
+        "subject string, predicate string, object string, relation string, knowledge_source string",
+    )
+    got = {
+        (r["subject"], r["predicate"], r["object"]): (r["relation"], r["knowledge_source"])
+        for r in edges_merge_provenance(df).collect()
+    }
+    model: dict = {}
+    for r in rows:
+        key = (r["subject"], r["predicate"], r["object"])
+        model.setdefault(key, ([], []))
+        if r["relation"] is not None:
+            model[key][0].append(r["relation"])
+        if r["knowledge_source"] is not None:
+            model[key][1].append(r["knowledge_source"])
+    expected = {
+        k: (
+            "|".join(sorted(set(v[0]))) if v[0] else None,
+            "|".join(sorted(set(v[1]))) if v[1] else None,
+        )
+        for k, v in model.items()
+    }
+    assert got == expected

@@ -49,6 +49,14 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     metrics = spark.read.parquet(os.path.join(wd, "_metrics", "triples"))
     assert {"partition_id", "rows", "stage"} <= set(metrics.columns)
 
+    # edges are materialized partitioned by predicate -> a predicate
+    # filter prunes at the file-listing level (PartitionFilters), no
+    # data files of other predicates are read
+    some_pred = edges[0]["predicate"]
+    filtered = out["edges"].filter(out["edges"].predicate == some_pred)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "predicate" in plan
+
     # resume: mutate manifest wall_sec marker, re-run, stages skipped
     # (same fingerprint -> committed snapshots reused, manifest unchanged)
     before = json.load(open(os.path.join(wd, MANIFEST_NAME)))
