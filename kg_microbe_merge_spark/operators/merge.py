@@ -217,11 +217,14 @@ def infer_category(id_col: Column) -> Column:
 
 
 def edge_endpoint_ids(edges: DataFrame) -> DataFrame:
-    """Distinct union of subject and object ids (reference A6/U1)."""
+    """Distinct union of subject and object ids (reference A6/U1).
+
+    One explode over a single scan — the naive ``select(subject) UNION
+    select(object)`` reads the edge table twice (at 100 TB, twice)."""
     return (
-        edges.select(F.col("subject").alias("id"))
-        .union(edges.select(F.col("object").alias("id")))
-        .distinct()
+        edges.select(
+            F.explode(F.array(F.col("subject"), F.col("object"))).alias("id")
+        ).distinct()
     )
 
 

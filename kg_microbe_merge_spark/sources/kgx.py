@@ -32,8 +32,18 @@ from pyspark.sql import types as T
 def _probe_header(spark: SparkSession, path: str) -> list[str]:
     """Read just the header line of one TSV (driver-side, O(1) bytes) —
     the Spark analogue of the reference's ``LIMIT 0`` probe
-    (utils/duckdb_utils.py:232)."""
-    line = spark.sparkContext.textFile(path, 1).first()
+    (utils/duckdb_utils.py:232). Local paths read the first line
+    directly (no Spark job per file — with thousands of source files
+    the per-file job launch would dominate); non-local URIs fall back
+    to a 1-partition textFile."""
+    import os
+
+    local = path[7:] if path.startswith("file://") else path
+    if os.path.exists(local):
+        with open(local, newline="") as f:
+            line = f.readline().rstrip("\r\n")
+    else:
+        line = spark.sparkContext.textFile(path, 1).first()
     return next(csv.reader(io.StringIO(line), delimiter="\t"))
 
 
@@ -53,19 +63,49 @@ def read_kgx_tsv(
     from pyspark.sql import functions as F
 
     exclude = set(exclude_columns or [])
-    dfs = []
+
+    # Group files by identical header: ONE csv scan per header group
+    # instead of one DataFrame per file. With thousands of source files
+    # a per-file unionByName chain makes the logical plan (and Catalyst
+    # analysis time) O(files); grouped, it is O(distinct headers).
+    groups: dict[tuple[str, ...], list[int]] = {}
+    headers: list[list[str]] = []
     for i, path in enumerate(paths):
         header = _probe_header(spark, path)
+        headers.append(header)
+        groups.setdefault(tuple(header), []).append(i)
+
+    dfs = []
+    for header_t, idxs in groups.items():
+        header = list(header_t)
         schema = T.StructType([T.StructField(c, T.StringType(), True) for c in header])
+        group_paths = [paths[i] for i in idxs]
         df = (
             spark.read.options(sep="\t", header=True, mode="PERMISSIVE")
             .schema(schema)
-            .csv(path)
+            .csv(group_paths)
         )
         keep = [c for c in header if c not in exclude]
         df = df.select(*keep)
         if source_table_labels is not None:
-            df = df.withColumn("source_table", F.lit(source_table_labels[i]))
+            if len(idxs) == 1:
+                df = df.withColumn(
+                    "source_table", F.lit(source_table_labels[idxs[0]])
+                )
+            else:
+                # per-file label: input_file_name() (a URI like
+                # file:///abs/path) matched by full-path suffix — unique
+                # per file, scheme-independent
+                label = F.lit(source_table_labels[idxs[0]])
+                for i in idxs[1:]:
+                    suffix = (
+                        paths[i][7:] if paths[i].startswith("file://") else paths[i]
+                    )
+                    label = F.when(
+                        F.input_file_name().endswith(suffix),
+                        F.lit(source_table_labels[i]),
+                    ).otherwise(label)
+                df = df.withColumn("source_table", label)
         dfs.append(df)
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
 

@@ -129,3 +129,43 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(vids, every_ms=1000)
     assert frames.count() >= vids.count()
     assert "frame_ms" in frames.columns
+
+
+def test_grouped_read_with_source_labels(spark, tmp_path):
+    """Same-header files are read in ONE grouped scan; per-file
+    source_table labels still come out right (input_file_name match);
+    a different-header file NULL-pads via unionByName."""
+    from kg_microbe_merge_spark.sources.kgx import read_kgx_tsv
+
+    a = tmp_path / "a_nodes.tsv"
+    b = tmp_path / "b_nodes.tsv"
+    c = tmp_path / "c_nodes.tsv"
+    a.write_text("id\tname\nX:1\tfrom-a\n")
+    b.write_text("id\tname\nX:2\tfrom-b\n")          # same header as a
+    c.write_text("id\tname\txref\nX:3\tfrom-c\tP:1\n")  # different header
+    df = read_kgx_tsv(
+        spark, [str(a), str(b), str(c)],
+        source_table_labels=["lab_a", "lab_b", "lab_c"],
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["X:1"]["source_table"] == "lab_a"
+    assert rows["X:2"]["source_table"] == "lab_b"
+    assert rows["X:3"]["source_table"] == "lab_c"
+    assert rows["X:1"]["xref"] is None and rows["X:3"]["xref"] == "P:1"
+
+
+def test_priority_dedup_over_labeled_sources(spark, tmp_path):
+    """W1 end-to-end over the grouped loader: base-table rows win."""
+    from kg_microbe_merge_spark.operators.merge import priority_dedup
+    from kg_microbe_merge_spark.sources.kgx import read_kgx_tsv
+
+    base = tmp_path / "base_nodes.tsv"
+    sub = tmp_path / "sub_nodes.tsv"
+    base.write_text("id\tname\nX:1\tbase-name\n")
+    sub.write_text("id\tname\nX:1\tsub-name\nX:9\tonly-sub\n")
+    df = read_kgx_tsv(
+        spark, [str(base), str(sub)], source_table_labels=["base", "sub"]
+    )
+    win = priority_dedup(df, keys=["id"], base_table="base", tiebreak_cols=["name"])
+    got = {r["id"]: r["name"] for r in win.collect()}
+    assert got == {"X:1": "base-name", "X:9": "only-sub"}
