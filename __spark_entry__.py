@@ -382,6 +382,31 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event enriched with the value of the most
+    recent prior-or-simultaneous purchase by the same user (union-window
+    implementation; DuckDB ASOF LEFT JOIN oracle)."""
+    from kg_microbe_merge_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        errors, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.col("value").alias("last_purchase_value"),
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar JSON path extraction over the events props column."""
     ev = _t(spark, sf_dir, "events")
@@ -558,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
         "rolling_stats": q_rolling_stats,
+        "asof_enrich": q_asof_enrich,
         "json_extract": q_json_extract,
         "s2_union_align": q_s2_union_align,
         "cc_components": q_cc_components,
@@ -740,6 +766,20 @@ def oracle_sql() -> dict[str, str]:
                    ROWS UNBOUNDED PRECEDING) / 100.0 AS running_value
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    sql["asof_enrich"] = """
+        WITH l AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'error'),
+        r AS (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id,
+               strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               r.value AS last_purchase_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """
 
     sql["json_extract"] = """
