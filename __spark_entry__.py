@@ -419,6 +419,54 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregation (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: parts bucketed into price bands via a
+    broadcast inequality join (BroadcastNestedLoop on a tiny band table
+    — the standard Spark shape for interval lookup)."""
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 933.0), ("mid", 933.0, 966.0), ("high", 966.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    joined = part.join(
+        F.broadcast(bands),
+        (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            _cents_sum(F.col("p_retailprice"), "sum_price"),
+        )
+        .orderBy("band")
+    )
+
+
+def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: nation-name pairs within edit distance 1
+    (both engines implement classic Levenshtein DP — exact ints)."""
+    nation = _t(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_name").alias("name_b"))
+    pairs = a.crossJoin(b).filter(F.col("name_a") < F.col("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        pairs.withColumn("distance", dist)
+        .filter(F.col("distance") <= 1)
+        .orderBy("name_a", "name_b")
+    )
+
+
 def q_s2_union_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: multi-source union with schema alignment (NULL-padding missing
     columns — the reference's documented intent, SURVEY §1.3)."""
@@ -586,6 +634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "json_extract": q_json_extract,
         "s2_union_align": q_s2_union_align,
+        "rollup_agg": q_rollup_agg,
+        "range_band_join": q_range_band_join,
+        "fuzzy_levenshtein": q_fuzzy_levenshtein,
         "cc_components": q_cc_components,
         "triples_extract": q_triples_extract,
         "dedup_exact": q_dedup_exact,
@@ -795,6 +846,34 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, NULL, NULL, source, n_chars
         FROM documents WHERE source = 'src1'
+    """
+
+    sql["rollup_agg"] = """
+        SELECT l_returnflag, l_linestatus,
+               cast(count(*) AS BIGINT) AS n,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    sql["range_band_join"] = f"""
+        WITH bands(band, lo, hi) AS (
+            VALUES ('low', 0.0, 933.0),
+                   ('mid', 933.0, 966.0),
+                   ('high', 966.0, 1e9))
+        SELECT band,
+               cast(count(*) AS BIGINT) AS n_parts,
+               {_cents_sum_sql('p_retailprice', 'sum_price')}
+        FROM part JOIN bands
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band
+    """
+
+    sql["fuzzy_levenshtein"] = """
+        SELECT a.n_name AS name_a, b.n_name AS name_b,
+               cast(levenshtein(a.n_name, b.n_name) AS INTEGER) AS distance
+        FROM nation a JOIN nation b ON a.n_name < b.n_name
+        WHERE levenshtein(a.n_name, b.n_name) <= 1
     """
 
     sql["cc_components"] = """
