@@ -46,6 +46,9 @@ HEADLINE = [
     "sessionization",
     "rolling_stats",
     "corpus_curation",
+    "asof_enrich",
+    "rollup_agg",
+    "range_band_join",
     "cc_components",
     "triples_extract",
     "dedup_exact",
