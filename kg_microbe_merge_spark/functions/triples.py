@@ -55,7 +55,6 @@ STOPWORDS = frozenset(
 _ENTITY_RE = r"[A-Z][A-Za-z0-9_]*"
 _VERB_ALT = "|".join(sorted((re.escape(v) for v in VERB_LEXICON), key=len, reverse=True))
 _TRIPLE_RE = re.compile(rf"({_ENTITY_RE})\s+({_VERB_ALT})\s+({_ENTITY_RE})")
-_SENT_SPLIT_RE = re.compile(r"(?<=\.)\s+")
 
 TRIPLE_STRUCT = T.StructType(
     [
@@ -68,16 +67,21 @@ TRIPLE_STRUCT = T.StructType(
 
 
 def extract_triples_py(text: str | None) -> list[tuple[str, str, str, float]]:
-    """Pure, deterministic SVO extraction — the P/R reference."""
+    """Pure, deterministic SVO extraction — the P/R reference.
+
+    Single ``finditer`` pass over the whole document: a sentence-split
+    pre-pass is provably redundant for this grammar (the entity class
+    excludes '.', and the ``\\s+``-separated verb alternation contains
+    no '.', so no match can cross a sentence boundary) and costs a full
+    extra regex scan per document."""
     if not text:
         return []
     out: list[tuple[str, str, str, float]] = []
-    for sent in _SENT_SPLIT_RE.split(text):
-        for m in _TRIPLE_RE.finditer(sent):
-            s, v, o = m.group(1), m.group(2), m.group(3)
-            if s.lower() in STOPWORDS or o.lower() in STOPWORDS:
-                continue
-            out.append((s, v.replace(" ", "_"), o, 1.0))
+    for m in _TRIPLE_RE.finditer(text):
+        s, v, o = m.group(1), m.group(2), m.group(3)
+        if s.lower() in STOPWORDS or o.lower() in STOPWORDS:
+            continue
+        out.append((s, v.replace(" ", "_"), o, 1.0))
     return out
 
 
