@@ -419,6 +419,46 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont`` bit-for-bit — verified)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective fact-fact join + grouped revenue +
+    global top-k."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .agg(_cents_sum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping-sets aggregation (subtotals + grand total)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -634,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "json_extract": q_json_extract,
         "s2_union_align": q_s2_union_align,
+        "percentiles": q_percentiles,
+        "q3_shipping_priority": q_q3_shipping_priority,
         "rollup_agg": q_rollup_agg,
         "range_band_join": q_range_band_join,
         "fuzzy_levenshtein": q_fuzzy_levenshtein,
@@ -846,6 +888,31 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, NULL, NULL, source, n_chars
         FROM documents WHERE source = 'src1'
+    """
+
+    sql["percentiles"] = """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.9) AS p90,
+               quantile_cont(l_extendedprice, 0.99) AS p99
+        FROM lineitem
+        GROUP BY l_returnflag
+    """
+
+    sql["q3_shipping_priority"] = f"""
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+               o_orderpriority,
+               {_cents_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate_s, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
     """
 
     sql["rollup_agg"] = """

@@ -44,6 +44,8 @@ def _probe_header(spark: SparkSession, path: str) -> list[str]:
             line = f.readline().rstrip("\r\n")
     else:
         line = spark.sparkContext.textFile(path, 1).first()
+    if not line:
+        raise ValueError(f"empty or headerless KGX TSV: {path}")
     return next(csv.reader(io.StringIO(line), delimiter="\t"))
 
 
