@@ -459,6 +459,58 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over events (all subtotal combinations)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        ev.cube(day.alias("day"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), _cents_sum(F.col("value"), "sum_value"))
+        .orderBy("day", "event_type")
+    )
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-filtered semi join (orders whose total
+    lineitem quantity exceeds a threshold)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function breadth: substring / upper / replace /
+    length / position / reverse — identical semantics both engines."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.substring("n_name", 1, 6).alias("sub6"),
+        F.upper(F.reverse(F.col("n_name"))).alias("rev_upper"),
+        F.regexp_replace(F.col("n_name"), "_", "-").alias("dashed"),
+        F.length("n_name").alias("len"),
+        F.instr(F.col("n_name"), "_").alias("us_pos"),
+        F.concat_ws("/", F.col("n_name"), F.col("n_name")).alias("doubled"),
+    ).orderBy("n_name")
+
+
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping-sets aggregation (subtotals + grand total)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -676,6 +728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_union_align": q_s2_union_align,
         "percentiles": q_percentiles,
         "q3_shipping_priority": q_q3_shipping_priority,
+        "q18_large_orders": q_q18_large_orders,
+        "cube_agg": q_cube_agg,
+        "string_funcs": q_string_funcs,
         "rollup_agg": q_rollup_agg,
         "range_band_join": q_range_band_join,
         "fuzzy_levenshtein": q_fuzzy_levenshtein,
@@ -913,6 +968,40 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_orderkey, o_orderdate_s, o_orderpriority
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
+    """
+
+    sql["cube_agg"] = f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type,
+               cast(count(*) AS BIGINT) AS n,
+               {_cents_sum_sql('value', 'sum_value')}
+        FROM events
+        GROUP BY CUBE (day, event_type)
+    """
+
+    sql["q18_large_orders"] = """
+        WITH big AS (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+        SELECT c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+               o_totalprice, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """
+
+    sql["string_funcs"] = """
+        SELECT n_name,
+               substring(n_name, 1, 6) AS sub6,
+               upper(reverse(n_name)) AS rev_upper,
+               regexp_replace(n_name, '_', '-', 'g') AS dashed,
+               cast(length(n_name) AS INTEGER) AS len,
+               cast(instr(n_name, '_') AS INTEGER) AS us_pos,
+               n_name || '/' || n_name AS doubled
+        FROM nation
     """
 
     sql["rollup_agg"] = """
