@@ -1,1 +1,1 @@
-from . import pipeline, sqlapi  # noqa: F401
+from . import materialize, pipeline, sqlapi  # noqa: F401
