@@ -49,6 +49,8 @@ HEADLINE = [
     "asof_enrich",
     "rollup_agg",
     "range_band_join",
+    "q3_shipping_priority",
+    "q18_large_orders",
     "cc_components",
     "triples_extract",
     "dedup_exact",
