@@ -382,6 +382,54 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user rolling 1-hour event count + exact
+    cents sum, frame bounded by VALUE (epoch seconds), not rows."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("ts_sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        (F.sum("cents").over(w) / F.lit(100.0)).alias("sum_1h"),
+    )
+
+
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag analytics: seconds since each user's previous event."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts").cast("timestamp_ltz").cast("long")).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts").cast("timestamp_ltz").cast("long") - prev).alias(
+            "sec_since_prev"
+        ),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: users who purchased but never errored, and
+    users who did both, labeled in one result."""
+    ev = _t(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    errorers = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = purchasers.intersect(errorers).withColumn("cohort", F.lit("both"))
+    only_buy = purchasers.exceptAll(errorers).withColumn("cohort", F.lit("purchase_only"))
+    return both.unionByName(only_buy).orderBy("cohort", "user_id")
+
+
 def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each error event enriched with the value of the most
     recent prior-or-simultaneous purchase by the same user (union-window
@@ -723,6 +771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
         "rolling_stats": q_rolling_stats,
+        "rolling_1h_range": q_rolling_1h_range,
+        "lag_delta": q_lag_delta,
+        "set_ops": q_set_ops,
         "asof_enrich": q_asof_enrich,
         "json_extract": q_json_extract,
         "s2_union_align": q_s2_union_align,
@@ -914,6 +965,38 @@ def oracle_sql() -> dict[str, str]:
                    ROWS UNBOUNDED PRECEDING) / 100.0 AS running_value
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    sql["rolling_1h_range"] = """
+        WITH e AS (
+            SELECT event_id, user_id,
+                   cast(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                   cast(round(value * 100) AS BIGINT) AS cents
+            FROM events)
+        SELECT event_id, user_id,
+               cast(count(*) OVER w AS BIGINT) AS n_1h,
+               (sum(cents) OVER w) / 100.0 AS sum_1h
+        FROM e
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts_sec
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """
+
+    sql["lag_delta"] = """
+        SELECT event_id, user_id,
+               cast(floor(epoch(ts)) AS BIGINT)
+                   - lag(cast(floor(epoch(ts)) AS BIGINT)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                   AS sec_since_prev
+        FROM events
+    """
+
+    sql["set_ops"] = """
+        WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+             e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+        UNION ALL
+        SELECT user_id, 'purchase_only' FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
     """
 
     sql["asof_enrich"] = """
