@@ -726,6 +726,29 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: deterministic synthetic media table →
+    iterator-mapInPandas feature extraction (decode kernel stubbed with
+    a seeded hash — codec libs absent in this image; the Spark-side
+    schema/batching/partitioning is the real thing). Rows-only check:
+    output is a pure function of (n, seed), so it is stable across runs.
+    """
+    from kg_microbe_merge_spark.operators.multimodal import (
+        generate_media,
+        with_media_features,
+    )
+
+    media = generate_media(spark, n=200, seed=7)
+    feats = with_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feature_sum"
+        ),
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, threshold=0.5, num_hashes=64, bands=16, n=3)
@@ -793,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "corpus_curation": q_corpus_curation,
+        "multimodal_features": q_multimodal_features,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_cosine_topk": q_lsh_cosine_topk,
