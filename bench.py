@@ -112,21 +112,27 @@ def main() -> None:
     elif "sf0.001" in SF_DIR:
         sf = 0.001
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "triples_per_sec": round(triples_per_sec, 1),
-                "n_triples": n_triples,
-                "pipeline_docs": N_DOCS_PIPELINE,
-                "cpus": CPUS,
-            }
-        )
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "triples_per_sec": round(triples_per_sec, 1),
+        "n_triples": n_triples,
+        "pipeline_docs": N_DOCS_PIPELINE,
+        "cpus": CPUS,
+    }
+    # attach the last two-parallelism scaling measurement (produced
+    # separately by scripts/scaling_bench.py — see BENCH/BASELINE.md for
+    # protocol); clearly labeled as its own measurement, not this run's
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_last.json"
     )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling_measurement"] = json.load(f)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -66,6 +66,8 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/scaling_last.json", "w") as f:
+        json.dump(summary, f)
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — throughput + scaling evidence
 
