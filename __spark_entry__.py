@@ -69,6 +69,9 @@ SF001 = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver supplies its own session: pin the runtime-settable confs
+    # the oracle comparison depends on (timestamps formatted in UTC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
