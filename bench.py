@@ -46,6 +46,10 @@ HEADLINE = [
     "sessionization",
     "rolling_stats",
     "corpus_curation",
+    "rolling_1h_range",
+    "lag_delta",
+    "set_ops",
+    "multimodal_features",
     "asof_enrich",
     "rollup_agg",
     "range_band_join",
