@@ -14,11 +14,12 @@ value-aligned column names and deterministic float handling:
   tree in both engines and rounded to 6 decimals;
 * timestamps are formatted to strings before output.
 
-Hash-seeded operators (MinHash/SimHash/sign-LSH use xxhash64/sha2,
-which DuckDB cannot reproduce) are exposed without an oracle → the
-driver records the weaker rows-only check; their accuracy is instead
-pytest-verified against exact Jaccard/cosine oracles in
-``tests/test_dedup.py`` / ``tests/test_similarity.py``.
+Hash-seeded operators (MinHash/SimHash/sign-LSH) are seeded from
+md5/sha2-derived integers that BOTH engines reproduce bit-for-bit
+(functions/hashing.py: 60-bit ints from the first 15 md5 hex chars;
+sign-LSH hyperplanes are sha256-derived constants inlined into the
+oracle SQL as literals), so the full approximate pipelines get exact
+DuckDB oracles — no rows-only checks left in the dedup/ANN family.
 """
 
 from __future__ import annotations
@@ -108,6 +109,132 @@ _KGX_NODES_SQL = """
            'S:' || l_suppkey  AS synonym
     FROM lineitem
 """
+
+# --- portable-hash SQL twins (functions/hashing.py) -----------------------
+
+def _h60(expr: str) -> str:
+    """DuckDB twin of functions.hashing.hash60: 60-bit md5-derived int."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+_NORM_TEXT_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"regexp_split_to_array({_NORM_TEXT_SQL}, ' ')"
+
+
+def _shingle_cte_sql(n: int) -> str:
+    """DuckDB twin of operators.dedup.shingle_postings (portable hash):
+    CTEs ``toks`` and ``sh`` producing distinct (doc_id, shingle)."""
+    gram = f"array_to_string(t[i:i+{n - 1}], ' ')"
+    whole = "array_to_string(t, ' ')"
+    return f"""
+        toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(t) >= {n}
+                     THEN [{_h60(gram)} for i in range(1, len(t) - {n - 2})]
+                     ELSE [{_h60(whole)}] END)) AS shingle
+            FROM toks)
+    """
+
+
+def _minhash_lsh_sql(
+    threshold: float, num_hashes: int, bands: int, n: int
+) -> str:
+    """DuckDB twin of operators.dedup.minhash_lsh_pairs — mirrors the
+    whole pipeline: shingles → seeded-min signature → banded buckets →
+    candidate join → slot-match Jaccard estimate."""
+    r = num_hashes // bands
+    mins = ",\n                ".join(
+        f"min({_h60(f'''shingle::VARCHAR || ':{k}' ''')})"
+        for k in range(num_hashes)
+    )
+    band_structs = ",\n                ".join(
+        "struct_pack(band := {b}, bucket := {h})".format(
+            b=bnd,
+            h=_h60(
+                " || ',' || ".join(
+                    f"sig[{bnd * r + j + 1}]::VARCHAR" for j in range(r)
+                )
+            ),
+        )
+        for bnd in range(bands)
+    )
+    est = (
+        "round(len(list_filter(list_transform(range(1, {k1}), "
+        "i -> sig_a[i] = sig_b[i]), x -> x)) / {k}.0, 6)"
+    ).format(k1=num_hashes + 1, k=num_hashes)
+    return f"""
+        WITH {_shingle_cte_sql(n)},
+        sig AS (
+            SELECT doc_id, list_value(
+                {mins}) AS sig
+            FROM sh GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, sig, unnest([
+                {band_structs}]) AS bb
+            FROM sig),
+        bd AS (
+            SELECT doc_id, sig, bb.band AS band, bb.bucket AS bucket
+            FROM banded),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sig AS sig_a, b.sig AS sig_b
+            FROM bd a JOIN bd b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, {est} AS est_jaccard
+        FROM cand
+        WHERE {est} >= {threshold}
+    """
+
+
+def _simhash_sql(max_hamming: int, n: int) -> str:
+    """DuckDB twin of operators.dedup.simhash_near_dups — shingles →
+    64 ±1 bit sums → packed signature → pigeonhole block join →
+    exact Hamming verify."""
+    bands = min(max_hamming + 1, 64)
+    base_w, rem = divmod(64, bands)
+    widths = [base_w + (1 if i < rem else 0) for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
+    sums = ",\n                ".join(
+        f"sum(CASE WHEN (shingle >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    packed = " | ".join(
+        f"(CASE WHEN b{b} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {b})"
+        for b in range(64)
+    )
+    block_structs = ",\n                ".join(
+        f"struct_pack(block := {i}, key := (sh >> {offsets[i]}) "
+        f"& {(1 << widths[i]) - 1})"
+        for i in range(bands)
+    )
+    return f"""
+        WITH {_shingle_cte_sql(n)},
+        agg AS (
+            SELECT doc_id,
+                {sums}
+            FROM sh GROUP BY doc_id),
+        sig AS (SELECT doc_id, ({packed}) AS sh FROM agg),
+        blocks AS (
+            SELECT doc_id, sh, unnest([
+                {block_structs}]) AS bk
+            FROM sig),
+        bl AS (
+            SELECT doc_id, sh, bk.block AS block, bk.key AS key
+            FROM blocks),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sh AS sh_a, b.sh AS sh_b
+            FROM bl a JOIN bl b
+              ON a.block = b.block AND a.key = b.key
+             AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               cast(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
 
 # DuckDB twin of operators.merge.pipe_agg (NULL-skipping sorted-distinct
 # pipe join; NULL when the group has no non-null values).
@@ -1311,8 +1438,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE {_cos} >= 0.35
     """
 
-    # minhash_lsh / simhash_near_dups / lsh_cosine_topk intentionally have
-    # no oracle: they are seeded by Spark's xxhash64/sha2, which DuckDB
-    # cannot reproduce. Their recall/precision vs the exact operators is
-    # pytest-verified (tests/test_dedup.py, tests/test_similarity.py).
+    # Full-pipeline mirrors of the md5-seeded approximate operators
+    # (parameters must match q_minhash_lsh / q_simhash_near_dups).
+    sql["minhash_lsh"] = _minhash_lsh_sql(
+        threshold=0.5, num_hashes=64, bands=16, n=3
+    )
+    sql["simhash_near_dups"] = _simhash_sql(max_hamming=6, n=2)
     return sql

@@ -2,36 +2,52 @@
 
 All variants are declarative DataFrame plans built from JVM-side
 functions — no Python in the hot path (the shingle/hash math uses
-``xxhash64``/``md5``/higher-order array functions, all codegen'd).
+md5-derived portable hashes / higher-order array functions, all
+codegen'd or array-local).
 
 Operators:
 - :func:`dedup_exact` — hash-groupBy on normalized content.
-- :func:`shingles` / :func:`ngram_jaccard_pairs` — n-gram shingling and
-  exact Jaccard over candidate pairs via shingle-inverted-index join.
+- :func:`shingle_array` / :func:`shingle_postings` — n-gram shingling,
+  the shared producer for Jaccard/MinHash/SimHash.
+- :func:`ngram_jaccard_pairs` — exact Jaccard over candidate pairs via
+  shingle-inverted-index join.
 - :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash +
   banded LSH: shingle → K hash slots → band → bucket join.
-- :func:`simhash64` / :func:`simhash_near_dups` — 64-bit SimHash with
-  Hamming verification via banded bucketing.
+- :func:`simhash_signatures` / :func:`simhash_near_dups` — 64-bit
+  SimHash with Hamming verification via banded bucketing.
 - :func:`embedding_near_dups` — cosine near-duplicates over an
   ``array<float>`` column (see operators/similarity.py for top-k ANN).
 
+Hashing is the md5-derived 60-bit portable hash (functions/hashing.py)
+by default so the ENTIRE MinHash/SimHash pipeline has a bit-exact DuckDB
+oracle twin; pass ``hash_fn=F.xxhash64`` for the (slightly faster,
+non-mirrorable) variant.
+
 Scale notes
 -----------
+* Shingle production is row-local and exchange-free: the token array is
+  materialized once per row behind a projection barrier (the array is
+  referenced more than once downstream, so CollapseProject cannot inline
+  the normalize+split chain into the n-gram lambda — verified via
+  ``.explain``; see tests/test_dedup.py::test_shingle_plan_no_exchange).
+  The only shuffles in MinHash/SimHash are the signature groupBy (which
+  carries K longs per doc thanks to map-side partial aggregation) and
+  the banded candidate join.
 * Every candidate-generation step is join-on-bucket: cost is bounded by
   bucket sizes, never all-pairs. Hub buckets (boilerplate shingles) are
   the skew risk — ``ngram_jaccard_pairs`` drops shingles above a
   document-frequency ceiling before the self-join (standard web-dedup
   practice) and AQE skew-join splits what remains.
-* MinHash signature build is one groupBy(doc) over exploded shingles with
-  ``min`` per hash slot — partially aggregable map-side, so the shuffle
-  carries K longs per doc, not the shingle stream.
 """
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash60, hash60_seeded
 from ..functions.text import normalized_text
 
 
@@ -55,65 +71,59 @@ def dedup_exact(
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct) from normalized text, as an
-    array of 64-bit hashes.
-
-    Expression form — beware: the per-element ``transform`` lambda is an
-    interpreted HigherOrderFunction and Catalyst's CollapseProject
-    inlines the normalize+split chain into EVERY element evaluation, so
-    this is O(tokens × regex-normalize) per row. Use only on small data;
-    every hot path goes through :func:`shingle_postings` (posexplode +
-    window lead — whole-stage codegen, one normalize per row).
-    """
-    toks = F.split(normalized_text(text), " ")
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), k - F.lit(1)),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(
-            F.array(F.xxhash64(F.concat_ws(" ", toks)))
-        )
-    )
-
-
-def shingle_postings(
-    df: DataFrame, n: int, text_col: str, id_col: str
+def shingle_array(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    hash_fn: Callable[[Column], Column] = hash60,
 ) -> DataFrame:
-    """Distinct (doc_id, shingle-hash) postings — the shared shingle
-    producer for Jaccard/MinHash/SimHash.
+    """(doc_id, shingles: array<long>) — distinct word-n-gram hashes per
+    document, computed entirely row-locally (ZERO exchange).
 
-    Shape: normalize+split ONCE per row → ``posexplode`` tokens →
-    window ``lead`` builds each n-gram from consecutive rows → hash →
-    distinct. Everything is whole-stage-codegen'd; cost is linear in
-    token count. Documents shorter than ``n`` tokens contribute one
-    whole-document shingle (``concat_ws`` skips the null leads, so the
-    pos-0 row *is* the whole document).
+    The token array is materialized in its own projection and referenced
+    more than once by the consumer (size + the n-gram lambda), which
+    stops Catalyst's CollapseProject from inlining the normalize+split
+    chain into every lambda element — so tokenization runs ONCE per row
+    and each n-gram is a cheap slice+concat+hash over the ready array.
+    Documents shorter than ``n`` tokens contribute one whole-document
+    shingle.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
-            "pos", "tok"
-        ),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
-    ntok = F.count("*").over(Window.partitionBy("doc_id"))
-    grams = toks.select(
-        "doc_id",
-        F.concat_ws(" ", *parts).alias("gram"),
-        F.col("pos"),
-        ntok.alias("ntok"),
+    t = F.col("_toks")
+    k = F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - F.lit(1)),
+        lambda i: hash_fn(F.concat_ws(" ", F.slice(t, i + 1, n))),
     )
-    keep = (F.col("pos") <= F.col("ntok") - n) | (
-        (F.col("ntok") < n) & (F.col("pos") == 0)
-    )
-    return (
-        grams.filter(keep)
-        .select("doc_id", F.xxhash64("gram").alias("shingle"))
-        .distinct()
+    whole = F.array(hash_fn(F.concat_ws(" ", t)))
+    arr = F.when(F.size(t) >= n, grams).otherwise(whole)
+    return toks.select("doc_id", F.array_distinct(arr).alias("shingles"))
+
+
+def shingle_postings(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    hash_fn: Callable[[Column], Column] = hash60,
+) -> DataFrame:
+    """Distinct (doc_id, shingle-hash) postings — ``shingle_array``
+    exploded. No exchange: the explode feeds downstream partial
+    aggregations / joins in the same stage.
+
+    ``explode_outer`` (not ``explode``) on purpose: the arrays are never
+    empty (min 1 whole-doc shingle) so the row sets are identical, but
+    plain explode triggers InferFiltersFromGenerate, which injects a
+    ``size(shingles) > 0`` pre-filter that INLINES the whole
+    tokenize+shingle expression a second time per row — doubling the
+    scan-side CPU. Verified in tests/test_dedup.py::test_shingle_plan_no_exchange.
+    """
+    return shingle_array(df, n, text_col, id_col, hash_fn).select(
+        "doc_id", F.explode_outer("shingles").alias("shingle")
     )
 
 
@@ -187,15 +197,19 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: Callable[[Column], Column] = hash60,
 ) -> DataFrame:
     """K-slot MinHash signature per document.
 
-    Each slot k re-hashes the shingle with a distinct salt and takes the
-    min — one groupBy with K partially-aggregable ``min`` columns.
+    Each slot k re-hashes the shingle with a distinct seed and takes the
+    min — one groupBy with K partially-aggregable ``min`` columns, so
+    the shuffle carries K longs per doc, never the shingle stream. With
+    the default portable hash the signature is bit-exact reproducible in
+    DuckDB (seeded slot hash = hash60(shingle || ':' || k)).
     """
-    sh = shingle_postings(df, n, text_col, id_col)
+    sh = shingle_postings(df, n, text_col, id_col, hash_fn)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
+        F.min(hash60_seeded(F.col("shingle"), k)).alias(f"h{k}")
         for k in range(num_hashes)
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
@@ -231,7 +245,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bnd).alias("band"),
-                        F.xxhash64(
+                        hash60(
                             F.concat_ws(
                                 ",",
                                 *[
@@ -271,43 +285,23 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text: Column, n: int = 2) -> Column:
-    """64-bit SimHash over word n-gram shingles, entirely with array
-    higher-order functions: for each bit, the sign of Σ±1 across shingle
-    hashes decides the bit.
-
-    NOTE: expression-tree form (64 array-folds per row) — fine for small
-    shingle sets; the hot path uses :func:`simhash_signatures`, whose
-    explode→groupBy shape is one hash aggregation with 64 partially
-    aggregable ``sum`` columns (map-side combine, whole-stage codegen).
-    """
-    sh = shingles(text, n)
-    bits = [
-        F.when(
-            F.aggregate(
-                sh,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(64)
-    ]
-    out = F.lit(0).cast("long")
-    for i, bit in enumerate(bits):
-        out = out.bitwiseOR(F.shiftleft(bit, i))
-    return out
-
-
 def simhash_signatures(
-    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: Callable[[Column], Column] = hash60,
 ) -> DataFrame:
-    """(doc_id, sh) 64-bit SimHash via explode + one groupBy with 64
-    ``sum(±1)`` columns — the aggregation is partial map-side, so the
-    shuffle carries 64 longs per doc, never the shingle stream."""
-    exploded = shingle_postings(df, n, text_col, id_col).withColumnRenamed(
+    """(doc_id, sh) 64-bit SimHash via shingle postings + one groupBy
+    with 64 ``sum(±1)`` columns — the aggregation is partial map-side,
+    so the shuffle carries 64 longs per doc, never the shingle stream.
+
+    With the default 60-bit portable hash, bits 60-63 of every shingle
+    are 0, so those signature bits are constantly 0 on all documents —
+    Hamming distances are unaffected (both sides zero) and the banding
+    pigeonhole still holds; the DuckDB oracle mirrors the pipeline
+    bit-for-bit."""
+    exploded = shingle_postings(df, n, text_col, id_col, hash_fn).withColumnRenamed(
         "shingle", "h"
     )
     sums = [
@@ -387,15 +381,23 @@ def embedding_near_dups(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column.
 
-    Brute-force all-pairs (correctness baseline; see
-    operators/similarity.py lsh_cosine_topk for the scale path).
+    Brute-force all-pairs — explicitly the CORRECTNESS BASELINE, O(N²);
+    see operators/similarity.py ``lsh_cosine_topk`` for the scale path.
+    ``max_rows`` guards against accidentally launching the quadratic
+    plan on a large table (pass ``None`` to bypass, e.g. when an
+    upstream filter already bounds the input).
     Output: (id_a, id_b, cosine), id_a < id_b, rounded to 6 decimals.
     """
+    from .guards import require_small
     from .similarity import dot_expr, normalized_vectors
 
+    if max_rows is not None:
+        require_small(df, max_rows, op="embedding_near_dups",
+                      alternative="operators.similarity.lsh_cosine_topk")
     a = normalized_vectors(df, id_col, vec_col, "id_a", "va")
     b = normalized_vectors(df, id_col, vec_col, "id_b", "vb")
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))

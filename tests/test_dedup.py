@@ -71,12 +71,86 @@ def test_simhash_flags_near_dups(spark):
     docs = _docs(spark)
     pairs = {
         (r["doc_a"], r["doc_b"])
-        for r in simhash_near_dups(docs, max_hamming=10, n=2).collect()
+        for r in simhash_near_dups(docs, max_hamming=12, n=2).collect()
     }
     # the one-word-changed pair must be caught
     assert (0, 3) in pairs or (3, 0) in pairs
     # unrelated docs must not be
     assert (4, 5) not in pairs and (5, 4) not in pairs
+
+
+def test_shingle_plan_no_exchange(spark):
+    """Shingle production must be row-local: the ONLY Exchange in the
+    MinHash signature plan is the final (doc_id → K mins) groupBy, fed
+    by a map-side partial agg — never a token-stream shuffle (no Window,
+    no Exchange below the partial aggregate)."""
+    from kg_microbe_merge_spark.operators.dedup import minhash_signatures
+
+    docs = _docs(spark)
+    plan = (
+        minhash_signatures(docs, num_hashes=8, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+    # tokenization stays in its own projection (CollapseProject barrier):
+    # split appears at most once, never inlined per n-gram lambda element
+    # (0 when ConvertToLocalRelation pre-evaluates the tiny local fixture)
+    assert plan.count("split(") <= 1, plan
+
+
+def test_portable_hash_matches_duckdb():
+    """hash60 (Spark) / hash60_py / DuckDB hex-cast must agree exactly."""
+    import duckdb
+
+    from kg_microbe_merge_spark.functions.hashing import hash60_py, hash60_sql
+
+    for s in ["hello", "", "a b c", "tok1 tok2 tok3", "123:7"]:
+        duck = duckdb.sql(
+            f"SELECT {hash60_sql('?')}".replace("?", f"'{s}'")
+        ).fetchone()[0]
+        assert hash60_py(s) == duck, s
+
+
+def test_portable_hash_spark_side(spark):
+    from pyspark.sql import functions as F
+
+    from kg_microbe_merge_spark.functions.hashing import (
+        hash60,
+        hash60_py,
+        hash60_seeded,
+    )
+
+    row = (
+        spark.range(1)
+        .select(
+            hash60(F.lit("hello")).alias("h"),
+            hash60_seeded(F.lit("hello"), 7).alias("hs"),
+        )
+        .first()
+    )
+    assert row["h"] == hash60_py("hello")
+    assert row["hs"] == hash60_py("hello:7")
+
+
+def test_embedding_near_dups_guard(spark):
+    """The all-pairs baseline must refuse oversized inputs."""
+    import pytest
+
+    from kg_microbe_merge_spark.operators.dedup import embedding_near_dups
+    from kg_microbe_merge_spark.operators.guards import TooLargeForBruteForce
+
+    vecs = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    with pytest.raises(TooLargeForBruteForce):
+        embedding_near_dups(vecs, max_rows=10)
+    # bypass works
+    assert embedding_near_dups(vecs, threshold=2.0, max_rows=None).count() == 0
 
 
 def test_ngram_jaccard_values(spark):
