@@ -236,6 +236,62 @@ def _simhash_sql(max_hamming: int, n: int) -> str:
     """
 
 
+def _lsh_topk_sql(k: int, dim: int, bits: int, tables: int, n_queries: int) -> str:
+    """DuckDB twin of operators.similarity.lsh_cosine_topk.
+
+    The sign-LSH hyperplanes are pure sha256-derived constants
+    (similarity._hyperplane), so they are inlined here as double
+    literals (repr round-trips bit-exactly) — the oracle mirrors the
+    full pipeline: per-table signatures → bucket join → exact cosine
+    re-rank over unit vectors.
+    """
+    from kg_microbe_merge_spark.operators.similarity import _hyperplane
+
+    def sig_expr(t: int) -> str:
+        terms = []
+        for b in range(bits):
+            lit = "[" + ", ".join(repr(c) for c in _hyperplane(dim, b, t)) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v0, {lit}) >= 0 "
+                f"THEN {1 << b} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")::BIGINT"
+
+    structs = ",\n                ".join(
+        f"struct_pack(tbl := {t}, sig := {sig_expr(t)})" for t in range(tables)
+    )
+    return f"""
+        WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+        sigs AS (
+            SELECT vec_id, v0, unnest([
+                {structs}]) AS ts
+            FROM e0),
+        s AS (SELECT vec_id, v0, ts.tbl AS tbl, ts.sig AS sig FROM sigs),
+        n AS (
+            SELECT vec_id,
+                   [x / sqrt(list_dot_product(v0, v0)) for x in v0] AS v,
+                   tbl, sig
+            FROM s),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS vec_id,
+                   q.v AS qv, v.v AS vv
+            FROM n v JOIN n q ON v.tbl = q.tbl AND v.sig = q.sig
+            WHERE q.vec_id < {n_queries} AND v.vec_id <> q.vec_id),
+        scored AS (
+            SELECT query_id, vec_id,
+                   round(list_dot_product(qv, vv), 6) AS cosine
+            FROM cand)
+        SELECT query_id, vec_id, cosine, cast(rank AS INTEGER) AS rank
+        FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored)
+        WHERE rank <= {k}
+    """
+
+
 # DuckDB twin of operators.merge.pipe_agg (NULL-skipping sorted-distinct
 # pipe join; NULL when the group has no non-null values).
 def _pipe_agg_sql(col: str) -> str:
@@ -1444,4 +1500,7 @@ def oracle_sql() -> dict[str, str]:
         threshold=0.5, num_hashes=64, bands=16, n=3
     )
     sql["simhash_near_dups"] = _simhash_sql(max_hamming=6, n=2)
+    sql["lsh_cosine_topk"] = _lsh_topk_sql(
+        k=10, dim=64, bits=8, tables=8, n_queries=5
+    )
     return sql

@@ -106,34 +106,34 @@ def _hyperplane(dim: int, bit: int, table: int) -> list[float]:
     return comps
 
 
-_SIG_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.LongType(), False),
-        T.StructField("nv", T.ArrayType(T.DoubleType()), False),
-        T.StructField("table", T.IntegerType(), False),
-        T.StructField("sig", T.LongType(), False),
-    ]
-)
-
-
 def _with_signatures(
     df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray
 ) -> DataFrame:
-    """(id, normalized vector, table, sig) via one numpy matmul per Arrow
-    batch — signature cost is a (batch × dim) @ (dim × bits) GEMM, not
-    bits×tables interpreted expression folds per row."""
+    """(id, vec, table, sig) via one numpy matmul per Arrow batch —
+    signature cost is a (batch × dim) @ (dim × bits) GEMM, not
+    bits×tables interpreted expression folds per row.
+
+    Id and vector columns pass through UNCHANGED (output schema is built
+    from the input schema), so any id type works — string CURIEs
+    included, the normal case for this KG engine. Normalization happens
+    JVM-side afterwards (same IEEE expression tree as the DuckDB oracle,
+    keeping the re-rank cosine bit-comparable)."""
     tables, bits, _dim = planes.shape
     weights = 1 << np.arange(bits, dtype=np.int64)
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType, True),
+            T.StructField("vec", df.schema[vec_col].dataType, True),
+            T.StructField("table", T.IntegerType(), False),
+            T.StructField("sig", T.LongType(), False),
+        ]
+    )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            nrm = np.linalg.norm(V, axis=1, keepdims=True)
-            nrm[nrm == 0.0] = 1.0
-            Vn = V / nrm
             frames = []
             for t in range(tables):
                 bits_mat = (V @ planes[t].T) >= 0.0
@@ -141,8 +141,8 @@ def _with_signatures(
                 frames.append(
                     pd.DataFrame(
                         {
-                            "id": ids,
-                            "nv": list(Vn),
+                            "id": pdf[id_col].to_numpy(),
+                            "vec": pdf[vec_col].to_numpy(),
                             "table": np.int32(t),
                             "sig": sigs,
                         }
@@ -150,7 +150,25 @@ def _with_signatures(
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    return df.select(id_col, vec_col).mapInPandas(assign, _SIG_SCHEMA)
+    return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
+def _normalized_sig_side(
+    sigs: DataFrame, out_id: str, out_vec: str
+) -> DataFrame:
+    """JVM-side unit-normalization of the signature output's vector."""
+    d = sigs.select(
+        F.col("id").alias(out_id),
+        _as_double(F.col("vec")).alias("_v"),
+        "table",
+        "sig",
+    ).withColumn("_n", norm_expr(F.col("_v")))
+    return d.select(
+        out_id,
+        F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias(out_vec),
+        "table",
+        "sig",
+    )
 
 
 def lsh_cosine_topk(
@@ -174,12 +192,12 @@ def lsh_cosine_topk(
     planes = np.array(
         [[_hyperplane(dim, b, t) for b in range(bits)] for t in range(tables)]
     )
-    v = _with_signatures(vectors, id_col, vec_col, planes).withColumnRenamed(
-        "id", "vec_id"
-    ).withColumnRenamed("nv", "vv")
-    q = _with_signatures(queries, query_id_col, vec_col, planes).withColumnRenamed(
-        "id", "query_id"
-    ).withColumnRenamed("nv", "qv")
+    v = _normalized_sig_side(
+        _with_signatures(vectors, id_col, vec_col, planes), "vec_id", "vv"
+    )
+    q = _normalized_sig_side(
+        _with_signatures(queries, query_id_col, vec_col, planes), "query_id", "qv"
+    )
     cand = (
         v.join(q.hint("broadcast"), ["table", "sig"])
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -60,6 +60,27 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert recall >= 0.8, f"LSH top-k recall {recall:.2f}"
 
 
+def test_lsh_topk_string_ids(spark):
+    """Signature path must be id-type-agnostic: string CURIE ids (the
+    normal case for this KG engine) flow through mapInPandas untouched —
+    the output schema is built from the input schema, no int64
+    coercion."""
+    from pyspark.sql import functions as F
+
+    vecs = _vectors(spark, n=60).select(
+        F.concat(F.lit("NODE:"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    q = vecs.filter("vec_id IN ('NODE:0','NODE:1')").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    out = lsh_cosine_topk(vecs, q, k=3, dim=DIM, bits=4, tables=8).collect()
+    assert out, "string-id LSH must return candidates"
+    for r in out:
+        assert r["query_id"].startswith("NODE:")
+        assert r["vec_id"].startswith("NODE:")
+        assert r["vec_id"] != r["query_id"]
+
+
 def _aliases(spark):
     return spark.createDataFrame(
         [
