@@ -913,25 +913,33 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: deterministic synthetic media table →
-    iterator-mapInPandas feature extraction (decode kernel stubbed with
-    a seeded hash — codec libs absent in this image; the Spark-side
-    schema/batching/partitioning is the real thing). Rows-only check:
-    output is a pure function of (n, seed), so it is stable across runs.
+    """Multimodal plumbing with a FULL DuckDB oracle: the media table is
+    derived from ``documents`` with sha2-based payload/metadata (every
+    byte reproducible in SQL), features are extracted from the binary
+    payload via iterator-mapInPandas (real Arrow batch plumbing; the
+    byte-fingerprint kernel stands in for codec decode — PIL/ffmpeg
+    absent in this image), and frame sampling is a JVM ``sequence``.
     """
     from kg_microbe_merge_spark.operators.multimodal import (
-        generate_media,
-        with_media_features,
+        extract_media_features,
+        media_from_documents,
     )
 
-    media = generate_media(spark, n=200, seed=7)
-    feats = with_media_features(media)
+    d = _t(spark, sf_dir, "documents")
+    media = media_from_documents(d)
+    feats = extract_media_features(media)
+    frame_ts = F.sequence(
+        F.lit(0),
+        F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
+        F.lit(1000),
+    )
     return feats.select(
         "media_id",
         "kind",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
-            "feature_sum"
-        ),
+        "n_bytes",
+        "head60",
+        F.round(F.col("head60") / F.lit(float(1 << 60)), 6).alias("brightness"),
+        F.size(frame_ts).alias("n_frames"),
     )
 
 
@@ -1503,4 +1511,24 @@ def oracle_sql() -> dict[str, str]:
     sql["lsh_cosine_topk"] = _lsh_topk_sql(
         k=10, dim=64, bits=8, tables=8, n_queries=5
     )
+
+    # Twin of q_multimodal_features: the media table is a pure function
+    # of sha256(text)/doc_id, so features + frame counts mirror exactly.
+    sql["multimodal_features"] = """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS kind,
+                   ('0x' || substr(sha256(text), 1, 15))::BIGINT AS head60,
+                   (1 + doc_id % 3) AS copies
+            FROM documents)
+        SELECT media_id,
+               kind,
+               cast(32 * copies AS INTEGER) AS n_bytes,
+               head60,
+               round(head60 / 1152921504606846976.0, 6) AS brightness,
+               cast(CASE WHEN kind = 'image' THEN 1
+                         ELSE floor((head60 % 4000 + 999) / 1000) + 1
+                    END AS INTEGER) AS n_frames
+        FROM m
+    """
     return sql

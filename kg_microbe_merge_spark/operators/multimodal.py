@@ -93,8 +93,12 @@ def sample_frames(
     return df.withColumn("frame_ms", F.explode(ts))
 
 
-def generate_media(spark, n: int = 100, seed: int = 7) -> DataFrame:
-    """Deterministic synthetic media table for tests."""
+def generate_media(spark, n: int = 100, seed: int = 7, partitions: int = 4) -> DataFrame:
+    """Deterministic synthetic media table for tests.
+
+    ``partitions`` bounds the Python-worker fan-out: a tiny row count
+    split over 32 partitions pays 32× worker/Arrow spin-up for no
+    parallelism gain (the round-1 bench anomaly — 38 s for 200 rows)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -123,4 +127,76 @@ def generate_media(spark, n: int = 100, seed: int = 7) -> DataFrame:
                 }
             )
 
-    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def media_from_documents(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Derive a deterministic media table from a documents table — the
+    oracle-friendly synthetic source: every column is a pure JVM
+    expression of sha2(text)/doc_id, so a DuckDB twin can reproduce the
+    table (and everything computed from it) bit-for-bit.
+
+    payload = unhex(repeat(sha256-hex, 1 + doc_id % 3)) — a binary
+    column whose first 8 bytes are the first 16 hex chars of the digest;
+    kind cycles image/audio/video; duration only for audio/video.
+    """
+    sha = F.sha2(F.col(text_col), 256)
+    head60 = F.conv(F.substring(sha, 1, 15), 16, 10).cast("long")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    copies = (F.col(id_col) % 3 + 1).cast("int")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        F.unhex(F.repeat(sha, copies)).alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.when(kind == "image", (head60 % 192 + 64).cast("int")).alias("width"),
+        F.when(kind == "image", (head60 % 128 + 64).cast("int")).alias("height"),
+        F.when(
+            kind != "image", (head60 % 4000 + 1000).cast("int")
+        ).alias("duration_ms"),
+    )
+
+
+_FEATURE_FIELDS = [
+    T.StructField("n_bytes", T.IntegerType(), True),
+    T.StructField("head60", T.LongType(), True),
+]
+
+
+def extract_media_features(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic feature extraction over the binary payload via
+    iterator ``mapInPandas`` (one worker init per partition,
+    Arrow-batched transfer) — the decode kernel is a byte-level
+    fingerprint (real codecs would slot in here; see
+    :func:`decode_image`): ``n_bytes`` = payload length, ``head60`` =
+    first-8-bytes big-endian int >> 4 (== the first 15 hex chars of the
+    payload, reproducible in SQL when the payload is hex-derived)."""
+    out_schema = T.StructType(df.schema.fields + _FEATURE_FIELDS)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-worker init (codec/model load) happens once, here
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = pdf[payload_col]
+            pdf["n_bytes"] = pd.array(
+                [None if p is None else len(p) for p in payloads], dtype="Int32"
+            )
+            pdf["head60"] = pd.array(
+                [
+                    None
+                    if p is None or len(p) < 8
+                    else int.from_bytes(p[:8], "big") >> 4
+                    for p in payloads
+                ],
+                dtype="Int64",
+            )
+            yield pdf
+
+    return df.mapInPandas(extract, out_schema)

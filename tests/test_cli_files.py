@@ -131,6 +131,35 @@ def test_multimodal_plumbing(spark):
     assert "frame_ms" in frames.columns
 
 
+def test_media_from_documents_features(spark):
+    """sha2-derived media table + byte-fingerprint feature extraction:
+    head60 must equal the first-15-hex-chars int of the payload's sha256
+    (cross-checked in Python), and payload bytes must be the repeated
+    digest."""
+    import hashlib
+
+    from kg_microbe_merge_spark.operators.multimodal import (
+        extract_media_features,
+        media_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta"), (2, "epsilon")],
+        "doc_id long, text string",
+    )
+    out = {r["media_id"]: r for r in extract_media_features(
+        media_from_documents(docs)).collect()}
+    assert len(out) == 3
+    for i, text in [(0, "alpha beta"), (1, "gamma delta"), (2, "epsilon")]:
+        digest = hashlib.sha256(text.encode()).digest()
+        copies = 1 + i % 3
+        assert bytes(out[i]["payload"]) == digest * copies
+        assert out[i]["n_bytes"] == 32 * copies
+        assert out[i]["head60"] == int.from_bytes(digest[:8], "big") >> 4
+    assert out[0]["kind"] == "image" and out[0]["width"] is not None
+    assert out[1]["kind"] == "audio" and out[1]["duration_ms"] is not None
+
+
 def test_grouped_read_with_source_labels(spark, tmp_path):
     """Same-header files are read in ONE grouped scan; per-file
     source_table labels still come out right (input_file_name match);
