@@ -780,8 +780,14 @@ def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching: nation-name pairs within edit distance 1
-    (both engines implement classic Levenshtein DP — exact ints)."""
+    (both engines implement classic Levenshtein DP — exact ints).
+    All-pairs crossJoin — a correctness baseline, so it carries the
+    brute-force guard (operators/guards.py)."""
+    from kg_microbe_merge_spark.operators.guards import require_small
+
     nation = _t(spark, sf_dir, "nation")
+    require_small(nation, 100_000, op="fuzzy_levenshtein",
+                  alternative="ngram_jaccard_pairs / minhash_lsh_pairs on names")
     a = nation.select(F.col("n_name").alias("name_a"))
     b = nation.select(F.col("n_name").alias("name_b"))
     pairs = a.crossJoin(b).filter(F.col("name_a") < F.col("name_b"))
@@ -800,6 +806,51 @@ def q_s2_union_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.filter(F.col("source") == "src0").select("doc_id", "text", "lang")
     b = d.filter(F.col("source") == "src1").select("doc_id", "source", "n_chars")
     return a.unionByName(b, allowMissingColumns=True)
+
+
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-graph summary report (legacy KGX graph-stats analogue,
+    reference merge.py:50-60): node count per merged category, edge
+    count per predicate, totals — one partial-aggregable pass each."""
+    from kg_microbe_merge_spark.operators.stats import graph_stats
+
+    nodes = nodes_merge(
+        _kgx_nodes_from_lineitem(spark, sf_dir), ["R"], sort_output=False
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("P:"), F.col("l_partkey")).alias("subject"),
+        F.col("l_returnflag").alias("predicate"),
+        F.concat(F.lit("S:"), F.col("l_suppkey")).alias("object"),
+    )
+    return graph_stats(nodes, edges_merge(e, sort_output=False))
+
+
+def q_cc_chain_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 adversarial shape: per-nation DEEP CHAINS (diameter = customers
+    per nation) of which the even-nation chains are fused through one
+    HUB node into a single giant high-diameter component — the shape
+    that breaks naive label propagation (O(diameter) rounds) and that
+    large-star/small-star converges on in O(log² n). DuckDB oracle is a
+    recursive-CTE reachability closure."""
+    customer = _t(spark, sf_dir, "customer")
+    cid = F.concat(F.lit("C"), F.col("c_custkey"))
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    chain = (
+        customer.select(
+            cid.alias("src"),
+            F.lead(cid).over(w).alias("dst"),
+            "c_nationkey",
+        )
+        .filter(F.col("dst").isNotNull())
+        .select("src", "dst")
+    )
+    hub = (
+        customer.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("c_nationkey") % 2 == 0))
+        .select(F.lit("HUB").alias("src"), cid.alias("dst"))
+    )
+    return connected_components(chain.unionByName(hub))
 
 
 def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1002,7 +1053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "range_band_join": q_range_band_join,
         "fuzzy_levenshtein": q_fuzzy_levenshtein,
+        "graph_stats_report": q_graph_stats,
         "cc_components": q_cc_components,
+        "cc_chain_hub": q_cc_chain_hub,
         "triples_extract": q_triples_extract,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
@@ -1347,6 +1400,49 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN rep USING (c_nationkey)
+    """
+
+    sql["graph_stats_report"] = f"""
+        WITH merged AS ({_A3_SQL}),
+        edges AS (SELECT DISTINCT subject, predicate, object
+                  FROM ({_EDGES_SQL}))
+        SELECT 'nodes_by_category' AS section,
+               coalesce(category, 'Unknown') AS key,
+               cast(count(*) AS BIGINT) AS n
+        FROM merged GROUP BY 2
+        UNION ALL
+        SELECT 'edges_by_predicate', predicate, cast(count(*) AS BIGINT)
+        FROM edges GROUP BY 2
+        UNION ALL
+        SELECT 'totals', 'total_nodes', cast(count(*) AS BIGINT) FROM merged
+        UNION ALL
+        SELECT 'totals', 'total_edges', cast(count(*) AS BIGINT) FROM edges
+    """
+
+    sql["cc_chain_hub"] = """
+        WITH RECURSIVE
+        c AS (
+            SELECT 'C' || c_custkey AS node, c_nationkey,
+                   row_number() OVER (
+                       PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+            FROM customer),
+        chain AS (
+            SELECT a.node AS src, b.node AS dst
+            FROM c a JOIN c b
+              ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 1),
+        hub AS (
+            SELECT 'HUB' AS src, node AS dst
+            FROM c WHERE rn = 1 AND c_nationkey % 2 = 0),
+        edges AS (
+            SELECT src, dst FROM chain UNION ALL SELECT src, dst FROM hub),
+        sym AS (
+            SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        walk(node, comp) AS (
+            SELECT node, node
+            FROM (SELECT src AS node FROM sym UNION SELECT dst FROM sym)
+            UNION
+            SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node)
+        SELECT node, min(comp) AS component FROM walk GROUP BY node
     """
 
     sql["triples_extract"] = r"""

@@ -29,6 +29,7 @@ def _cmd_merge(args: argparse.Namespace) -> None:
         edges_merge_provenance,
         nodes_merge,
     )
+    from .operators.stats import graph_stats
     from .sources.files import (
         collect_paths_from_directory,
         collect_subset_kg_paths,
@@ -36,45 +37,83 @@ def _cmd_merge(args: argparse.Namespace) -> None:
         tarball_files_in_dir,
         unzip_files_in_dir,
     )
-    from .sources.kgx import read_kgx_tsv, write_tsv_single
+    from .sources.kgx import read_kgx_tsv, write_tsv_dir, write_tsv_single
 
     spark = get_spark(app_name="kg-merge")
-    if args.untar:
-        unzip_files_in_dir(args.transform_dir)
-    if args.subsets:
-        nodes_paths, edges_paths = collect_subset_kg_paths(
-            args.transform_dir, args.subsets.split(",")
-        )
+
+    # --config loads a reference-style merge.yaml (config.py document
+    # model); explicit flags override its values.
+    cfg = None
+    if args.config:
+        from .config import load_merge_config
+
+        cfg = load_merge_config(args.config)
+        if not args.output and cfg.configuration:
+            args.output = cfg.configuration.output_directory
+        if cfg.wants_tar():
+            args.tar = True
+    if not args.output:
+        raise SystemExit("--output (or configuration.output_directory) required")
+
+    if args.transform_dir:
+        if args.untar:
+            unzip_files_in_dir(args.transform_dir)
+        if args.subsets:
+            nodes_paths, edges_paths = collect_subset_kg_paths(
+                args.transform_dir, args.subsets.split(",")
+            )
+        else:
+            nodes_paths, edges_paths = collect_paths_from_directory(
+                args.transform_dir
+            )
+    elif cfg is not None:
+        nodes_paths, edges_paths = cfg.node_edge_paths()
     else:
-        nodes_paths, edges_paths = collect_paths_from_directory(args.transform_dir)
+        raise SystemExit("either --transform-dir or --config is required")
     if not nodes_paths:
-        raise SystemExit(f"no *_nodes.tsv found under {args.transform_dir}")
+        raise SystemExit(
+            f"no *_nodes.tsv found ({args.transform_dir or args.config})"
+        )
     priority = (
         args.priority.split(",") if args.priority
         else discover_priority_sources(nodes_paths)
     )
     os.makedirs(args.output, exist_ok=True)
+
+    # Default sink: DISTRIBUTED TSV directories (scale path — nothing
+    # flows through the driver). --single-file switches to the
+    # golden-test-compatible one-file sink (sorted, driver-collected) for
+    # byte-comparison against the reference's outputs; only then do the
+    # merges pay the total-order exchange.
+    single = args.single_file
+    if single:
+        def sink(df, name: str) -> None:
+            write_tsv_single(df, os.path.join(args.output, name + ".tsv"))
+    else:
+        def sink(df, name: str) -> None:
+            write_tsv_dir(df, os.path.join(args.output, name))
+
     nodes = read_kgx_tsv(spark, nodes_paths)
-    merged_nodes = nodes_merge(nodes, priority, salt_buckets=args.salt_buckets)
-    write_tsv_single(merged_nodes, os.path.join(args.output, "merged_kg_nodes.tsv"))
+    merged_nodes = nodes_merge(
+        nodes, priority, salt_buckets=args.salt_buckets, sort_output=single
+    )
+    sink(merged_nodes, "merged_kg_nodes")
     edges = read_kgx_tsv(spark, edges_paths, exclude_columns=["id"])
-    write_tsv_single(
-        edges_merge(edges), os.path.join(args.output, "merged_kg_edges.tsv")
-    )
-    write_tsv_single(
-        edges_merge_provenance(edges),
-        os.path.join(args.output, "merged_kg_edges_full.tsv"),
-    )
+    sink(edges_merge(edges, sort_output=single), "merged_kg_edges")
+    sink(edges_merge_provenance(edges, sort_output=single), "merged_kg_edges_full")
     missing = coverage_check(merged_nodes, edges)
-    write_tsv_single(
-        missing, os.path.join(args.output, "edges_missing_nodes_with_category.tsv")
-    )
+    sink(missing, "edges_missing_nodes_with_category")
+    # merged-graph summary report (legacy KGX graph-stats analogue) —
+    # small by construction, always a single file
+    stats = graph_stats(merged_nodes, edges_merge(edges, sort_output=False))
+    write_tsv_single(stats, os.path.join(args.output, "merged_graph_stats.tsv"))
     if args.tar:
         tarball_files_in_dir(
             args.output, os.path.join(args.output, "merged-kg.tar.gz")
         )
     print(f"merged {len(nodes_paths)} node files / {len(edges_paths)} edge files "
-          f"-> {args.output} (priority: {priority})")
+          f"-> {args.output} (priority: {priority}, "
+          f"{'single-file' if single else 'distributed'} sink)")
 
 
 def _cmd_pipeline(args: argparse.Namespace) -> None:
@@ -123,14 +162,21 @@ def main(argv: list[str] | None = None) -> None:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     m = sub.add_parser("merge", help="merge KGX TSV transform products")
-    m.add_argument("--transform-dir", required=True)
-    m.add_argument("--output", required=True)
+    m.add_argument("--transform-dir", default=None)
+    m.add_argument("--output", default=None)
     m.add_argument("--subsets", default=None,
                    help="comma-separated subset dir-name filters")
     m.add_argument("--priority", default=None,
                    help="comma-separated priority provided_by sources "
                         "(default: auto-discover from ontologies/ files)")
     m.add_argument("--salt-buckets", type=int, default=1)
+    m.add_argument("--single-file", action="store_true",
+                   help="write one sorted TSV per output through the "
+                        "driver (golden-test compat); default is "
+                        "distributed part-file directories")
+    m.add_argument("--config", default=None,
+                   help="YAML merge-config file (reference merge.yaml "
+                        "document model); flags override its values")
     m.add_argument("--untar", action="store_true")
     m.add_argument("--tar", action="store_true")
     m.set_defaults(fn=_cmd_merge)

@@ -35,6 +35,11 @@ def asof_join(
     (NULLs when no such row). Output: all left columns + value columns
     (optionally suffixed)."""
     out_vals = [c + suffix for c in value_cols]
+    # A NULL right timestamp can never satisfy left.ts >= right.ts (ASOF
+    # semantics; DuckDB ASOF JOIN agrees) — drop those rows BEFORE the
+    # union, else they sort first (nulls-first asc) and their values
+    # would silently propagate to every left row in the key.
+    right = right.filter(F.col(right_ts).isNotNull())
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("_asof_t"),

@@ -15,8 +15,9 @@ Scale notes
   AQE handles the heavy skew of hub nodes (a hub's neighbor list is
   aggregated with ``min``, which is partially aggregable map-side —
   no reducer ever materializes the full adjacency list).
-* ``localCheckpoint`` every ``checkpoint_interval`` rounds truncates
-  lineage so the plan doesn't grow unboundedly (on a real cluster use
+* Eager ``localCheckpoint`` EVERY round truncates lineage so the plan
+  doesn't grow unboundedly and guarantees the convergence-check action
+  and the next round share one materialization (on a real cluster use
   ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
   fault-tolerant truncation).
 * Convergence check is a single ``count`` of changed labels per round.
@@ -75,7 +76,6 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
-    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Return ``(node, component)`` where ``component`` is the minimum
     node id in each connected component.
@@ -101,9 +101,9 @@ def connected_components(
         # the convergence-check action and the next round share one
         # materialization. Measured on a 1.5M-edge single-giant-component
         # graph: eager-every-round 116s vs lazy-every-3 234s — the lazy
-        # variant recomputed rounds. (checkpoint_interval retained for
-        # API compat; values > 1 only change how often lineage is cut,
-        # materialization stays per-round.)
+        # variant recomputed rounds. (A configurable interval was removed:
+        # it could not change materialization behavior, only lineage cuts,
+        # and silently ignoring it misled callers.)
         e = e.localCheckpoint(eager=True)
         # Converged when the edge multiset is stable: compare an
         # order-insensitive checksum (one aggregation, no join).

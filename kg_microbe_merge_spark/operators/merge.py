@@ -74,12 +74,19 @@ def nodes_merge(
     nodes: DataFrame,
     priority_sources: list[str],
     salt_buckets: int = 1,
+    sort_output: bool = True,
 ) -> DataFrame:
     """Group-merge duplicate node rows by ``id`` (reference A3).
 
     With ``salt_buckets > 1`` the aggregation runs in two phases keyed on
     (id, pmod(hash(*), salt_buckets)) then id — bounding per-reducer state
     for hub ids whose duplicate count is itself huge.
+
+    ``sort_output=True`` (default) reproduces the reference's globally
+    sorted output for golden parity; pipelines feeding a partitioned
+    write should pass ``False`` — a total-order range exchange on every
+    merge is real money at 100 TB and a partitioned parquet consumer
+    doesn't need it.
     """
     other_cols = [c for c in nodes.columns if c not in ("id", "name")]
     has_pb = "provided_by" in nodes.columns
@@ -126,7 +133,8 @@ def nodes_merge(
                 for c in other_cols
             ],
         )
-    return out.select("id", "name", *other_cols).select(*nodes.columns).orderBy("id")
+    out = out.select("id", "name", *other_cols).select(*nodes.columns)
+    return out.orderBy("id") if sort_output else out
 
 
 def nodes_merge_skew_aware(
@@ -134,6 +142,7 @@ def nodes_merge_skew_aware(
     priority_sources: list[str],
     heavy_threshold: int = 1_000_000,
     salt_buckets: int = 32,
+    sort_output: bool = True,
 ) -> DataFrame:
     """A3 with skew handling applied ONLY where it pays.
 
@@ -155,32 +164,32 @@ def nodes_merge_skew_aware(
     )
     light = nodes.join(F.broadcast(heavy_ids), "id", "left_anti")
     heavy = nodes.join(F.broadcast(heavy_ids), "id", "left_semi")
-    merged = nodes_merge(light, priority_sources).unionByName(
-        nodes_merge(heavy, priority_sources, salt_buckets=salt_buckets)
+    merged = nodes_merge(light, priority_sources, sort_output=False).unionByName(
+        nodes_merge(
+            heavy, priority_sources, salt_buckets=salt_buckets, sort_output=False
+        )
     )
-    return merged.orderBy("id")
+    return merged.orderBy("id") if sort_output else merged
 
 
-def edges_merge(edges: DataFrame) -> DataFrame:
+def edges_merge(edges: DataFrame, sort_output: bool = True) -> DataFrame:
     """Distinct-(subject, predicate, object) edge union, sorted — the
-    reference's 3-column golden output (payload columns dropped)."""
-    return (
-        edges.select(*EDGE_KEY_COLUMNS)
-        .distinct()
-        .orderBy(*EDGE_KEY_COLUMNS)
-    )
+    reference's 3-column golden output (payload columns dropped).
+    ``sort_output=False`` skips the total-order exchange (see
+    :func:`nodes_merge`)."""
+    out = edges.select(*EDGE_KEY_COLUMNS).distinct()
+    return out.orderBy(*EDGE_KEY_COLUMNS) if sort_output else out
 
 
-def edges_merge_provenance(edges: DataFrame) -> DataFrame:
+def edges_merge_provenance(edges: DataFrame, sort_output: bool = True) -> DataFrame:
     """Provenance-preserving edge union: one row per (s,p,o) with
     sorted-distinct pipe-joined ``relation``/``knowledge_source`` —
-    the north-star variant (golden expected_edges_merged_full.tsv)."""
+    the north-star variant (golden expected_edges_merged_full.tsv).
+    ``sort_output=False`` skips the total-order exchange (see
+    :func:`nodes_merge`)."""
     payload = [c for c in EDGE_PAYLOAD_COLUMNS if c in edges.columns]
-    return (
-        edges.groupBy(*EDGE_KEY_COLUMNS)
-        .agg(*[pipe_agg(c) for c in payload])
-        .orderBy(*EDGE_KEY_COLUMNS)
-    )
+    out = edges.groupBy(*EDGE_KEY_COLUMNS).agg(*[pipe_agg(c) for c in payload])
+    return out.orderBy(*EDGE_KEY_COLUMNS) if sort_output else out
 
 
 def priority_dedup(

@@ -191,7 +191,9 @@ def run_pipeline(
             F.col("pred").alias("relation"),
             F.col("url").alias("knowledge_source"),
         )
-        return edges_merge_provenance(e)
+        # sort_output=False: the consumer is a predicate-partitioned
+        # parquet write — a global total-order exchange would buy nothing
+        return edges_merge_provenance(e, sort_output=False)
 
     # partitioned by predicate: per-predicate directories give partition
     # pruning to downstream queries that filter on edge type (the common
@@ -213,7 +215,7 @@ def run_pipeline(
             F.col("id").alias("name"),
             F.lit("webkg_pipeline").alias("provided_by"),
         )
-        return nodes_merge(raw, [], salt_buckets=salt_buckets)
+        return nodes_merge(raw, [], salt_buckets=salt_buckets, sort_output=False)
 
     nodes = run.stage("kgx_nodes", build_nodes, fp, metrics_key="id")
 

@@ -23,7 +23,10 @@ def unzip_files_in_dir(dir_path: str) -> list[str]:
     out = []
     for arc in sorted(Path(dir_path).glob("*.tar.gz")):
         with tarfile.open(arc, "r:gz") as tf:
-            tf.extractall(arc.parent)  # noqa: S202 — trusted local artifacts
+            # filter="data" rejects absolute paths / '..' members — the
+            # CLI --untar flag runs on user-supplied directories, so a
+            # crafted archive must not write outside the target.
+            tf.extractall(arc.parent, filter="data")
         out.append(str(arc))
     return out
 

@@ -96,15 +96,20 @@ def read_kgx_tsv(
                 )
             else:
                 # per-file label: input_file_name() (a URI like
-                # file:///abs/path) matched by full-path suffix — unique
-                # per file, scheme-independent
+                # file:///abs/path) matched by '/' + normalized ABSOLUTE
+                # path, so the suffix is anchored at a path-component
+                # boundary — 'b_nodes.tsv' can never mislabel rows of
+                # 'ab_nodes.tsv' (scheme-independent, unique per file)
+                import os as _os
+
+                def _anchor(p: str) -> str:
+                    local = p[7:] if p.startswith("file://") else p
+                    return "/" + _os.path.abspath(local).lstrip("/")
+
                 label = F.lit(source_table_labels[idxs[0]])
                 for i in idxs[1:]:
-                    suffix = (
-                        paths[i][7:] if paths[i].startswith("file://") else paths[i]
-                    )
                     label = F.when(
-                        F.input_file_name().endswith(suffix),
+                        F.input_file_name().endswith(_anchor(paths[i])),
                         F.lit(source_table_labels[i]),
                     ).otherwise(label)
                 df = df.withColumn("source_table", label)

@@ -67,7 +67,8 @@ def test_cli_merge_end_to_end(spark, tmp_path):
 
     base = _make_transform_dir(tmp_path)
     out = str(tmp_path / "out")
-    main(["merge", "--transform-dir", base, "--output", out, "--tar"])
+    main(["merge", "--transform-dir", base, "--output", out, "--tar",
+          "--single-file"])
     nodes_out = open(os.path.join(out, "merged_kg_nodes.tsv")).read()
     # priority source (auto-discovered ontology_b.json) wins the name
     assert "name-priority" in nodes_out
@@ -79,6 +80,85 @@ def test_cli_merge_end_to_end(spark, tmp_path):
         os.path.join(out, "edges_missing_nodes_with_category.tsv")
     ).read()
     assert "EC:9.9.9.9\tbiolink:Enzyme" in missing
+    assert os.path.exists(os.path.join(out, "merged-kg.tar.gz"))
+    stats = open(os.path.join(out, "merged_graph_stats.tsv")).read()
+    assert "total_nodes\t2" in stats and "total_edges\t2" in stats
+    assert "edges_by_predicate\tbiolink:related_to\t2" in stats
+
+
+def test_cli_merge_distributed_default(spark, tmp_path):
+    """The DEFAULT sink must be distributed part-file directories —
+    nothing flows through the driver on the production path."""
+    from kg_microbe_merge_spark.cli import main
+
+    base = _make_transform_dir(tmp_path)
+    out = str(tmp_path / "out_dist")
+    main(["merge", "--transform-dir", base, "--output", out])
+    nodes_dir = os.path.join(out, "merged_kg_nodes")
+    assert os.path.isdir(nodes_dir), "default sink must be a directory"
+    merged = spark.read.options(sep="\t", header=True).csv(nodes_dir)
+    rows = {r["id"]: r["name"] for r in merged.collect()}
+    assert rows == {"X:1": "name-priority", "X:2": "name-b"}
+    # stats report is always a single small file
+    assert os.path.isfile(os.path.join(out, "merged_graph_stats.tsv"))
+
+
+def test_cli_merge_from_yaml_config(spark, tmp_path):
+    """`merge --config merge.yaml` (reference document model) runs the
+    same merge as the flag form; round-trip load/dump preserves it."""
+    from kg_microbe_merge_spark.cli import main
+    from kg_microbe_merge_spark.config import (
+        dump_merge_config,
+        load_merge_config,
+    )
+
+    base = _make_transform_dir(tmp_path)
+    out = str(tmp_path / "out_cfg")
+    cfg_path = str(tmp_path / "merge.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(f"""
+configuration:
+  output_directory: {out}
+  checkpoint: false
+merged_graph:
+  name: test graph
+  source:
+    - name: "onto"
+      input:
+        format: tsv
+        filename:
+          - {base}/ontologies/onto_nodes.tsv
+          - {base}/ontologies/onto_edges.tsv
+    - name: "bacdive"
+      input:
+        format: tsv
+        filename:
+          - {base}/bacdive/bacdive_nodes.tsv
+          - {base}/bacdive/bacdive_edges.tsv
+  operations:
+    - name: kgx.graph_operations.summarize_graph.generate_graph_stats
+      args:
+        graph_name: test graph
+        filename: merged_graph_stats.yaml
+  destination:
+    - format: tsv
+      compression: tar.gz
+      filename: merged-kg
+""")
+    cfg = load_merge_config(cfg_path)
+    assert cfg.merged_graph.name == "test graph"
+    nodes, edges = cfg.node_edge_paths()
+    assert len(nodes) == 2 and len(edges) == 2
+    assert cfg.wants_tar() and cfg.wants_graph_stats()
+    # round-trip: dump and reload preserves the document
+    rt_path = str(tmp_path / "merge_rt.yaml")
+    dump_merge_config(cfg, rt_path)
+    assert load_merge_config(rt_path).to_dict() == cfg.to_dict()
+
+    main(["merge", "--config", cfg_path, "--single-file",
+          "--priority", "ontology_b.json"])
+    nodes_out = open(os.path.join(out, "merged_kg_nodes.tsv")).read()
+    assert "name-priority" in nodes_out
     assert os.path.exists(os.path.join(out, "merged-kg.tar.gz"))
 
 

@@ -158,3 +158,29 @@ def test_skew_aware_matches_plain(spark):
     # threshold 0 -> every id routed through the salted branch
     aware = nodes_merge_skew_aware(df, PRIORITY_SOURCES, heavy_threshold=0).collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, aware))
+
+
+def test_sort_output_false_has_no_global_sort(spark):
+    """Pipelines feeding partitioned writes pass sort_output=False: the
+    physical plan must contain no total-order Sort/rangepartitioning
+    exchange; the default (golden parity) keeps the global sort."""
+    from kg_microbe_merge_spark.operators.merge import edges_merge, nodes_merge
+
+    nodes = spark.createDataFrame(
+        [("A:1", "c", "n", "s")],
+        "id string, category string, name string, provided_by string",
+    )
+    edges = spark.createDataFrame(
+        [("A:1", "p", "A:2")], "subject string, predicate string, object string"
+    )
+    for df in (
+        nodes_merge(nodes, [], sort_output=False),
+        edges_merge(edges, sort_output=False),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in plan, plan
+        assert "Sort [" not in plan, plan
+    sorted_plan = (
+        nodes_merge(nodes, [])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Sort [" in sorted_plan
