@@ -930,7 +930,44 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(e, threshold=0.35)
 
 
-# --- hash-seeded approximate variants: rows-only driver check ---
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate signal: most-frequent-token share per document,
+    computed row-locally (sorted-array fold — no explode, no shuffle)."""
+    from kg_microbe_merge_spark.functions.text import repetition_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", repetition_ratio(F.col("text")).alias("rep_ratio")
+    )
+
+
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ML holdout split (reference G2 — declared but
+    unimplemented there, run.py:273): hash-bucket assignment, exactly
+    reproducible in SQL; reported as per-(split, lang) counts."""
+    from kg_microbe_merge_spark.operators.split import holdout_split
+
+    d = _t(spark, sf_dir, "documents")
+    s = holdout_split(d, id_col="doc_id")
+    return (
+        s.groupBy("split", "lang")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
+        .orderBy("split", "lang")
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 25% corpus sample by id-hash (stable across runs,
+    engines, partitionings — unlike DataFrame.sample)."""
+    from kg_microbe_merge_spark.operators.split import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = deterministic_sample(d, 0.25, id_col="doc_id")
+    return (
+        s.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
 
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1062,6 +1099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "repetition_ratio": q_repetition_ratio,
+        "holdout_split": q_holdout_split,
+        "deterministic_sample": q_deterministic_sample,
         "corpus_curation": q_corpus_curation,
         "multimodal_features": q_multimodal_features,
         "minhash_lsh": q_minhash_lsh,
@@ -1596,6 +1636,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos} AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE {_cos} >= 0.35
+    """
+
+    _NTOK = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+             "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+    sql["repetition_ratio"] = f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKS_SQL} AS t, {_NTOK} AS n_tok FROM documents),
+        ex AS (SELECT doc_id, n_tok, unnest(t) AS tok FROM base),
+        cnt AS (
+            SELECT doc_id, n_tok, tok, count(*) AS c
+            FROM ex GROUP BY 1, 2, 3),
+        mx AS (SELECT doc_id, n_tok, max(c) AS m FROM cnt GROUP BY 1, 2)
+        SELECT doc_id,
+               CASE WHEN n_tok > 0
+                    THEN round(cast(m AS DOUBLE) / n_tok, 6)
+                    ELSE 0.0 END AS rep_ratio
+        FROM mx
+    """
+
+    _SPLIT_BUCKET = _h60("doc_id::VARCHAR || ':holdout'") + " % 10000"
+    sql["holdout_split"] = f"""
+        WITH s AS (
+            SELECT *,
+                   CASE WHEN ({_SPLIT_BUCKET}) < 8000 THEN 'train'
+                        WHEN ({_SPLIT_BUCKET}) < 9000 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents)
+        SELECT split, lang, cast(count(*) AS BIGINT) AS n,
+               min(doc_id) AS min_doc
+        FROM s GROUP BY split, lang
+    """
+
+    sql["deterministic_sample"] = f"""
+        SELECT source, cast(count(*) AS BIGINT) AS n,
+               sum(n_chars) AS sum_chars
+        FROM documents
+        WHERE ({_h60("doc_id::VARCHAR || ':sample'")} % 10000) < 2500
+        GROUP BY source
     """
 
     # Full-pipeline mirrors of the md5-seeded approximate operators

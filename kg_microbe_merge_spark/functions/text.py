@@ -67,6 +67,42 @@ def lang_id_en(text: Column, min_ratio: float = 0.05) -> Column:
     return F.when(ratio >= F.lit(min_ratio), F.lit("en")).otherwise(F.lit("unk"))
 
 
+def repetition_ratio(text: Column) -> Column:
+    """Most-frequent-token share of all tokens, rounded to 6 decimals —
+    the standard boilerplate/spam signal (a page that is 40% one token
+    is navigation chrome, not prose). 0.0 for empty text.
+
+    Row-local: tokens are sorted once, then one ``aggregate`` fold
+    counts the longest equal-run — no explode, no shuffle. The token
+    array is produced behind the same CollapseProject barrier pattern as
+    operators/dedup.shingle_array when called through
+    :func:`with_text_metrics`-style projections.
+    """
+    toks = F.array_sort(F.split(normalized_text(text), " "))
+    # fold state: (prev token, current run, best run) packed in a struct
+    best = F.aggregate(
+        toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n = token_count_ws(text)
+    return F.when(
+        n > 0, F.round(best.cast("double") / n.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic, rounded to 6 decimals:
     0.4·length_score + 0.3·alpha_ratio + 0.3·stopword_presence where

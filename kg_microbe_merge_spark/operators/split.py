@@ -1,0 +1,72 @@
+"""Deterministic dataset splitting for ML pipelines.
+
+The reference DECLARES a ML-holdout operation but never implements it
+(run.py:273 raises NotImplementedError). Here it is implemented the way
+a 100 TB training pipeline needs it: assignment is a pure function of
+the row's id — ``hash60(id || ':' || salt) % 10_000`` against
+cumulative per-split thresholds — so it is
+
+* reproducible across runs/clusters (no RNG state, no sampling drift),
+* stable under data growth (a row's split never changes when other rows
+  are added/removed),
+* exactly mirrorable in ANSI SQL (md5-derived; DuckDB oracle in the
+  driver gate),
+* shuffle-free (one projection; Catalyst folds it into the scan stage).
+
+``deterministic_sample`` is the one-split special case (reproducible
+down-sampling, the everyday corpus-curation op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+
+_BUCKETS = 10_000
+
+
+def _bucket(id_col: Column, salt: str) -> Column:
+    return hash60(F.concat_ws(":", id_col.cast("string"), F.lit(salt))) % _BUCKETS
+
+
+def holdout_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "holdout",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named fraction.
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; any
+    remainder falls into the LAST split). Default 80/10/10
+    train/valid/test. Assignment: the row's hash bucket (0-9999) against
+    cumulative thresholds, in the dict's insertion order.
+    """
+    weights = weights or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    names = list(weights)
+    bucket = _bucket(F.col(id_col), salt)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    bounds = []
+    for name in names[:-1]:
+        cum += weights[name]
+        bounds.append((name, int(round(cum * _BUCKETS))))
+    for name, bound in reversed(bounds):
+        expr = F.when(bucket < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a reproducible ``fraction`` of rows by id-hash — unlike
+    ``DataFrame.sample`` the kept set is identical across runs, engines,
+    and partitionings."""
+    bound = int(round(fraction * _BUCKETS))
+    return df.filter(_bucket(F.col(id_col), salt) < bound)

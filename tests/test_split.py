@@ -1,0 +1,73 @@
+"""Deterministic holdout split / sampling: reproducibility, stability
+under data growth, approximate proportions, and the repetition-ratio
+text metric.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kg_microbe_merge_spark.operators.split import (
+    deterministic_sample,
+    holdout_split,
+)
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+    )
+
+
+def test_holdout_split_proportions_and_determinism(spark):
+    d = _docs(spark)
+    s1 = holdout_split(d).groupBy("split").count().collect()
+    frac = {r["split"]: r["count"] / 2000 for r in s1}
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["valid"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+    # identical assignment on a second run
+    a = {r["doc_id"]: r["split"] for r in holdout_split(d).collect()}
+    b = {r["doc_id"]: r["split"] for r in holdout_split(d).collect()}
+    assert a == b
+
+
+def test_holdout_split_stable_under_growth(spark):
+    """A row's split must not change when the table grows — the property
+    RNG-based splits lack."""
+    small = {r["doc_id"]: r["split"] for r in holdout_split(_docs(spark, 500)).collect()}
+    big = {r["doc_id"]: r["split"] for r in holdout_split(_docs(spark, 2000)).collect()}
+    for k, v in small.items():
+        assert big[k] == v
+
+
+def test_deterministic_sample_is_subset_and_stable(spark):
+    d = _docs(spark)
+    kept = {r["doc_id"] for r in deterministic_sample(d, 0.3).collect()}
+    assert abs(len(kept) / 2000 - 0.3) < 0.05
+    again = {r["doc_id"] for r in deterministic_sample(d, 0.3).collect()}
+    assert kept == again
+    # nested fractions: a 10% sample is a subset of the 30% sample
+    small = {r["doc_id"] for r in deterministic_sample(d, 0.1).collect()}
+    assert small <= kept
+
+
+def test_repetition_ratio_values(spark):
+    from kg_microbe_merge_spark.functions.text import repetition_ratio
+
+    d = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # 4/4
+            (2, "a b c d"),                       # 1/4
+            (3, "nav nav home about contact"),    # 2/5
+            (4, ""),                              # empty -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["r"] for r in d.select(
+        "doc_id", repetition_ratio(F.col("text")).alias("r")).collect()}
+    assert out[1] == 1.0
+    assert out[2] == 0.25
+    assert out[3] == 0.4
+    assert out[4] == 0.0
