@@ -56,9 +56,13 @@ HEADLINE = [
     "q3_shipping_priority",
     "q18_large_orders",
     "cc_components",
+    "graph_stats_report",
     "triples_extract",
     "dedup_exact",
     "text_quality",
+    "repetition_ratio",
+    "holdout_split",
+    "deterministic_sample",
     "ngram_jaccard",
     "minhash_lsh",
     "simhash_near_dups",
