@@ -57,15 +57,33 @@ def main() -> None:
     # which is what scales with cores on a long-running cluster.
     build().write.format("noop").mode("overwrite").save()
 
-    # Best-of-3: this sandbox shares the machine with other tenants
-    # (load-average ~5 when this repo is idle), so any single wall-clock
-    # sample can absorb foreign load; the minimum is the least-biased
-    # estimate of uncontended capability at this core count.
+    # Best-of-N: this sandbox shares hardware (sporadic interference
+    # bursts inflate single samples 2-4×; observed even with in-guest
+    # load ~1), so any single wall-clock sample can absorb foreign load;
+    # the minimum is the least-biased estimate of uncontended capability
+    # at this core count.
+    import os
+
+    n_runs = int(os.environ.get("SCALING_RUNS", "3"))
+
+    def _stat():
+        v = list(map(int, open("/proc/stat").readline().split()[1:]))
+        return sum(v), v[3] + v[4]  # total, idle+iowait
+
     walls = []
-    for _ in range(3):
+    busy_cores = []
+    for _ in range(n_runs):
         t0 = time.monotonic()
+        s0 = _stat()
         build().write.format("noop").mode("overwrite").save()
-        walls.append(time.monotonic() - t0)
+        dt = time.monotonic() - t0
+        s1 = _stat()
+        walls.append(dt)
+        # machine-wide busy HW threads during the run — quantifies the
+        # REAL hardware footprint of this parallelism level (python
+        # workers + Arrow serialization threads run outside the N task
+        # slots local[N] nominally grants)
+        busy_cores.append(((s1[0] - s0[0]) - (s1[1] - s0[1])) / 100.0 / dt)
     wall = min(walls)
     # triple count for the throughput numerator (cheap second pass over
     # the cached-size corpus is NOT used — count the extracted triples
@@ -80,6 +98,7 @@ def main() -> None:
                 "cores": cores,
                 "wall_sec": round(wall, 2),
                 "all_runs_sec": [round(w, 2) for w in walls],
+                "busy_hw_threads": round(busy_cores[walls.index(wall)], 1),
                 "n_triples": n_triples,
                 "triples_per_sec": round(n_triples / wall, 1),
             }
