@@ -141,11 +141,13 @@ def _minhash_lsh_sql(
     threshold: float, num_hashes: int, bands: int, n: int
 ) -> str:
     """DuckDB twin of operators.dedup.minhash_lsh_pairs — mirrors the
-    whole pipeline: shingles → seeded-min signature → banded buckets →
-    candidate join → slot-match Jaccard estimate."""
+    whole pipeline: shingles → universal-hash-min signature → banded
+    buckets → candidate join → slot-match Jaccard estimate."""
+    from kg_microbe_merge_spark.functions.hashing import universal_slot_sql
+
     r = num_hashes // bands
     mins = ",\n                ".join(
-        f"min({_h60(f'''shingle::VARCHAR || ':{k}' ''')})"
+        f"min({universal_slot_sql('shingle', k)})"
         for k in range(num_hashes)
     )
     band_structs = ",\n                ".join(

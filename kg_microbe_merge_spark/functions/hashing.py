@@ -59,3 +59,39 @@ def hash60_py(value: str) -> int:
     import hashlib
 
     return int(hashlib.md5(value.encode("utf-8")).hexdigest()[:15], 16)
+
+
+# --- universal-hash slot family (MinHash) ---------------------------------
+#
+# K-slot MinHash needs K distinct hashes PER SHINGLE. K md5 calls per
+# shingle is ~8× slower than the rest of the pipeline; the standard
+# construction is a universal hash family over ONE base hash:
+#     h_k(s) = (a_k · (s & 0x7FFFFFFF) + b_k) mod (2^31 − 1)
+# with (a_k, b_k) deterministic md5-derived constants. All intermediate
+# values fit in signed int64 (31-bit s × 31-bit a < 2^62), so both
+# engines evaluate the identical exact integer expression — the DuckDB
+# oracle inlines the same literals. Collision space 2^31 is ample for
+# per-document shingle sets (P[slot collision] ≈ |S|²/2^31).
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def universal_params(k: int, family: str = "minhash") -> tuple[int, int]:
+    """Deterministic (a, b) for slot ``k``: a ∈ [1, p−1], b ∈ [0, p−1]."""
+    a = hash60_py(f"{family}-a:{k}") % (MERSENNE31 - 1) + 1
+    b = hash60_py(f"{family}-b:{k}") % MERSENNE31
+    return a, b
+
+
+def universal_slot(col: Column, k: int, family: str = "minhash") -> Column:
+    """Spark expression for slot ``k`` of the universal family over a
+    long column (low 31 bits used)."""
+    a, b = universal_params(k, family)
+    s = col.bitwiseAND(F.lit(0x7FFFFFFF))
+    return (s * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)
+
+
+def universal_slot_sql(expr: str, k: int, family: str = "minhash") -> str:
+    """DuckDB twin of :func:`universal_slot`."""
+    a, b = universal_params(k, family)
+    return f"((({expr}) & 2147483647) * {a} + {b}) % 2147483647"
