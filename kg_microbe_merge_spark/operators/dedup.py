@@ -394,12 +394,16 @@ def embedding_near_dups(
     Output: (id_a, id_b, cosine), id_a < id_b, rounded to 6 decimals.
     """
     from .guards import require_small
-    from .similarity import dot_expr, normalized_vectors
+    from .similarity import dot_expr, normalized_vectors, spread_stream_side
 
     if max_rows is not None:
         require_small(df, max_rows, op="embedding_near_dups",
                       alternative="operators.similarity.lsh_cosine_topk")
-    a = normalized_vectors(df, id_col, vec_col, "id_a", "va")
+    # The stream side inherits the source partitioning; a single-file
+    # parquet table would put the ENTIRE O(N²) pair scan on one core.
+    # Spread the stream side across the cluster before the nested-loop
+    # join (the build side is broadcast anyway).
+    a = spread_stream_side(normalized_vectors(df, id_col, vec_col, "id_a", "va"))
     b = normalized_vectors(df, id_col, vec_col, "id_b", "vb")
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     cos = dot_expr(F.col("va"), F.col("vb"))

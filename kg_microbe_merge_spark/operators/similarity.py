@@ -52,15 +52,32 @@ def _as_double(col: Column) -> Column:
 def normalized_vectors(
     df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str
 ) -> DataFrame:
-    """(id, unit-vector) projection: norm computed once per row as a
-    named column, then a cheap per-element divide."""
+    """(id, unit-vector) projection: norm computed ONCE per row, then a
+    cheap per-element divide.
+
+    The consumer references ``_n`` twice (zero-guard condition + the
+    divide lambda), which stops CollapseProject from inlining the norm
+    fold into the transform — without the guard the O(dim) norm
+    aggregate is re-evaluated per ELEMENT (O(dim²) per row, verified in
+    the physical plan). Zero vectors pass through unnormalized instead
+    of dividing by zero (same guard as the LSH numpy path)."""
     d = df.select(
         F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", norm_expr(F.col("_v")))
+    unit = F.transform(F.col("_v"), lambda x: x / F.col("_n"))
     return d.select(
         out_id,
-        F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias(out_vec),
+        F.when(F.col("_n") != 0.0, unit).otherwise(F.col("_v")).alias(out_vec),
     )
+
+
+def spread_stream_side(df: DataFrame) -> DataFrame:
+    """Ensure the stream side of a broadcast join has at least
+    default-parallelism partitions — a single-file parquet source would
+    otherwise run the whole O(N·Q) scoring scan on one core. No-op (no
+    shuffle) when the source is already spread."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
 
 
 def brute_force_cosine_topk(
@@ -78,7 +95,9 @@ def brute_force_cosine_topk(
     are excluded. Output: (query_id, vec_id, cosine, rank).
     """
     q = normalized_vectors(queries, query_id_col, vec_col, "query_id", "qv")
-    v = normalized_vectors(vectors, id_col, vec_col, "vec_id", "vv")
+    v = spread_stream_side(
+        normalized_vectors(vectors, id_col, vec_col, "vec_id", "vv")
+    )
     scored = (
         v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine", F.round(dot_expr(F.col("qv"), F.col("vv")), 6))
