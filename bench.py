@@ -82,6 +82,10 @@ def main() -> None:
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # GC barrier: without it, heap garbage from earlier queries
+        # triggers full-GC pauses inside later timed windows — observed
+        # 4-5× single-query inflation late in the suite, pure noise
+        spark._jvm.System.gc()
         t0 = time.monotonic()
         force(qs[name](spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)

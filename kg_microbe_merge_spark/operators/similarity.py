@@ -211,8 +211,12 @@ def lsh_cosine_topk(
     planes = np.array(
         [[_hyperplane(dim, b, t) for b in range(bits)] for t in range(tables)]
     )
+    # single-file sources would funnel the whole GEMM + candidate scan
+    # through one Python worker / one core — spread first (no-op when
+    # the source is already parallel)
     v = _normalized_sig_side(
-        _with_signatures(vectors, id_col, vec_col, planes), "vec_id", "vv"
+        _with_signatures(spread_stream_side(vectors), id_col, vec_col, planes),
+        "vec_id", "vv",
     )
     q = _normalized_sig_side(
         _with_signatures(queries, query_id_col, vec_col, planes), "query_id", "qv"
