@@ -41,3 +41,62 @@ def test_udf_matches_python_on_edge_cases(spark):
     got = {r["url"]: r["text"] for r in with_extracted_text(df).collect()}
     for (url, html) in rows:
         assert got[url] == extract_text_py(html), (url, html)
+
+
+def test_fast_path_equals_stdlib_parser_on_pinned_cases():
+    """The regex fast path must be byte-identical to the stdlib-parser
+    reference on every pinned case (the fallback guard routes risky
+    constructs away from it, so equality must hold whenever it runs)."""
+    import kg_microbe_merge_spark.functions.extract as ex
+
+    for html in list(CASES) + [b"<p>\xff</p>", b"<br/>x<BR/>y",
+                               b"<p foo='a>b'>quoted gt</p>",
+                               b"<style>p {color: red}</style><p>s</p>",
+                               b"<script>if (a<b) {}</script><p>t</p>"]:
+        src = html.decode("utf-8", errors="replace")
+        fast = ex._fast_extract(src)
+        if fast is None:
+            continue  # legitimate fallback
+        p = ex._MainTextParser()
+        p.feed(src)
+        p.close()
+        assert fast == p.result(), html
+
+
+def test_fast_path_equals_stdlib_parser_property():
+    """Property test: on randomly composed realistic HTML (tags from the
+    skip/block/neutral sets, charrefs, malformed fragments) the fast
+    path equals the stdlib parser byte-for-byte whenever it engages."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import kg_microbe_merge_spark.functions.extract as ex
+
+    tag = st.sampled_from(
+        ["p", "div", "li", "nav", "script", "style", "span", "b", "em",
+         "header", "footer", "article", "td", "h1", "P", "DIV", "foo-bar"]
+    )
+    piece = st.one_of(
+        st.text(alphabet="ab &<>;/xyz.\t\n 'é&amp;&lt;q", max_size=12),
+        tag.map(lambda t: f"<{t}>"),
+        tag.map(lambda t: f"</{t}>"),
+        tag.map(lambda t: f"<{t} class='x'>"),
+        tag.map(lambda t: f"<{t}/>"),
+        st.just("&amp;"), st.just("&#65;"), st.just("&"),
+    )
+    html_s = st.lists(piece, max_size=30).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(html_s)
+    def check(src):
+        if ex._RISKY_RE.search(src) is not None:
+            return
+        fast = ex._fast_extract(src)
+        if fast is None:
+            return  # documented fallback
+        p = ex._MainTextParser()
+        p.feed(src)
+        p.close()
+        assert fast == p.result(), repr(src)
+
+    check()
