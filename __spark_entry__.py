@@ -932,6 +932,60 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(e, threshold=0.35)
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-day event counts, one column per event type (explicit
+    value list — no extra distinct-values scan). Cells with no rows are
+    NULL (Spark pivot semantics; oracle mirrors with CASE sums)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    return (
+        ev.groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .orderBy("day")
+    )
+
+
+def q_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-returnflag aggregate → long (flag,
+    metric, value) rows via the stack/unpivot operator."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        _cents_sum(F.col("l_extendedprice"), "sum_price"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "n_rows"],
+        "metric",
+        "metric_value",
+    ).orderBy("l_returnflag", "metric")
+
+
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-function breadth: date add/sub, truncation, datediff,
+    extract fields, last_day — identical semantics both engines."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("d"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus2mo"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("eom"),
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofweek(d).alias("dow"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_98"),
+    ).orderBy("o_orderkey")
+
+
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate signal: most-frequent-token share per document,
     computed row-locally (sorted-array fold — no explode, no shuffle)."""
@@ -1101,6 +1155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "pivot_events": q_pivot_events,
+        "unpivot_stats": q_unpivot_stats,
+        "date_arith": q_date_arith,
         "repetition_ratio": q_repetition_ratio,
         "holdout_split": q_holdout_split,
         "deterministic_sample": q_deterministic_sample,
@@ -1638,6 +1695,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos} AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE {_cos} >= 0.35
+    """
+
+    _pv = ",\n               ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    sql["pivot_events"] = f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               {_pv}
+        FROM events
+        GROUP BY 1
+    """
+
+    sql["unpivot_stats"] = f"""
+        WITH wide AS (
+            SELECT l_returnflag,
+                   sum(l_quantity) AS sum_qty,
+                   {_cents_sum_sql('l_extendedprice', 'sum_price')},
+                   cast(count(*) AS DOUBLE) AS n_rows
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, metric, metric_value
+        FROM wide
+        UNPIVOT (metric_value FOR metric IN (sum_qty, sum_price, n_rows))
+    """
+
+    sql["date_arith"] = """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS d,
+               strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+               strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2mo,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS eom,
+               cast(year(o_orderdate) AS INTEGER) AS y,
+               cast(quarter(o_orderdate) AS INTEGER) AS q,
+               cast(month(o_orderdate) AS INTEGER) AS m,
+               cast(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               cast(datediff('day', o_orderdate::DATE, DATE '1998-12-31')
+                    AS INTEGER) AS days_to_98
+        FROM orders WHERE o_orderkey % 97 = 0
     """
 
     _NTOK = ("CASE WHEN length(trim(text)) = 0 THEN 0 "

@@ -52,6 +52,9 @@ HEADLINE = [
     "multimodal_features",
     "asof_enrich",
     "rollup_agg",
+    "pivot_events",
+    "unpivot_stats",
+    "date_arith",
     "range_band_join",
     "q3_shipping_priority",
     "q18_large_orders",
