@@ -89,6 +89,11 @@ def _cmd_merge(args: argparse.Namespace) -> None:
     if single:
         def sink(df, name: str) -> None:
             write_tsv_single(df, os.path.join(args.output, name + ".tsv"))
+    elif args.format == "parquet":
+        from .sources.kgx import write_parquet
+
+        def sink(df, name: str) -> None:
+            write_parquet(df, os.path.join(args.output, name))
     else:
         def sink(df, name: str) -> None:
             write_tsv_dir(df, os.path.join(args.output, name))
@@ -174,6 +179,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="write one sorted TSV per output through the "
                         "driver (golden-test compat); default is "
                         "distributed part-file directories")
+    m.add_argument("--format", choices=["tsv", "parquet"], default="tsv",
+                   help="distributed sink format (parquet = the "
+                        "production columnar sink; ignored with "
+                        "--single-file)")
     m.add_argument("--config", default=None,
                    help="YAML merge-config file (reference merge.yaml "
                         "document model); flags override its values")

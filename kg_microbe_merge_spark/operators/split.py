@@ -46,6 +46,10 @@ def holdout_split(
     cumulative thresholds, in the dict's insertion order.
     """
     weights = weights or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of fractions >= 0")
+    if sum(weights.values()) > 1.0 + 1e-9:
+        raise ValueError(f"weights sum to {sum(weights.values())} > 1")
     names = list(weights)
     bucket = _bucket(F.col(id_col), salt)
     expr = F.lit(names[-1])

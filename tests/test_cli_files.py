@@ -103,6 +103,19 @@ def test_cli_merge_distributed_default(spark, tmp_path):
     assert os.path.isfile(os.path.join(out, "merged_graph_stats.tsv"))
 
 
+def test_cli_merge_parquet_format(spark, tmp_path):
+    """--format parquet writes the production columnar sink."""
+    from kg_microbe_merge_spark.cli import main
+
+    base = _make_transform_dir(tmp_path)
+    out = str(tmp_path / "out_pq")
+    main(["merge", "--transform-dir", base, "--output", out,
+          "--format", "parquet"])
+    merged = spark.read.parquet(os.path.join(out, "merged_kg_nodes"))
+    rows = {r["id"]: r["name"] for r in merged.collect()}
+    assert rows == {"X:1": "name-priority", "X:2": "name-b"}
+
+
 def test_cli_merge_from_yaml_config(spark, tmp_path):
     """`merge --config merge.yaml` (reference document model) runs the
     same merge as the flag form; round-trip load/dump preserves it."""
