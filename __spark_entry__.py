@@ -810,6 +810,39 @@ def q_s2_union_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b, allowMissingColumns=True)
 
 
+def q_bgp_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 local analogue: SPARQL-subset basic-graph-pattern query over a
+    KGX edge table, compiled to DataFrame joins (plans/bgp.py) — the
+    conjunctive-pattern capability the reference federates to external
+    SPARQL endpoints, evaluated in-engine. Two-hop: customers' orders
+    joined to their nation; per-nation order counts."""
+    from kg_microbe_merge_spark.plans.bgp import bgp_query
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    edges = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("subject"),
+        F.lit("owns").alias("predicate"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("object"),
+    ).unionByName(
+        customer.select(
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("subject"),
+            F.lit("located_in").alias("predicate"),
+            F.concat(F.lit("N"), F.col("c_nationkey")).alias("object"),
+        )
+    )
+    matches = bgp_query(
+        edges,
+        [("?c", "owns", "?o"), ("?c", "located_in", "?n")],
+        select=["?n"],
+    )
+    return (
+        matches.groupBy("n")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("n")
+    )
+
+
 def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged-graph summary report (legacy KGX graph-stats analogue,
     reference merge.py:50-60): node count per merged category, edge
@@ -1146,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "range_band_join": q_range_band_join,
         "fuzzy_levenshtein": q_fuzzy_levenshtein,
+        "bgp_two_hop": q_bgp_two_hop,
         "graph_stats_report": q_graph_stats,
         "cc_components": q_cc_components,
         "cc_chain_hub": q_cc_chain_hub,
@@ -1499,6 +1533,22 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN rep USING (c_nationkey)
+    """
+
+    sql["bgp_two_hop"] = """
+        WITH edges AS (
+            SELECT 'C' || o_custkey AS subject, 'owns' AS predicate,
+                   'O' || o_orderkey AS object
+            FROM orders
+            UNION ALL
+            SELECT 'C' || c_custkey, 'located_in', 'N' || c_nationkey
+            FROM customer),
+        m AS (
+            SELECT b.object AS n
+            FROM edges a JOIN edges b ON a.subject = b.subject
+            WHERE a.predicate = 'owns' AND b.predicate = 'located_in')
+        SELECT n, cast(count(*) AS BIGINT) AS n_orders
+        FROM m GROUP BY n
     """
 
     sql["graph_stats_report"] = f"""

@@ -59,6 +59,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q18_large_orders",
     "cc_components",
+    "bgp_two_hop",
     "graph_stats_report",
     "triples_extract",
     "dedup_exact",

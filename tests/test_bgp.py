@@ -1,0 +1,64 @@
+"""Basic-graph-pattern query compiler (plans/bgp.py): constants,
+variable joins, repeated variables, cross patterns, projection."""
+
+from __future__ import annotations
+
+import pytest
+
+from kg_microbe_merge_spark.plans.bgp import bgp_query
+
+
+def _graph(spark):
+    rows = [
+        ("a", "knows", "b"),
+        ("b", "knows", "c"),
+        ("a", "likes", "c"),
+        ("c", "knows", "c"),   # self-loop for repeated-var pattern
+        ("b", "likes", "a"),
+    ]
+    return spark.createDataFrame(
+        rows, "subject string, predicate string, object string"
+    )
+
+
+def test_single_pattern_constant_filter(spark):
+    g = _graph(spark)
+    out = bgp_query(g, [("?x", "knows", "?y")])
+    assert {(r["x"], r["y"]) for r in out.collect()} == {
+        ("a", "b"), ("b", "c"), ("c", "c")
+    }
+
+
+def test_two_hop_join(spark):
+    g = _graph(spark)
+    out = bgp_query(g, [("?x", "knows", "?y"), ("?y", "knows", "?z")])
+    got = {(r["x"], r["y"], r["z"]) for r in out.collect()}
+    assert got == {("a", "b", "c"), ("b", "c", "c"), ("c", "c", "c")}
+
+
+def test_repeated_variable_within_pattern(spark):
+    g = _graph(spark)
+    out = bgp_query(g, [("?x", "knows", "?x")])
+    assert {r["x"] for r in out.collect()} == {"c"}
+
+
+def test_projection_and_constant_subject(spark):
+    g = _graph(spark)
+    out = bgp_query(
+        g, [("a", "?p", "?y"), ("?y", "knows", "?z")], select=["?p", "?z"]
+    )
+    got = {(r["p"], r["z"]) for r in out.collect()}
+    # a knows b (b knows c); a likes c (c knows c)
+    assert got == {("knows", "c"), ("likes", "c")}
+
+
+def test_disconnected_patterns_cross_join(spark):
+    g = _graph(spark)
+    out = bgp_query(g, [("?x", "likes", "?y"), ("?u", "knows", "?u")])
+    got = {(r["x"], r["y"], r["u"]) for r in out.collect()}
+    assert got == {("a", "c", "c"), ("b", "a", "c")}
+
+
+def test_empty_patterns_rejected(spark):
+    with pytest.raises(ValueError):
+        bgp_query(_graph(spark), [])
