@@ -81,7 +81,13 @@ class _MainTextParser(HTMLParser):
 # Documents containing constructs with divergent edge semantics
 # (comments/PI/declarations) take the stdlib path.
 
-_RISKY_RE = re.compile(r"<[!?]")
+#   <! <?        : declarations / processing instructions
+#   </ + non-tag : html.parser treats it as a bogus comment consuming
+#                  through the next '>' (found by the hypothesis
+#                  property test on the input '</<p>')
+_RISKY_RE = re.compile(r"<[!?]|</(?![a-zA-Z])")
+# tag-like opener left over in a data segment → stdlib recovery differs
+_TAGLIKE_IN_DATA_RE = re.compile(r"</|<[a-zA-Z]")
 # end tag (group 1) | start tag name (2) + attrs (3) + self-closing (4)
 _FAST_TAG_RE = re.compile(
     r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
@@ -95,6 +101,11 @@ _CDATA_END = {
 _AMP = "&"
 
 
+class _NeedsFallback(Exception):
+    """Raised inside the fast walker for inputs whose stdlib-parser
+    semantics it does not reproduce."""
+
+
 def _fast_extract(src: str) -> str | None:
     """Regex walker; returns None when it meets a construct whose edge
     semantics it does not reproduce (caller falls back to the parser)."""
@@ -103,6 +114,15 @@ def _fast_extract(src: str) -> str | None:
     skip_depth = 0
 
     def data(chunk: str) -> None:
+        # A tag-like opener ('</' or '<letter') surviving as DATA means
+        # a malformed tag our regex rejected but the stdlib parser would
+        # consume with its recovery rules (bogus-comment / tolerant
+        # start-tag scanning, possibly swallowing real markup) — e.g.
+        # '</a<p>' or "<a/'<p>". Both shapes found by the hypothesis
+        # property test; applies even inside skip regions (the swallowed
+        # span can contain a closing boilerplate tag).
+        if _TAGLIKE_IN_DATA_RE.search(chunk):
+            raise _NeedsFallback
         if skip_depth == 0 and chunk:
             if _AMP in chunk:
                 import html as _html
@@ -132,6 +152,13 @@ def _fast_extract(src: str) -> str | None:
 
     pos = 0
     n = len(src)
+    try:
+        return _walk(src, pos, n, data, flush, start, end, blocks)
+    except _NeedsFallback:
+        return None
+
+
+def _walk(src, pos, n, data, flush, start, end, blocks):
     while pos < n:
         m = _FAST_TAG_RE.search(src, pos)
         if m is None:
