@@ -1,1 +1,1 @@
-from . import asof, components, dedup, merge, multimodal, similarity  # noqa: F401
+from . import asof, components, dedup, guards, merge, multimodal, similarity, split, stats  # noqa: F401
