@@ -965,6 +965,27 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(e, threshold=0.35)
 
 
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth: sorted-distinct collection per group, then
+    size / join / contains / element_at / slice / reverse — identical
+    list semantics both engines (collect_set is order-free, so the array
+    is sorted before any order-sensitive op)."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.groupBy((F.col("user_id") % 50).alias("bucket"))
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    )
+    return per.select(
+        "bucket",
+        F.size("types").alias("n_types"),
+        F.array_join("types", ",").alias("types_csv"),
+        F.array_contains("types", "purchase").alias("has_purchase"),
+        F.element_at("types", 1).alias("first_type"),
+        F.array_join(F.slice("types", 1, 2), "|").alias("first2"),
+        F.array_join(F.reverse("types"), ";").alias("rev"),
+    ).orderBy("bucket")
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1189,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "array_funcs": q_array_funcs,
         "pivot_events": q_pivot_events,
         "unpivot_stats": q_unpivot_stats,
         "date_arith": q_date_arith,
@@ -1745,6 +1767,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos} AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE {_cos} >= 0.35
+    """
+
+    sql["array_funcs"] = """
+        WITH per AS (
+            SELECT user_id % 50 AS bucket,
+                   list_sort(list_distinct(list(event_type))) AS types
+            FROM events GROUP BY 1)
+        SELECT bucket,
+               cast(len(types) AS INTEGER) AS n_types,
+               array_to_string(types, ',') AS types_csv,
+               list_contains(types, 'purchase') AS has_purchase,
+               types[1] AS first_type,
+               array_to_string(types[1:2], '|') AS first2,
+               array_to_string(list_reverse(types), ';') AS rev
+        FROM per
     """
 
     _pv = ",\n               ".join(

@@ -52,6 +52,7 @@ HEADLINE = [
     "multimodal_features",
     "asof_enrich",
     "rollup_agg",
+    "array_funcs",
     "pivot_events",
     "unpivot_stats",
     "date_arith",
