@@ -1080,6 +1080,27 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rebalancing: keep 80% of en, 30% of de/fr,
+    10% of everything else — deterministic per-stratum hash sampling
+    (reproducible, growth-stable, shuffle-free)."""
+    from kg_microbe_merge_spark.operators.split import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = stratified_sample(
+        d,
+        {"en": 0.8, "de": 0.3, "fr": 0.3},
+        strata_col="lang",
+        id_col="doc_id",
+        default_fraction=0.1,
+    )
+    return (
+        s.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
+        .orderBy("lang")
+    )
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: language filter → token-count
     bounds → quality threshold → exact-dedup representative selection.
@@ -1217,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "holdout_split": q_holdout_split,
         "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
         "corpus_curation": q_corpus_curation,
         "multimodal_features": q_multimodal_features,
         "minhash_lsh": q_minhash_lsh,
@@ -1858,6 +1880,18 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE ({_h60("doc_id::VARCHAR || ':sample'")} % 10000) < 2500
         GROUP BY source
+    """
+
+    sql["stratified_sample"] = f"""
+        WITH s AS (
+            SELECT * FROM documents
+            WHERE ({_h60("doc_id::VARCHAR || ':sample'")} % 10000) <
+                  CASE lang WHEN 'en' THEN 8000
+                            WHEN 'de' THEN 3000
+                            WHEN 'fr' THEN 3000
+                            ELSE 1000 END)
+        SELECT lang, cast(count(*) AS BIGINT) AS n, min(doc_id) AS min_doc
+        FROM s GROUP BY lang
     """
 
     # Full-pipeline mirrors of the md5-seeded approximate operators

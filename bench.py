@@ -68,6 +68,7 @@ HEADLINE = [
     "repetition_ratio",
     "holdout_split",
     "deterministic_sample",
+    "stratified_sample",
     "ngram_jaccard",
     "minhash_lsh",
     "simhash_near_dups",

@@ -74,3 +74,29 @@ def deterministic_sample(
     and partitionings."""
     bound = int(round(fraction * _BUCKETS))
     return df.filter(_bucket(F.col(id_col), salt) < bound)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. rebalance a corpus by
+    language/source): each row is kept iff its id-hash bucket falls
+    under its stratum's fraction. Same guarantees as
+    :func:`deterministic_sample` — reproducible, growth-stable,
+    shuffle-free (one filter folded into the scan), SQL-mirrorable —
+    which ``DataFrame.sampleBy`` does not give (RNG per partition).
+    Strata not listed in ``fractions`` keep ``default_fraction``."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in [0,1]: {v}")
+    bound = F.lit(int(round(default_fraction * _BUCKETS)))
+    for value, frac in fractions.items():
+        bound = F.when(
+            F.col(strata_col) == value, F.lit(int(round(frac * _BUCKETS)))
+        ).otherwise(bound)
+    return df.filter(_bucket(F.col(id_col), salt) < bound)

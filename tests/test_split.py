@@ -71,3 +71,28 @@ def test_repetition_ratio_values(spark):
     assert out[2] == 0.25
     assert out[3] == 0.4
     assert out[4] == 0.0
+
+
+def test_stratified_sample_fractions_and_stability(spark):
+    from kg_microbe_merge_spark.operators.split import stratified_sample
+
+    d = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("zz")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    s = stratified_sample(d, {"en": 0.8, "de": 0.2}, strata_col="lang",
+                          default_fraction=0.0)
+    counts = {r["lang"]: r["n"] for r in
+              s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["en"] / 1000 - 0.8) < 0.06
+    assert abs(counts["de"] / 1000 - 0.2) < 0.06
+    assert "zz" not in counts           # default fraction 0 drops stratum
+    # kept set is the per-stratum slice of the flat deterministic sample
+    from kg_microbe_merge_spark.operators.split import deterministic_sample
+
+    flat = {r["doc_id"] for r in deterministic_sample(d, 0.2).collect()}
+    de_kept = {r["doc_id"] for r in s.filter("lang = 'de'").collect()}
+    assert de_kept == {i for i in flat if i % 3 == 1}
