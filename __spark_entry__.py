@@ -1807,7 +1807,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _pv = ",\n               ".join(
-        f"sum(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+        f"cast(sum(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}"
         for t in _EVENT_TYPES
     )
     sql["pivot_events"] = f"""
@@ -1876,7 +1876,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["deterministic_sample"] = f"""
         SELECT source, cast(count(*) AS BIGINT) AS n,
-               sum(n_chars) AS sum_chars
+               cast(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents
         WHERE ({_h60("doc_id::VARCHAR || ':sample'")} % 10000) < 2500
         GROUP BY source

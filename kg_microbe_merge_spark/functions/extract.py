@@ -71,58 +71,89 @@ class _MainTextParser(HTMLParser):
 
 
 # ---------------------------------------------------------------------------
-# Fast path: a regex tokenizer reproducing the stdlib-parser semantics
+# Fast path: a regex walker reproducing the stdlib-parser semantics
 # (skip containers, block flushes, script/style CDATA, charrefs, tolerant
-# tag names). html.parser's pure-Python state machine is the pipeline's
-# CPU bottleneck (~95% of extract+triples time, profiled); this walker is
-# ~5× faster and byte-identical on every observed input — equality with
-# the stdlib parser is enforced by pinned cases, a 20k-doc corpus sweep,
-# and a hypothesis property test (tests/test_extract_robustness.py).
+# tag grammar). html.parser's pure-Python state machine is the pipeline's
+# CPU bottleneck (~95% of extract+triples time, profiled); this walker
+# avoids goahead()'s per-token bookkeeping (updatepos line counting,
+# handler dispatch, charref machinery) while computing START-TAG EXTENTS
+# WITH html.parser's OWN module regexes (locatestarttagend_tolerant /
+# tagfind_tolerant / attrfind_tolerant), mirroring parse_starttag /
+# parse_endtag / set_cdata_mode line-for-line — so tag-boundary semantics
+# are structurally identical, not approximated. Equality with the stdlib
+# parser is enforced by pinned cases, a 20k-doc corpus sweep, and a
+# hypothesis property test (tests/test_extract_robustness.py), which
+# found three real divergences in the previous hand-rolled grammar
+# ('</<p>', "<a/'<p>", "<a/'>'<p>") — all structurally impossible now.
 # Documents containing constructs with divergent edge semantics
-# (comments/PI/declarations) take the stdlib path.
+# (comments/PI/declarations, bogus end tags) take the stdlib path.
 
 #   <! <?        : declarations / processing instructions
 #   </ + non-tag : html.parser treats it as a bogus comment consuming
 #                  through the next '>' (found by the hypothesis
 #                  property test on the input '</<p>')
 _RISKY_RE = re.compile(r"<[!?]|</(?![a-zA-Z])")
-# tag-like opener left over in a data segment → stdlib recovery differs
-_TAGLIKE_IN_DATA_RE = re.compile(r"</|<[a-zA-Z]")
-# end tag (group 1) | start tag name (2) + attrs (3) + self-closing (4)
-_FAST_TAG_RE = re.compile(
-    r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
-    r"|<([a-zA-Z][^\t\n\r\f />\x00]*)"
-    r"((?:[^>'\"]|'[^']*'|\"[^\"]*\")*?)\s*(/?)>"
-)
 _CDATA_TAGS = frozenset({"script", "style"})  # html.parser CDATA elements
+# html.parser.set_cdata_mode: interesting = r'</\s*<elem>\s*>' re.I
 _CDATA_END = {
-    t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in _CDATA_TAGS
+    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _CDATA_TAGS
 }
 _AMP = "&"
+
+# html.parser's own tolerant tag grammar (public-stdlib module globals,
+# stable since CPython 3.5). If a future stdlib renames them the fast
+# path self-disables and every document takes the parser path.
+import html.parser as _hp  # noqa: E402
+
+_LOCATE_START = getattr(_hp, "locatestarttagend_tolerant", None)
+_TAGFIND = getattr(_hp, "tagfind_tolerant", None)
+_ATTRFIND = getattr(_hp, "attrfind_tolerant", None)
+_ENDTAGFIND = getattr(_hp, "endtagfind", None)
+_HAVE_TOLERANT = all((_LOCATE_START, _TAGFIND, _ATTRFIND, _ENDTAGFIND))
+_ASCII_LETTERS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
+
+# One-call fast lane for the overwhelmingly common start-tag shapes. A
+# strict SUBSET of the tolerant grammar on which the extent and the
+# self-closing decision provably coincide with parse_starttag:
+#  - name: subset of tagfind_tolerant's name class, always ends before
+#    the next \s / or >;
+#  - attr names: letters/_/: then [-alnum:._], no '=' or '/' — a subset
+#    of attrfind's name class, always preceded by whitespace (lookbehind
+#    satisfied);
+#  - values: quoted without quotes/< /> inside (subset of the LIT/LITA
+#    alternatives) or bare from a class ⊂ [^>\s'"] — both grammars
+#    consume the same span (both greedy, e.g. <a b=c/> reads value 'c/'
+#    and is NOT self-closing in either);
+#  - trailing \s*(/?)> mirrors the endtext∈{'>','/>'}
+#    startendtag-vs-starttag split.
+# Anything not matching (quotes in odd places, '<' or '>' in values,
+# '=' in names, …) silently falls to the exact tolerant path below.
+_SIMPLE_START_RE = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9.:_-]*)"
+    r"(?:\s+[a-zA-Z_:][a-zA-Z0-9_:.-]*"
+    r"(?:\s*=\s*(?:'[^'<>]*'|\"[^\"<>]*\"|[a-zA-Z0-9_.:/,#?&%;~+-]+))?)*"
+    r"\s*(/?)>"
+)
 
 
 class _NeedsFallback(Exception):
     """Raised inside the fast walker for inputs whose stdlib-parser
-    semantics it does not reproduce."""
+    semantics it does not reproduce (EOF-inside-tag recovery, bogus
+    start-tag data emission)."""
 
 
 def _fast_extract(src: str) -> str | None:
     """Regex walker; returns None when it meets a construct whose edge
     semantics it does not reproduce (caller falls back to the parser)."""
+    if not _HAVE_TOLERANT:
+        return None
     blocks: list[str] = []
     buf: list[str] = []
     skip_depth = 0
 
     def data(chunk: str) -> None:
-        # A tag-like opener ('</' or '<letter') surviving as DATA means
-        # a malformed tag our regex rejected but the stdlib parser would
-        # consume with its recovery rules (bogus-comment / tolerant
-        # start-tag scanning, possibly swallowing real markup) — e.g.
-        # '</a<p>' or "<a/'<p>". Both shapes found by the hypothesis
-        # property test; applies even inside skip regions (the swallowed
-        # span can contain a closing boilerplate tag).
-        if _TAGLIKE_IN_DATA_RE.search(chunk):
-            raise _NeedsFallback
         if skip_depth == 0 and chunk:
             if _AMP in chunk:
                 import html as _html
@@ -150,42 +181,113 @@ def _fast_extract(src: str) -> str | None:
         elif tag in _BLOCK_TAGS and skip_depth == 0:
             flush()
 
-    pos = 0
-    n = len(src)
     try:
-        return _walk(src, pos, n, data, flush, start, end, blocks)
+        return _walk(src, data, flush, start, end, blocks)
     except _NeedsFallback:
         return None
 
 
-def _walk(src, pos, n, data, flush, start, end, blocks):
+def _walk(src, data, flush, start, end, blocks):
+    """Mirror of HTMLParser.goahead(end=1) for the construct subset that
+    passes _RISKY_RE (no comments/PI/declarations, every '</' followed by
+    a letter), with convert_charrefs=True semantics."""
+    pos = 0
+    n = len(src)
     while pos < n:
-        m = _FAST_TAG_RE.search(src, pos)
-        if m is None:
+        lt = src.find("<", pos)
+        if lt < 0:
             data(src[pos:])
             break
-        data(src[pos : m.start()])
-        if m.group(1) is not None:  # end tag
-            end(m.group(1).lower())
-            pos = m.end()
-            continue
-        tag = m.group(2).lower()
-        selfclosing = m.group(4) == "/"
-        start(tag)
-        pos = m.end()
-        if selfclosing:
-            end(tag)
-        elif tag in _CDATA_TAGS:
-            # CDATA content: everything until the matching end tag is
-            # raw data (never parsed as markup), exactly like html.parser
-            em = _CDATA_END[tag].search(src, pos)
-            if em is None:
-                break  # unclosed script/style swallows the rest
-            gt = src.find(">", em.end())
-            if gt < 0 or src[em.end():gt].strip():
-                return None  # malformed CDATA end tag → stdlib path
-            end(tag)
-            pos = gt + 1
+        data(src[pos:lt])
+        nxt = src[lt + 1 : lt + 2]
+        if nxt in _ASCII_LETTERS:
+            sm = _SIMPLE_START_RE.match(src, lt)
+            if sm is not None:
+                tag = sm.group(1).lower()
+                selfclosing = sm.group(2) == "/"
+                endpos = sm.end()
+            else:
+                # --- parse_starttag / check_for_whole_start_tag, verbatim
+                m = _LOCATE_START.match(src, lt)
+                j = m.end()
+                ch = src[j : j + 1]
+                if ch == ">":
+                    endpos = j + 1
+                elif ch == "/":
+                    if src.startswith("/>", j):
+                        endpos = j + 2
+                    else:
+                        # check_for_whole_start_tag returns -1 ("buffer
+                        # boundary") → goahead(end=1) recovery path
+                        raise _NeedsFallback
+                elif ch == "" or ch in _ASCII_LETTERS or ch == "=":
+                    # EOF inside the tag → goahead(end=1) recovery path
+                    raise _NeedsFallback
+                else:
+                    endpos = j
+                nm = _TAGFIND.match(src, lt + 1)
+                k = nm.end()
+                tag = nm.group(1).lower()
+                while k < endpos:
+                    am = _ATTRFIND.match(src, k)
+                    if am is None:
+                        break
+                    k = am.end()
+                endtext = src[k:endpos].strip()
+                if endtext == ">":
+                    selfclosing = False
+                elif endtext == "/>":
+                    selfclosing = True
+                else:
+                    # parse_starttag emits the raw tag text as data (no
+                    # unescape) — near-unreachable under the tolerant
+                    # grammar; take the stdlib path rather than replicate
+                    raise _NeedsFallback
+            if selfclosing:
+                start(tag)  # handle_startendtag: no CDATA mode
+                end(tag)
+                pos = endpos
+            else:
+                start(tag)
+                pos = endpos
+                if tag in _CDATA_TAGS:
+                    # set_cdata_mode: raw data until r'</\s*tag\s*>' (re.I);
+                    # unterminated CDATA swallows the rest of the document
+                    em = _CDATA_END[tag].search(src, pos)
+                    if em is None:
+                        break
+                    end(tag)
+                    pos = em.end()
+        elif nxt == "/":
+            # --- parse_endtag (cdata_elem is None; '</'+letter
+            # guaranteed by _RISKY_RE) ---
+            em = _ENDTAGFIND.match(src, lt)
+            if em is not None:
+                end(em.group(1).lower())
+                pos = em.end()
+                continue
+            if src.find(">", lt + 1) < 0:
+                raise _NeedsFallback  # incomplete end tag at EOF
+            nm = _TAGFIND.match(src, lt + 2)
+            if nm is None:
+                # '</' + non-letter: html.parser bogus-comment recovery
+                # (pre-filtered by _RISKY_RE in extract_text_py; reached
+                # only when _fast_extract is called standalone)
+                raise _NeedsFallback
+            gtpos = src.find(">", nm.end())
+            if gtpos < 0:
+                raise _NeedsFallback
+            end(nm.group(1).lower())
+            pos = gtpos + 1
+        elif nxt == "!" or nxt == "?":
+            # comment/PI/declaration — pre-filtered by _RISKY_RE in
+            # extract_text_py; standalone callers fall back here
+            raise _NeedsFallback
+        else:
+            # '<' + non-tag-opener: one literal '<' of data. At EOF the
+            # goahead footer flushes it as data too — same result.
+            data("<")
+            pos = lt + 1
     flush()
     return "\n".join(blocks)
 

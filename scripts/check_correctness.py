@@ -27,13 +27,28 @@ TABLES = [
 ]
 
 
+def _render(v) -> str | None:
+    """Dtype-faithful canonical rendering: int stays int, float stays
+    float (78 vs 78.0 MUST differ, exactly like the driver's value
+    hash — a DuckDB HUGEINT→float64 coercion is a real oracle bug the
+    round-2 local gate masked by coercing everything to float64)."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if pd.api.types.is_scalar(v) and pd.isna(v):  # pandas NaT / pd.NA
+        return None
+    if isinstance(v, (bool,)) or type(v).__name__ == "bool_":
+        return str(bool(v))
+    if isinstance(v, float) or type(v).__name__ in ("float32", "float64"):
+        return repr(float(v))
+    if isinstance(v, int) or pd.api.types.is_integer(v):
+        return str(int(v))
+    return str(v)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: None if v is None or (isinstance(v, float) and math.isnan(v)) else str(v))
-        else:
-            df[c] = df[c].astype("float64", errors="ignore")
+        df[c] = df[c].map(_render)
     df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
     return df
 

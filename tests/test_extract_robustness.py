@@ -52,7 +52,17 @@ def test_fast_path_equals_stdlib_parser_on_pinned_cases():
     for html in list(CASES) + [b"<p>\xff</p>", b"<br/>x<BR/>y",
                                b"<p foo='a>b'>quoted gt</p>",
                                b"<style>p {color: red}</style><p>s</p>",
-                               b"<script>if (a<b) {}</script><p>t</p>"]:
+                               b"<script>if (a<b) {}</script><p>t</p>",
+                               # historical fast-path divergences found by
+                               # hypothesis (rounds 1-2 + round-2 judge):
+                               b"</<p>", b"<a/'<p>", b"<a/'>'<p>",
+                               # bare value swallowing '/' → NOT
+                               # self-closing → CDATA mode engages
+                               b"<script src=x/>alert</script><p>u</p>",
+                               # CDATA end-tag matching is the stdlib's
+                               # full r"</\s*script\s*>" (case-insensitive)
+                               b"<script>x</SCRIPT>y<p>v</p>",
+                               b"<script>x</script junk>y</script><p>w</p>"]:
         src = html.decode("utf-8", errors="replace")
         fast = ex._fast_extract(src)
         if fast is None:
@@ -77,12 +87,15 @@ def test_fast_path_equals_stdlib_parser_property():
          "header", "footer", "article", "td", "h1", "P", "DIV", "foo-bar"]
     )
     piece = st.one_of(
-        st.text(alphabet="ab &<>;/xyz.\t\n 'é&amp;&lt;q", max_size=12),
+        st.text(alphabet="ab &<>;/xyz.\t\n 'é&amp;&lt;q\"=", max_size=12),
         tag.map(lambda t: f"<{t}>"),
         tag.map(lambda t: f"</{t}>"),
         tag.map(lambda t: f"<{t} class='x'>"),
         tag.map(lambda t: f"<{t}/>"),
+        tag.map(lambda t: f"<{t} a=b/>"),
+        tag.map(lambda t: f'<{t} a="x>y">'),
         st.just("&amp;"), st.just("&#65;"), st.just("&"),
+        st.just("'"), st.just('"'), st.just("/>"),
     )
     html_s = st.lists(piece, max_size=30).map("".join)
 
