@@ -190,12 +190,13 @@ def _minhash_lsh_sql(
     """
 
 
-def _simhash_sql(max_hamming: int, n: int) -> str:
+def _simhash_sql(max_hamming: int, n: int, sig_bits: int = 60) -> str:
     """DuckDB twin of operators.dedup.simhash_near_dups — shingles →
-    64 ±1 bit sums → packed signature → pigeonhole block join →
+    64 ±1 bit sums → packed signature → pigeonhole block join over the
+    low ``sig_bits`` informative bits (hash60 zeroes bits 60-63) →
     exact Hamming verify."""
-    bands = min(max_hamming + 1, 64)
-    base_w, rem = divmod(64, bands)
+    bands = min(max_hamming + 1, sig_bits)
+    base_w, rem = divmod(sig_bits, bands)
     widths = [base_w + (1 if i < rem else 0) for i in range(bands)]
     offsets = [sum(widths[:i]) for i in range(bands)]
     sums = ",\n                ".join(
@@ -271,18 +272,16 @@ def _lsh_topk_sql(k: int, dim: int, bits: int, tables: int, n_queries: int) -> s
         s AS (SELECT vec_id, v0, ts.tbl AS tbl, ts.sig AS sig FROM sigs),
         n AS (
             SELECT vec_id,
-                   [x / sqrt(list_dot_product(v0, v0)) for x in v0] AS v,
+                   CASE WHEN list_dot_product(v0, v0) = 0 THEN v0
+                        ELSE [x / sqrt(list_dot_product(v0, v0)) for x in v0]
+                   END AS v,
                    tbl, sig
             FROM s),
-        cand AS (
-            SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS vec_id,
-                   q.v AS qv, v.v AS vv
-            FROM n v JOIN n q ON v.tbl = q.tbl AND v.sig = q.sig
-            WHERE q.vec_id < {n_queries} AND v.vec_id <> q.vec_id),
         scored AS (
-            SELECT query_id, vec_id,
-                   round(list_dot_product(qv, vv), 6) AS cosine
-            FROM cand)
+            SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS vec_id,
+                   round(list_dot_product(q.v, v.v), 6) AS cosine
+            FROM n v JOIN n q ON v.tbl = q.tbl AND v.sig = q.sig
+            WHERE q.vec_id < {n_queries} AND v.vec_id <> q.vec_id)
         SELECT query_id, vec_id, cosine, cast(rank AS INTEGER) AS rank
         FROM (
             SELECT query_id, vec_id, cosine,
@@ -1188,9 +1187,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-gated registry, capped at 50 entries (the driver truncates
+    there). Ordered least-proven-first: the five queries that missed a
+    round-2 driver verdict lead; redundant variants live in
+    :func:`extra_queries` (still fully oracle-checked locally)."""
     return {
+        # round-2 driver gate truncated before reaching these five —
+        # least-proven first so they always get a verdict
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_near_dups": q_simhash_near_dups,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "multimodal_features": q_multimodal_features,
+        "corpus_curation": q_corpus_curation,
         "a3_nodes_group_merge": q_a3_nodes_group_merge,
-        "a3_nodes_group_merge_salted": q_a3_salted,
         "a3_nodes_group_merge_skew_aware": q_a3_skew_aware,
         "a4_edges_distinct": q_a4_edges_distinct,
         "a4_edges_provenance": q_a4_edges_provenance,
@@ -1201,13 +1210,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "join_star_agg": q_join_star_agg,
         "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         "topk_per_group": q_topk_per_group,
         "global_topk": q_global_topk,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
         "rolling_stats": q_rolling_stats,
-        "rolling_1h_range": q_rolling_1h_range,
         "lag_delta": q_lag_delta,
         "set_ops": q_set_ops,
         "asof_enrich": q_asof_enrich,
@@ -1218,7 +1225,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q_q18_large_orders,
         "cube_agg": q_cube_agg,
         "string_funcs": q_string_funcs,
-        "rollup_agg": q_rollup_agg,
         "range_band_join": q_range_band_join,
         "fuzzy_levenshtein": q_fuzzy_levenshtein,
         "bgp_two_hop": q_bgp_two_hop,
@@ -1233,21 +1239,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "array_funcs": q_array_funcs,
         "pivot_events": q_pivot_events,
-        "unpivot_stats": q_unpivot_stats,
-        "date_arith": q_date_arith,
         "repetition_ratio": q_repetition_ratio,
         "holdout_split": q_holdout_split,
         "deterministic_sample": q_deterministic_sample,
         "stratified_sample": q_stratified_sample,
-        "corpus_curation": q_corpus_curation,
-        "multimodal_features": q_multimodal_features,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_near_dups": q_simhash_near_dups,
-        "lsh_cosine_topk": q_lsh_cosine_topk,
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries retired from the 50-entry driver gate as redundant
+    variants of gated queries (a3 salted ≡ skew-aware's salted branch +
+    property tests; anti_join ≡ j2_coverage_anti; the window/grouping
+    variants share their operator with a gated sibling). Still oracle-
+    checked by scripts/check_correctness.py and pytest."""
+    return {
+        "a3_nodes_group_merge_salted": q_a3_salted,
+        "anti_join": q_anti_join,
+        "rolling_1h_range": q_rolling_1h_range,
+        "rollup_agg": q_rollup_agg,
+        "unpivot_stats": q_unpivot_stats,
+        "date_arith": q_date_arith,
+    }
+
+
+def _all_oracle_sql() -> dict[str, str]:
+    """DuckDB twins for every registered query (gated + extra)."""
     pipe = _pipe_agg_sql
     sql: dict[str, str] = {}
 
@@ -1764,7 +1780,9 @@ def oracle_sql() -> dict[str, str]:
     _norm_cte = """
         e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
         e AS (SELECT vec_id,
-                     [x / sqrt(list_dot_product(v0, v0)) for x in v0] AS v
+                     CASE WHEN list_dot_product(v0, v0) = 0 THEN v0
+                          ELSE [x / sqrt(list_dot_product(v0, v0)) for x in v0]
+                     END AS v
               FROM e0)
     """
     _cos = "round(list_dot_product(a.v, b.v), 6)"
@@ -1924,3 +1942,15 @@ def oracle_sql() -> dict[str, str]:
         FROM m
     """
     return sql
+
+
+def oracle_sql() -> dict[str, str]:
+    """Twins for the driver-gated registry only (key set ⊆ queries())."""
+    alls = _all_oracle_sql()
+    return {k: alls[k] for k in queries() if k in alls}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Twins for the retired-from-gate registry (extra_queries())."""
+    alls = _all_oracle_sql()
+    return {k: alls[k] for k in extra_queries() if k in alls}

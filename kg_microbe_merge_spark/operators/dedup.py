@@ -267,22 +267,25 @@ def minhash_lsh_pairs(
     b = banded.select(
         "band", "bucket", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
     )
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
-    )
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda m: m,
         )
     ) / F.lit(float(num_hashes))
+    # estimate + threshold-filter BEFORE the candidate dedup: the
+    # estimate is deterministic per pair, so distinct on (ids, score)
+    # equals distinct on ids — and the dedup exchange carries 2 ids + 1
+    # double instead of two 64-long signatures per candidate (map-side
+    # duplicate estimates, bounded by `bands`, are cheaper than
+    # shuffling 1 KiB/candidate at 100 TB)
     return (
-        cand.withColumn("est_jaccard", F.round(est, 6))
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
+        .distinct()
     )
 
 
@@ -328,19 +331,28 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     bands: int | None = None,
+    sig_bits: int = 60,
 ) -> DataFrame:
     """SimHash near-duplicate pairs with Hamming distance ≤ max_hamming.
 
-    Candidate generation: split the 64-bit hash into ``bands`` blocks
-    (default ``max_hamming + 1`` — the pigeonhole guarantee: any pair
-    within distance ≤ max_hamming has at least one block with zero
-    differing bits) → equi-join per block, then verify exact Hamming via
-    bit_count(xor). Output: (doc_a, doc_b, hamming). Passing a smaller
-    ``bands`` trades guaranteed recall for fewer/larger candidate
-    buckets.
+    Candidate generation: split the low ``sig_bits`` of the hash into
+    ``bands`` blocks (default ``max_hamming + 1`` — the pigeonhole
+    guarantee: any pair within distance ≤ max_hamming has at least one
+    block with zero differing bits) → equi-join per block, then verify
+    exact Hamming via bit_count(xor). Output: (doc_a, doc_b, hamming).
+    Passing a smaller ``bands`` trades guaranteed recall for fewer/
+    larger candidate buckets.
+
+    ``sig_bits`` defaults to 60 because the default shingle hash
+    (``hash60``) leaves signature bits 60-63 constant-zero on every
+    document: banding them would waste up to 4 bits of a block's
+    keyspace (near-quadratic candidate blowup at scale), while the
+    pigeonhole still holds over the low 60 — constant bits never differ,
+    so every differing bit lives inside the banded range. Pass 64 with a
+    full-width ``hash_fn``.
     """
-    bands = bands if bands is not None else min(max_hamming + 1, 64)
-    base_w, rem = divmod(64, bands)
+    bands = bands if bands is not None else min(max_hamming + 1, sig_bits)
+    base_w, rem = divmod(sig_bits, bands)
     widths = [base_w + (1 if i < rem else 0) for i in range(bands)]
     offsets = [sum(widths[:i]) for i in range(bands)]
     h = simhash_signatures(df, n=n, text_col=text_col, id_col=id_col)
@@ -363,17 +375,17 @@ def simhash_near_dups(
     ).select("doc_id", "sh", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
     a = blocks.select("block", "key", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = blocks.select("block", "key", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    cand = (
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # verify + filter BEFORE the candidate dedup (same pattern as
+    # minhash_lsh_pairs: the dedup exchange carries ids + one int, and
+    # the Hamming filter shrinks it further)
+    return (
         a.join(b, ["block", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming)
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

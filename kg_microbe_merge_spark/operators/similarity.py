@@ -60,7 +60,8 @@ def normalized_vectors(
     fold into the transform — without the guard the O(dim) norm
     aggregate is re-evaluated per ELEMENT (O(dim²) per row, verified in
     the physical plan). Zero vectors pass through unnormalized instead
-    of dividing by zero (same guard as the LSH numpy path)."""
+    of dividing by zero (mirrored in :func:`_normalized_sig_side` and in
+    the DuckDB oracles)."""
     d = df.select(
         F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", norm_expr(F.col("_v")))
@@ -175,16 +176,21 @@ def _with_signatures(
 def _normalized_sig_side(
     sigs: DataFrame, out_id: str, out_vec: str
 ) -> DataFrame:
-    """JVM-side unit-normalization of the signature output's vector."""
+    """JVM-side unit-normalization of the signature output's vector.
+
+    Same zero-vector guard as :func:`normalized_vectors` — without it a
+    zero vector divides by 0 → NaN cosines, and NaN sorts greatest under
+    ``desc`` in Spark, ranking zero vectors as top-1 neighbors."""
     d = sigs.select(
         F.col("id").alias(out_id),
         _as_double(F.col("vec")).alias("_v"),
         "table",
         "sig",
     ).withColumn("_n", norm_expr(F.col("_v")))
+    unit = F.transform(F.col("_v"), lambda x: x / F.col("_n"))
     return d.select(
         out_id,
-        F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias(out_vec),
+        F.when(F.col("_n") != 0.0, unit).otherwise(F.col("_v")).alias(out_vec),
         "table",
         "sig",
     )
@@ -221,15 +227,19 @@ def lsh_cosine_topk(
     q = _normalized_sig_side(
         _with_signatures(queries, query_id_col, vec_col, planes), "query_id", "qv"
     )
-    cand = (
+    # score BEFORE deduplicating candidates: cosine is deterministic per
+    # pair, so distinct on (ids, cosine) equals distinct on ids — and the
+    # dedup exchange then carries 2 ids + 1 double instead of two
+    # embedding vectors per candidate (the map-side duplicate dot
+    # products, bounded by `tables`, are far cheaper than shuffling the
+    # payload at 100 TB)
+    scored = (
         v.join(q.hint("broadcast"), ["table", "sig"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", "qv", "vv")
+        .withColumn("cosine", F.round(dot_expr(F.col("qv"), F.col("vv")), 6))
+        .select("query_id", "vec_id", "cosine")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cosine", F.round(dot_expr(F.col("qv"), F.col("vv")), 6)
-    ).select("query_id", "vec_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )

@@ -50,33 +50,37 @@ def bgp_query(
     """
     if not patterns:
         raise ValueError("at least one triple pattern required")
+    # Variables are carried under internal `_v_<name>` columns during
+    # compilation so a variable named after a positional column
+    # (e.g. ``?object``) can never collide with the real edge column in
+    # the same projection; user-facing names appear only in the final
+    # select.
     var_order: list[str] = []
     out: DataFrame | None = None
     for s_p_o in patterns:
         if len(s_p_o) != 3:
             raise ValueError(f"pattern must have 3 terms: {s_p_o}")
         t = edges.select(*_POS_COLS)
-        seen_in_pattern: dict[str, str] = {}
-        keep: list[str] = []
+        first_pos: dict[str, str] = {}
+        proj = []
         for col, term in zip(_POS_COLS, s_p_o):
             if not _is_var(term):
                 t = t.filter(F.col(col) == term)
-            elif term in seen_in_pattern:
+            elif term in first_pos:
                 # same variable twice in one pattern → equality filter
-                t = t.filter(F.col(col) == F.col(seen_in_pattern[term]))
+                # on the original positional columns
+                t = t.filter(F.col(col) == F.col(first_pos[term]))
             else:
-                seen_in_pattern[term] = col
+                first_pos[term] = col
                 name = term[1:]
-                t = t.withColumnRenamed(col, name)
-                seen_in_pattern[term] = name
-                keep.append(name)
+                proj.append(F.col(col).alias(f"_v_{name}"))
                 if name not in var_order:
                     var_order.append(name)
-        t = t.select(*keep)
+        t = t.select(*proj)
         if out is None:
             out = t
         else:
             shared = [c for c in t.columns if c in out.columns]
             out = out.join(t, on=shared) if shared else out.crossJoin(t)
     sel = [v[1:] if v.startswith("?") else v for v in (select or var_order)]
-    return out.select(*sel)
+    return out.select(*[F.col(f"_v_{v}").alias(v) for v in sel])

@@ -69,7 +69,14 @@ class PipelineRun:
             json.dump(self.manifest, f, indent=2)
         os.replace(tmp, mpath)
 
-    def _write_metrics(self, stage: str, df: DataFrame, key: str) -> None:
+    def _write_metrics(self, stage: str, df: DataFrame, key: str) -> int:
+        """One post-write scan total: the per-partition metrics
+        aggregation is the ONLY pass over the committed snapshot, and the
+        stage row count is derived as sum(rows) from the (tiny) written
+        metrics table instead of a separate ``count()`` — at 100 TB a
+        second full scan per stage is the difference between one and two
+        extra reads of the whole dataset."""
+        path = os.path.join(self.work_dir, "_metrics", stage)
         metrics = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
@@ -79,9 +86,11 @@ class PipelineRun:
             )
             .withColumn("stage", F.lit(stage))
         )
-        metrics.write.mode("overwrite").parquet(
-            os.path.join(self.work_dir, "_metrics", stage)
+        metrics.write.mode("overwrite").parquet(path)
+        total = (
+            self.spark.read.parquet(path).agg(F.sum("rows")).collect()[0][0]
         )
+        return int(total or 0)
 
     def stage(
         self,
@@ -109,9 +118,10 @@ class PipelineRun:
             shutil.rmtree(out_dir)
         os.replace(tmp_dir, out_dir)
         committed = self.spark.read.parquet(out_dir)
-        n = committed.count()
         if metrics_key:
-            self._write_metrics(name, committed, metrics_key)
+            n = self._write_metrics(name, committed, metrics_key)
+        else:
+            n = committed.count()
         self.manifest[name] = {
             "fingerprint": fingerprint,
             "rows": n,

@@ -32,12 +32,23 @@ def unzip_files_in_dir(dir_path: str) -> list[str]:
 
 
 def tarball_files_in_dir(dir_path: str, output_tar: str) -> str:
-    """Package every regular file directly under ``dir_path`` into one
-    ``.tar.gz`` (flat arcnames, like the reference release layout)."""
+    """Package every regular file under ``dir_path`` (recursively) into
+    one ``.tar.gz``, arcnames relative to ``dir_path``.
+
+    Recursion matters: the default distributed sink writes each merged
+    table as a part-file DIRECTORY (merged_kg_nodes/part-*.csv), so a
+    flat listing would silently ship a tarball with the entire graph
+    missing. The in-progress output tar and hidden bookkeeping files
+    (Spark ``.crc`` shadows) are excluded."""
+    out = Path(output_tar).resolve()
     with tarfile.open(output_tar, "w:gz") as tf:
-        for f in sorted(Path(dir_path).iterdir()):
-            if f.is_file():
-                tf.add(f, arcname=f.name)
+        for f in sorted(Path(dir_path).rglob("*")):
+            if (
+                f.is_file()
+                and f.resolve() != out
+                and not f.name.startswith(".")
+            ):
+                tf.add(f, arcname=str(f.relative_to(dir_path)))
     return output_tar
 
 

@@ -84,8 +84,10 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # gated registry + retired-from-gate extras: the local gate covers
+    # BOTH so retired queries keep full oracle verification
+    qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
+    oracles = {**entry_mod.oracle_sql(), **entry_mod.extra_oracle_sql()}
     failed = []
     for name, fn in qs.items():
         if only and name not in only:

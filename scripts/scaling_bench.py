@@ -84,16 +84,21 @@ def main() -> None:
             control[lo]["wall_sec"] / (4 * control[hi]["wall_sec"]), 3
         )
 
-    # headline: the best footprint-honest pipeline pair efficiency —
-    # report ALL pairs; judge guidance + BASELINE.md explain which pair
-    # measures the engine and which measures the machine.
+    # headline: the brief's N->4N pair, chosen BY NAME (largest N with
+    # 4N measured — local[8]->local[32] at the default levels), never an
+    # unlabeled max over pairs; every pair is reported alongside it.
+    headline_pair = None
+    top_ns = [n for n in LEVELS if n * 4 in results]
+    if top_ns:
+        headline_pair = f"{top_ns[-1]}->{top_ns[-1] * 4}"
     summary = {
         "n_docs": N_DOCS,
         "levels": results,
         "pair_efficiencies": pairs,
         "jvm_control": control,
         "jvm_control_efficiency": ctrl_eff,
-        "scaling_efficiency": max(pairs.values()) if pairs else None,
+        "headline_pair": headline_pair,
+        "scaling_efficiency": pairs.get(headline_pair) if headline_pair else None,
         "loadavg_at_start": load_before,
         "runs_per_level": int(RUNS),
     }
@@ -105,10 +110,15 @@ def main() -> None:
 
     rows = "\n".join(
         f"| local[{c}] | {r['wall_sec']} | {r['all_runs_sec']} "
+        f"| {r.get('n_accepted', '—')}/{len(r['all_runs_sec'])} "
         f"| {r.get('busy_hw_threads', '—')} | {r['triples_per_sec']} |"
         for c, r in results.items()
     )
-    pair_rows = "\n".join(f"| {k} cores | **{v}** |" for k, v in pairs.items())
+    pair_rows = "\n".join(
+        f"| {k} cores | **{v}** |"
+        + (" ← headline (brief's N→4N pair)" if k == headline_pair else "")
+        for k, v in pairs.items()
+    )
     ctrl_rows = "\n".join(
         f"| local[{c}] | {r['wall_sec']} | {r['all_runs_sec']} |"
         for c, r in control.items()
@@ -122,16 +132,24 @@ IDENTICAL pipeline binary (corpus parquet → HTML text extraction
 (pandas UDF) → SVO triple extraction (pandas UDF) → broadcast entity
 linking → provenance-preserving KGX edge merge) on the IDENTICAL seeded
 corpus ({N_DOCS} documents, seed 42, 256 input files), measured
-end-to-end wall-clock per level in a fresh JVM, best-of-{RUNS} with an
-untimed full warm-up run at every level. `busy HW threads` is the
-machine-wide non-idle CPU during the best run — the level's REAL
-hardware footprint.
+end-to-end wall-clock per level in a fresh JVM with an untimed full
+warm-up run at every level.
 
-| parallelism | wall best-of-{RUNS} (s) | all runs (s) | busy HW threads | triples/sec |
-|---|---|---|---|---|
+Interference rejection: every timed run is bracketed by a short
+pure-JVM codegen canary in the same session; a run is ACCEPTED only if
+both surrounding canaries are within 1.5× of the level's best canary
+(machine quiet before AND after), and sampling continues until at least
+max(3, {RUNS}) accepted runs. The reported wall is min over accepted
+runs — the `accepted` column shows how many samples survived. `busy HW
+threads` is the machine-wide non-idle CPU during the best run — the
+level's REAL hardware footprint.
+
+| parallelism | wall best-accepted (s) | all runs (s) | accepted | busy HW threads | triples/sec |
+|---|---|---|---|---|---|
 {rows}
 
-Scaling efficiency T(4N)/(4·T(N)) per measured pair:
+Scaling efficiency T(4N)/(4·T(N)) per measured pair (the headline is
+the brief's named N→4N pair, not a max over pairs):
 
 | pair | efficiency |
 |---|---|

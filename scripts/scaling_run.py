@@ -57,34 +57,76 @@ def main() -> None:
     # which is what scales with cores on a long-running cluster.
     build().write.format("noop").mode("overwrite").save()
 
-    # Best-of-N: this sandbox shares hardware (sporadic interference
-    # bursts inflate single samples 2-4×; observed even with in-guest
-    # load ~1), so any single wall-clock sample can absorb foreign load;
-    # the minimum is the least-biased estimate of uncontended capability
-    # at this core count.
+    # Best-of-accepted: this sandbox shares hardware (sporadic multi-
+    # minute interference bursts inflate single samples 2-10×; observed
+    # even with in-guest load ~1). Every timed pipeline run is bracketed
+    # by a short pure-JVM codegen canary (same session, same cores); a
+    # run is ACCEPTED only if both surrounding canaries are within 1.5×
+    # of this level's best canary — i.e. the machine was quiet before
+    # AND after. Sampling continues until >=3 accepted runs (capped),
+    # so the reported wall never rests on samples taken inside a burst.
     import os
 
     n_runs = int(os.environ.get("SCALING_RUNS", "3"))
+    max_attempts = max(2 * n_runs, n_runs + 5)
 
     def _stat():
         v = list(map(int, open("/proc/stat").readline().split()[1:]))
         return sum(v), v[3] + v[4]  # total, idle+iowait
 
-    walls = []
-    busy_cores = []
-    for _ in range(n_runs):
+    def _canary() -> float:
+        h = F.col("id")
+        for i in range(8):
+            h = F.xxhash64(h, F.lit(i))
+        job = (
+            spark.range(0, 40_000_000 * cores, 1, cores * 4)
+            .select(h.alias("h"))
+            .agg(F.expr("bit_xor(h)").alias("s"))
+        )
+        t0 = time.monotonic()
+        job.write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    _canary()  # canary warm-up (codegen/JIT)
+    walls: list[float] = []
+    busy_cores: list[float] = []
+    canaries: list[float] = []
+    run_canaries: list[tuple[float, float]] = []
+    c_prev = _canary()
+    canaries.append(c_prev)
+    for _ in range(max_attempts):
         t0 = time.monotonic()
         s0 = _stat()
         build().write.format("noop").mode("overwrite").save()
         dt = time.monotonic() - t0
         s1 = _stat()
+        c_next = _canary()
+        canaries.append(c_next)
         walls.append(dt)
+        run_canaries.append((c_prev, c_next))
         # machine-wide busy HW threads during the run — quantifies the
         # REAL hardware footprint of this parallelism level (python
         # workers + Arrow serialization threads run outside the N task
         # slots local[N] nominally grants)
         busy_cores.append(((s1[0] - s0[0]) - (s1[1] - s0[1])) / 100.0 / dt)
-    wall = min(walls)
+        c_prev = c_next
+        best_canary = min(canaries)
+        accepted = [
+            w
+            for w, (ca, cb) in zip(walls, run_canaries)
+            if ca <= 1.5 * best_canary and cb <= 1.5 * best_canary
+        ]
+        if len(accepted) >= max(3, n_runs):
+            break
+    best_canary = min(canaries)
+    accepted = [
+        w
+        for w, (ca, cb) in zip(walls, run_canaries)
+        if ca <= 1.5 * best_canary and cb <= 1.5 * best_canary
+    ]
+    # fall back to all samples if the machine never went quiet — the
+    # report marks this via n_accepted
+    wall = min(accepted) if accepted else min(walls)
     # triple count for the throughput numerator (cheap second pass over
     # the cached-size corpus is NOT used — count the extracted triples
     # only once, untimed, for the report)
@@ -98,6 +140,9 @@ def main() -> None:
                 "cores": cores,
                 "wall_sec": round(wall, 2),
                 "all_runs_sec": [round(w, 2) for w in walls],
+                "accepted_runs_sec": [round(w, 2) for w in accepted],
+                "n_accepted": len(accepted),
+                "canary_sec": [round(c, 2) for c in canaries],
                 "busy_hw_threads": round(busy_cores[walls.index(wall)], 1),
                 "n_triples": n_triples,
                 "triples_per_sec": round(n_triples / wall, 1),

@@ -62,3 +62,16 @@ def test_disconnected_patterns_cross_join(spark):
 def test_empty_patterns_rejected(spark):
     with pytest.raises(ValueError):
         bgp_query(_graph(spark), [])
+
+
+def test_variable_named_after_positional_column(spark):
+    """A variable named ?object (or ?subject/?predicate) must not collide
+    with the real edge column in the same projection."""
+    g = _graph(spark)
+    out = bgp_query(g, [("?object", "knows", "?subject")])
+    got = {(r["object"], r["subject"]) for r in out.collect()}
+    assert got == {("a", "b"), ("b", "c"), ("c", "c")}
+    out2 = bgp_query(
+        g, [("?object", "?predicate", "?subject")], select=["?predicate"]
+    )
+    assert {r["predicate"] for r in out2.collect()} == {"knows", "likes"}

@@ -192,6 +192,24 @@ def test_tar_roundtrip(tmp_path):
     assert (d2 / "a.txt").read_text() == "hello"
 
 
+def test_cli_merge_distributed_tar_contains_part_dirs(spark, tmp_path):
+    """--tar with the default DISTRIBUTED sink: the tarball must carry
+    the part-file directories (merged graph), not just the flat stats
+    file, and must not recursively include itself."""
+    from kg_microbe_merge_spark.cli import main
+
+    base = _make_transform_dir(tmp_path)
+    out = str(tmp_path / "out_dist")
+    main(["merge", "--transform-dir", base, "--output", out, "--tar"])
+    with tarfile.open(os.path.join(out, "merged-kg.tar.gz")) as tf:
+        names = tf.getnames()
+    assert any(n.startswith("merged_kg_nodes/") and "part-" in n for n in names), names
+    assert any(n.startswith("merged_kg_edges/") and "part-" in n for n in names), names
+    assert "merged_graph_stats.tsv" in names
+    assert not any(n.endswith(".tar.gz") for n in names)
+    assert not any(os.path.basename(n).startswith(".") for n in names)
+
+
 def test_sql_passthrough(spark):
     from kg_microbe_merge_spark.plans.sqlapi import (
         query,

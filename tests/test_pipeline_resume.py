@@ -70,3 +70,35 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     after3 = json.load(open(os.path.join(wd, MANIFEST_NAME)))
     assert after3["corpus"]["fingerprint"] != after["corpus"]["fingerprint"]
     assert out3["corpus"].count() == N_DOCS // 2
+
+
+def test_stage_commit_single_post_write_scan(spark, tmp_path, monkeypatch):
+    """A stage commit with a metrics key must make exactly ONE pass over
+    the committed snapshot: the row count comes from sum(rows) of the
+    written per-partition metrics, never a separate count() (which at
+    100 TB would be a second full scan per stage)."""
+    import pyspark.sql as psql
+
+    from kg_microbe_merge_spark.plans.pipeline import PipelineRun
+
+    run = PipelineRun(spark, str(tmp_path / "wd"))
+    counts = {"n": 0}
+    orig = psql.DataFrame.count
+
+    def counting(self):
+        counts["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(psql.DataFrame, "count", counting)
+    df = run.stage(
+        "s1",
+        lambda: spark.range(100).withColumnRenamed("id", "k"),
+        "fp1",
+        metrics_key="k",
+    )
+    assert counts["n"] == 0, "stage() called DataFrame.count despite metrics"
+    assert run.manifest["s1"]["rows"] == 100
+    metrics = spark.read.parquet(str(tmp_path / "wd" / "_metrics" / "s1"))
+    rows = metrics.agg({"rows": "sum"}).collect()[0][0]
+    assert rows == 100
+    assert df.columns == ["k"]
