@@ -842,6 +842,43 @@ def q_bgp_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bgp_filter_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-subset OPTIONAL (left join preserving NULL bindings) +
+    FILTER (SQL expression over ?vars, compiled JVM-side): per nation
+    except N10, every customer with their orders kept optional —
+    customers without orders survive with a NULL ?o binding."""
+    from kg_microbe_merge_spark.plans.bgp import bgp_query
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    edges = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("subject"),
+        F.lit("owns").alias("predicate"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("object"),
+    ).unionByName(
+        customer.select(
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("subject"),
+            F.lit("located_in").alias("predicate"),
+            F.concat(F.lit("N"), F.col("c_nationkey")).alias("object"),
+        )
+    )
+    m = bgp_query(
+        edges,
+        [("?c", "located_in", "?n")],
+        optional=[[("?c", "owns", "?o")]],
+        filters=["?n <> 'N10'"],
+        select=["?n", "?c", "?o"],
+    )
+    return (
+        m.groupBy("n")
+        .agg(
+            F.countDistinct("c").alias("n_customers"),
+            F.count("o").alias("n_orders"),
+        )
+        .orderBy("n")
+    )
+
+
 def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged-graph summary report (legacy KGX graph-stats analogue,
     reference merge.py:50-60): node count per merged category, edge
@@ -1228,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_band_join": q_range_band_join,
         "fuzzy_levenshtein": q_fuzzy_levenshtein,
         "bgp_two_hop": q_bgp_two_hop,
+        "bgp_filter_optional": q_bgp_filter_optional,
         "graph_stats_report": q_graph_stats,
         "cc_components": q_cc_components,
         "cc_chain_hub": q_cc_chain_hub,
@@ -1608,6 +1646,28 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM edges a JOIN edges b ON a.subject = b.subject
             WHERE a.predicate = 'owns' AND b.predicate = 'located_in')
         SELECT n, cast(count(*) AS BIGINT) AS n_orders
+        FROM m GROUP BY n
+    """
+
+    # OPTIONAL = left join with the optional pattern's predicate filter
+    # in the ON clause (preserves NULL bindings); FILTER on the
+    # mandatory-side variable.
+    sql["bgp_filter_optional"] = """
+        WITH edges AS (
+            SELECT 'C' || o_custkey AS subject, 'owns' AS predicate,
+                   'O' || o_orderkey AS object
+            FROM orders
+            UNION ALL
+            SELECT 'C' || c_custkey, 'located_in', 'N' || c_nationkey
+            FROM customer),
+        m AS (
+            SELECT l.subject AS c, l.object AS n, o.object AS o
+            FROM edges l
+            LEFT JOIN edges o
+              ON o.predicate = 'owns' AND o.subject = l.subject
+            WHERE l.predicate = 'located_in' AND l.object <> 'N10')
+        SELECT n, cast(count(DISTINCT c) AS BIGINT) AS n_customers,
+               cast(count(o) AS BIGINT) AS n_orders
         FROM m GROUP BY n
     """
 

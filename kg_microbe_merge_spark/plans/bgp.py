@@ -16,7 +16,10 @@ variable repeated within one pattern becomes an intra-pattern equality
 filter); patterns join pairwise on their shared variables (plain
 equi-joins — Catalyst orders/broadcasts them like any other join), and
 the final projection keeps the selected variables. Bag semantics (no
-implicit DISTINCT), matching SPARQL SELECT.
+implicit DISTINCT), matching SPARQL SELECT. ``OPTIONAL`` groups compile
+to left outer joins on the shared variables; ``FILTER`` expressions are
+SQL over ``?var`` references, compiled with ``F.expr`` so they stay
+JVM-side and pushdown-able.
 
 Scale: a BGP over a 10^12-edge table is exactly a multi-way self-join —
 the edge table should be bucketed on subject (plans/materialize.py) so
@@ -26,36 +29,31 @@ filters (verified in the plan test).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _POS_COLS = ("subject", "predicate", "object")
+_VAR_RE = re.compile(r"\?([A-Za-z_][A-Za-z0-9_]*)")
 
 
 def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
-def bgp_query(
+def _compile_group(
     edges: DataFrame,
     patterns: list[tuple[str, str, str]],
-    select: list[str] | None = None,
+    var_order: list[str],
 ) -> DataFrame:
-    """Evaluate a conjunctive triple-pattern query.
-
-    ``patterns``: (subject, predicate, object) terms; ``?name`` terms
-    are variables, anything else is a constant. ``select``: variables to
-    project (default: all, in first-appearance order). Output columns
-    are the variable names without the ``?``.
-    """
-    if not patterns:
-        raise ValueError("at least one triple pattern required")
-    # Variables are carried under internal `_v_<name>` columns during
-    # compilation so a variable named after a positional column
-    # (e.g. ``?object``) can never collide with the real edge column in
-    # the same projection; user-facing names appear only in the final
-    # select.
-    var_order: list[str] = []
+    """Compile one conjunctive pattern group to a DataFrame whose
+    columns are internal ``_v_<name>`` variable bindings. Variables are
+    carried under internal names so a variable named after a positional
+    column (e.g. ``?object``) can never collide with the real edge
+    column in the same projection; user-facing names appear only in
+    :func:`bgp_query`'s final select. Appends newly bound variables to
+    ``var_order`` in first-appearance order."""
     out: DataFrame | None = None
     for s_p_o in patterns:
         if len(s_p_o) != 3:
@@ -82,5 +80,51 @@ def bgp_query(
         else:
             shared = [c for c in t.columns if c in out.columns]
             out = out.join(t, on=shared) if shared else out.crossJoin(t)
+    return out
+
+
+def _compile_filter(expr: str) -> F.Column:
+    """A FILTER expression: ANSI-SQL over ``?var`` references
+    (e.g. ``"?n != 'N3' AND length(?o) > 2"``) — variables are
+    substituted with their internal binding columns and the rest is
+    handed to Spark SQL's expression parser (so the predicate stays
+    JVM-side and Catalyst can push it into the scans)."""
+    return F.expr(_VAR_RE.sub(lambda m: f"_v_{m.group(1)}", expr))
+
+
+def bgp_query(
+    edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    select: list[str] | None = None,
+    filters: list[str] | None = None,
+    optional: list[list[tuple[str, str, str]]] | None = None,
+) -> DataFrame:
+    """Evaluate a basic-graph-pattern query (SPARQL subset).
+
+    ``patterns``: (subject, predicate, object) terms; ``?name`` terms
+    are variables, anything else is a constant. ``select``: variables to
+    project (default: all, in first-appearance order). ``filters``:
+    SQL expressions over ``?var`` references, applied after all pattern
+    groups (subset semantics: one top-level FILTER scope). ``optional``:
+    pattern groups LEFT-joined on their shared variables — unmatched
+    rows keep NULL bindings for variables bound only inside the
+    optional group, exactly SPARQL's OPTIONAL. Output columns are the
+    variable names without the ``?``.
+    """
+    if not patterns:
+        raise ValueError("at least one triple pattern required")
+    var_order: list[str] = []
+    out = _compile_group(edges, patterns, var_order)
+    for group in optional or []:
+        t = _compile_group(edges, group, var_order)
+        shared = [c for c in t.columns if c in out.columns]
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the mandatory "
+                f"patterns: {group}"
+            )
+        out = out.join(t, on=shared, how="left")
+    for f in filters or []:
+        out = out.filter(_compile_filter(f))
     sel = [v[1:] if v.startswith("?") else v for v in (select or var_order)]
     return out.select(*[F.col(f"_v_{v}").alias(v) for v in sel])

@@ -75,3 +75,42 @@ def test_variable_named_after_positional_column(spark):
         g, [("?object", "?predicate", "?subject")], select=["?predicate"]
     )
     assert {r["predicate"] for r in out2.collect()} == {"knows", "likes"}
+
+
+def test_filter_expression(spark):
+    g = _graph(spark)
+    out = bgp_query(
+        g, [("?x", "knows", "?y")], filters=["?x != ?y", "?x != 'a'"]
+    )
+    assert {(r["x"], r["y"]) for r in out.collect()} == {("b", "c")}
+
+
+def test_optional_left_join(spark):
+    g = _graph(spark)
+    # every knower, optionally what their target likes
+    out = bgp_query(
+        g,
+        [("?x", "knows", "?y")],
+        optional=[[("?y", "likes", "?z")]],
+    )
+    got = {(r["x"], r["y"], r["z"]) for r in out.collect()}
+    # b likes a; c likes nothing -> NULL binding preserved
+    assert got == {("a", "b", "a"), ("b", "c", None), ("c", "c", None)}
+
+
+def test_optional_then_filter_on_optional_var(spark):
+    g = _graph(spark)
+    out = bgp_query(
+        g,
+        [("?x", "knows", "?y")],
+        optional=[[("?y", "likes", "?z")]],
+        filters=["?z IS NULL"],
+        select=["?x"],
+    )
+    assert {r["x"] for r in out.collect()} == {"b", "c"}
+
+
+def test_optional_requires_shared_variable(spark):
+    g = _graph(spark)
+    with pytest.raises(ValueError):
+        bgp_query(g, [("?x", "knows", "?y")], optional=[[("?u", "likes", "?v")]])
