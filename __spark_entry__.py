@@ -879,6 +879,47 @@ def q_bgp_filter_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cypher_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher-subset passthrough (plans/cypher.py — the local analogue
+    of the reference's kg-chat Neo4j backend, reference
+    run.py:276-381): label-filtered relationship match + WHERE CONTAINS
+    + grouped count, compiled to DataFrame joins."""
+    from kg_microbe_merge_spark.plans.cypher import cypher_query
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    nodes = customer.select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("id"),
+        F.lit("biolink:Customer").alias("category"),
+        F.col("c_name").alias("name"),
+    ).unionByName(
+        nation.select(
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("id"),
+            F.lit("biolink:Nation").alias("category"),
+            F.col("n_name").alias("name"),
+        )
+    )
+    edges = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("subject"),
+        F.lit("owns").alias("predicate"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("object"),
+    ).unionByName(
+        customer.select(
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("subject"),
+            F.lit("located_in").alias("predicate"),
+            F.concat(F.lit("N"), F.col("c_nationkey")).alias("object"),
+        )
+    )
+    return cypher_query(
+        nodes,
+        edges,
+        "MATCH (c:Customer)-[:owns]->(o) "
+        "WHERE c.name CONTAINS '11' "
+        "RETURN c.id AS cid, c.name AS cname, count(o) AS n_orders",
+    )
+
+
 def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged-graph summary report (legacy KGX graph-stats analogue,
     reference merge.py:50-60): node count per merged category, edge
@@ -1297,6 +1338,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "unpivot_stats": q_unpivot_stats,
         "date_arith": q_date_arith,
+        "cypher_match": q_cypher_match,
     }
 
 
@@ -1669,6 +1711,16 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT n, cast(count(DISTINCT c) AS BIGINT) AS n_customers,
                cast(count(o) AS BIGINT) AS n_orders
         FROM m GROUP BY n
+    """
+
+    # Cypher MATCH (c:Customer)-[:owns]->(o) WHERE c.name CONTAINS '11'
+    # RETURN c.id, c.name, count(o) — as a relational twin
+    sql["cypher_match"] = """
+        SELECT 'C' || c.c_custkey AS cid, c.c_name AS cname,
+               cast(count(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_name LIKE '%11%'
+        GROUP BY 1, 2
     """
 
     sql["graph_stats_report"] = f"""

@@ -162,6 +162,23 @@ def _cmd_sql(args: argparse.Namespace) -> None:
     spark.sql(args.query).show(args.limit, truncate=False)
 
 
+def _cmd_cypher(args: argparse.Namespace) -> None:
+    """Cypher-subset queries over a merged KG — the local analogue of
+    the reference's kg-chat Neo4j passthrough (reference
+    run.py:276-381) without a Neo4j server."""
+    from .plans.cypher import cypher_query
+    from .sources.kgx import read_kgx_tsv
+
+    spark = get_spark(app_name="kg-cypher")
+    nodes_tsv = os.path.join(args.kg_dir, "merged_kg_nodes.tsv")
+    edges_tsv = os.path.join(args.kg_dir, "merged_kg_edges_full.tsv")
+    if not os.path.exists(edges_tsv):
+        edges_tsv = os.path.join(args.kg_dir, "merged_kg_edges.tsv")
+    nodes = read_kgx_tsv(spark, [nodes_tsv])
+    edges = read_kgx_tsv(spark, [edges_tsv])
+    cypher_query(nodes, edges, args.query).show(args.limit, truncate=False)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="kg_microbe_merge_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -202,6 +219,16 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--edges", required=True)
     c.add_argument("--output", required=True)
     c.set_defaults(fn=_cmd_coverage)
+
+    cy = sub.add_parser(
+        "cypher", help="Cypher-subset query over a merged KG (no Neo4j)"
+    )
+    cy.add_argument("query")
+    cy.add_argument("--kg-dir", required=True,
+                    help="directory with merged_kg_nodes.tsv / "
+                         "merged_kg_edges[_full].tsv")
+    cy.add_argument("--limit", type=int, default=50)
+    cy.set_defaults(fn=_cmd_cypher)
 
     s = sub.add_parser("sql", help="ad-hoc SQL over a merged KG")
     s.add_argument("query")
