@@ -115,36 +115,91 @@ class MergeKG:
         return asdict(self)
 
 
-def _obj(cls, data: dict | None):
-    return cls(**data) if isinstance(data, dict) else cls()
+class MergeConfigError(ValueError):
+    """A merge.yaml document violates the schema (the analogue of the
+    reference's LinkML validation, schema/merge_schema.yaml:11-109):
+    unknown slots, wrong value shapes — reported with the YAML path."""
+
+
+def _obj(cls, data: dict | None, where: str = "?"):
+    if data is None:
+        return cls()
+    if not isinstance(data, dict):
+        raise MergeConfigError(f"{where}: expected a mapping, got {type(data).__name__}")
+    allowed = set(cls.__dataclass_fields__)
+    unknown = set(data) - allowed
+    if unknown:
+        raise MergeConfigError(
+            f"{where}: unknown slot(s) {sorted(unknown)}; schema allows {sorted(allowed)}"
+        )
+    return cls(**data)
+
+
+def _check_keys(data: dict, allowed: set[str], where: str) -> None:
+    unknown = set(data) - allowed
+    if unknown:
+        raise MergeConfigError(
+            f"{where}: unknown slot(s) {sorted(unknown)}; schema allows {sorted(allowed)}"
+        )
+
+
+def _check_list(v, where: str) -> list:
+    if v is None:
+        return []
+    if not isinstance(v, list):
+        raise MergeConfigError(f"{where}: expected a list, got {type(v).__name__}")
+    return v
 
 
 def load_merge_config(path: str) -> MergeKG:
-    """Load a reference-style ``merge.yaml`` into the document model.
-
-    Unknown keys raise (the reference's LinkML loader is also strict);
-    empty mapping values (``curie_map:`` with only comments) load as
-    None, matching the reference's example configs.
+    """Load a reference-style ``merge.yaml`` into the document model,
+    validating it against the schema (every slot checked against the
+    LinkML classes' slot sets, with YAML-path error messages — the
+    reference's ``yaml_loader.load(..., target_class=MergeKG)``
+    analogue). Empty mapping values (``curie_map:`` with only comments)
+    load as None, matching the reference's example configs.
     """
     import yaml
 
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
 
-    cfg = _obj(Configuration, raw.get("configuration"))
+    if not isinstance(raw, dict):
+        raise MergeConfigError("top level: expected a mapping")
+    _check_keys(raw, {"configuration", "merged_graph"}, "top level")
+    cfg = _obj(Configuration, raw.get("configuration"), "configuration")
     mg_raw = raw.get("merged_graph") or {}
-    sources = [
-        SourceGraph(
-            name=s.get("name"),
-            input=_obj(InputFiles, s.get("input")),
+    _check_keys(
+        mg_raw, {"name", "source", "operations", "destination"}, "merged_graph"
+    )
+    sources = []
+    for i, s in enumerate(_check_list(mg_raw.get("source"), "merged_graph.source")):
+        _check_keys(s, {"name", "input"}, f"merged_graph.source[{i}]")
+        sources.append(
+            SourceGraph(
+                name=s.get("name"),
+                input=_obj(InputFiles, s.get("input"),
+                           f"merged_graph.source[{i}].input"),
+            )
         )
-        for s in mg_raw.get("source") or []
+    operations = []
+    for i, o in enumerate(
+        _check_list(mg_raw.get("operations"), "merged_graph.operations")
+    ):
+        _check_keys(o, {"name", "args"}, f"merged_graph.operations[{i}]")
+        operations.append(
+            Operation(
+                name=o.get("name"),
+                args=_obj(OperationArgs, o.get("args"),
+                          f"merged_graph.operations[{i}].args"),
+            )
+        )
+    destinations = [
+        _obj(Destination, d, f"merged_graph.destination[{i}]")
+        for i, d in enumerate(
+            _check_list(mg_raw.get("destination"), "merged_graph.destination")
+        )
     ]
-    operations = [
-        Operation(name=o.get("name"), args=_obj(OperationArgs, o.get("args")))
-        for o in mg_raw.get("operations") or []
-    ]
-    destinations = [_obj(Destination, d) for d in mg_raw.get("destination") or []]
     mg = MergedGraph(
         name=mg_raw.get("name"),
         source=sources,
