@@ -1255,6 +1255,17 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(e, q, k=10, dim=64, bits=8, tables=8)
 
 
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (operators.similarity.ivf_cosine_topk): hash-seeded
+    coarse quantizer inlined as literals → row-local cell assignment →
+    n_probe cell search → exact-cosine re-rank."""
+    from kg_microbe_merge_spark.operators.similarity import ivf_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return ivf_cosine_topk(e, q, k=10, n_centroids=8, n_probe=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1339,6 +1350,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_stats": q_unpivot_stats,
         "date_arith": q_date_arith,
         "cypher_match": q_cypher_match,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
     }
 
 
@@ -1911,6 +1923,40 @@ def _all_oracle_sql() -> dict[str, str]:
                        PARTITION BY query_id
                        ORDER BY cosine DESC, vec_id) AS rank
             FROM s)
+        WHERE rank <= 10
+    """
+
+    # IVF-flat twin: same deterministic quantizer (K smallest
+    # hash60(vec_id) vectors), argmax assignment with (cos DESC, cid)
+    # tie-break, n_probe probe cells, exact-cosine re-rank.
+    sql["ivf_cosine_topk"] = f"""
+        WITH {_norm_cte},
+        cents AS (
+            SELECT vec_id AS cid, v AS cv
+            FROM e
+            ORDER BY {_h60("vec_id::VARCHAR")}, cid
+            LIMIT 8),
+        assign AS (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(v, cv) DESC, cid) AS rk
+            FROM e CROSS JOIN cents),
+        probes AS (
+            SELECT vec_id AS query_id, v AS qv, cid, rk
+            FROM assign WHERE vec_id < 5 AND rk <= 3),
+        scored AS (
+            SELECT p.query_id, a.vec_id,
+                   round(list_dot_product(p.qv, a.v), 6) AS cosine
+            FROM assign a JOIN probes p ON a.cid = p.cid
+            WHERE a.rk = 1 AND a.vec_id <> p.query_id)
+        SELECT query_id, vec_id, cosine, cast(rank AS INTEGER) AS rank
+        FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored)
         WHERE rank <= 10
     """
 

@@ -75,6 +75,9 @@ HEADLINE = [
     "embedding_topk",
     "embedding_near_dups",
     "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "bgp_filter_optional",
+    "cypher_match",
 ]
 
 
@@ -88,6 +91,12 @@ def main() -> None:
     # gated + retired-from-gate registries: the bench suite keeps its
     # round-over-round comparability regardless of gate-cap shuffling
     qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
+    # Untimed warm-up: JVM/codegen JIT, shuffle service, and the Python
+    # worker pool (spark.python.worker.reuse keeps it) — the first timed
+    # query previously absorbed several seconds of one-time startup that
+    # a long-running production job pays once, not per query.
+    force(qs["semi_join"](spark, SF_DIR))
+    force(qs["triples_extract"](spark, SF_DIR))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # GC barrier: without it, heap garbage from earlier queries

@@ -196,6 +196,112 @@ def _normalized_sig_side(
     )
 
 
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF-flat (inverted-file)
+    search — the other standard ANN scale path beside sign-LSH.
+
+    Coarse quantizer: ``n_centroids`` centroids chosen as the data
+    vectors with the smallest portable hash of their id (a deterministic
+    seeded sample — k-means-init-style, no iterative training, so the
+    whole operator is reproducible in plain SQL and the DuckDB oracle
+    can mirror it bit-for-bit). Centroids are inlined as literal
+    expressions (like the sign-LSH hyperplanes), so nearest-centroid
+    assignment is a row-local fold — zero shuffle, no row
+    multiplication. Every query probes its ``n_probe`` nearest cells;
+    candidates sharing a cell are re-ranked by exact cosine.
+
+    Scale: the big side never shuffles before the candidate join, and
+    that join broadcasts the (queries × n_probe) probe side, so the only
+    big-side exchange is the final per-query top-k window. With K
+    centroids, candidate work is Σ cell², tuned by K ≈ sqrt(N) per IVF
+    practice; recall is tuned by ``n_probe`` (pytest-asserted vs brute
+    force). Output schema matches the brute-force variant.
+    """
+    from ..functions.hashing import hash60
+
+    v = spread_stream_side(
+        normalized_vectors(vectors, id_col, vec_col, "vec_id", "vv")
+    )
+    q = normalized_vectors(queries, query_id_col, vec_col, "query_id", "qv")
+    # deterministic coarse quantizer: the K data vectors with the
+    # smallest hash60(id) (ties broken by id). K rows collected to the
+    # driver and INLINED as literal expressions — like the sign-LSH
+    # hyperplanes — so centroid assignment is a row-local fold with
+    # ZERO shuffle and no row multiplication (a cross join + window
+    # would shuffle N×K rows each carrying the full vector).
+    cent_rows = (
+        v.select(
+            F.col("vec_id").alias("cid"),
+            F.col("vv").alias("cv"),
+            hash60(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    if not cent_rows:
+        return v.sparkSession.createDataFrame(
+            [], "query_id string, vec_id string, cosine double, rank int"
+        )
+    # argmax iteration in ascending-cid order → smallest cid wins exact
+    # cosine ties, mirroring the oracle's ORDER BY cos DESC, cid ASC
+    cent_rows = sorted(cent_rows, key=lambda r: str(r["cid"]))
+    cid_type = v.schema["vec_id"].dataType
+
+    def _scores(vec: Column) -> Column:
+        """array<struct(neg_cos, cid)> — ascending sort = best first."""
+        return F.array(
+            *[
+                F.struct(
+                    (-dot_expr(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in r["cv"]]),
+                    )).alias("nc"),
+                    F.lit(r["cid"]).cast(cid_type).alias("cid"),
+                )
+                for r in cent_rows
+            ]
+        )
+
+    assigned = v.select(
+        "vec_id",
+        "vv",
+        F.sort_array(_scores(F.col("vv")))[0]["cid"].alias("centroid"),
+    )
+    probes = (
+        q.select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.slice(F.sort_array(_scores(F.col("qv"))), 1, n_probe)
+            ).alias("_p"),
+        )
+        .select("query_id", "qv", F.col("_p.cid").alias("centroid"))
+    )
+    scored = (
+        assigned.join(probes.hint("broadcast"), "centroid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot_expr(F.col("qv"), F.col("vv")), 6))
+        .select("query_id", "vec_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,

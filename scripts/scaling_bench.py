@@ -28,18 +28,40 @@ LEVELS = tuple(
 RUNS = os.environ.get("SCALING_RUNS", "5")
 
 
+LEVEL_TIMEOUT = int(os.environ.get("SCALING_LEVEL_TIMEOUT", "2400"))
+
+
 def _run(script: str, *args: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, script, *args],
-        capture_output=True,
-        text=True,
-        cwd="/root/repo",
-        check=True,
-        env={**os.environ, "SCALING_RUNS": RUNS},
-    )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    print(line)
-    return json.loads(line)
+    """One measurement subprocess, with a hang cap + retry: local-mode
+    PySpark can wedge when a Python worker's socket pair dies without
+    EOF (observed: one executor thread parked in
+    BasePythonRunner.ReaderInputStream forever, all workers idle). The
+    level is killed after LEVEL_TIMEOUT seconds and retried in a fresh
+    JVM — measurements already inside the run are simply discarded, the
+    canary-acceptance protocol makes the retry unbiased."""
+    last_err = None
+    for attempt in range(3):
+        try:
+            out = subprocess.run(
+                [sys.executable, script, *args],
+                capture_output=True,
+                text=True,
+                cwd="/root/repo",
+                check=True,
+                timeout=LEVEL_TIMEOUT,
+                env={**os.environ, "SCALING_RUNS": RUNS},
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            print(line)
+            return json.loads(line)
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
+                IndexError) as e:  # noqa: PERF203
+            last_err = e
+            print(f"# level attempt {attempt + 1} failed: {type(e).__name__}",
+                  file=sys.stderr)
+            subprocess.run(["pkill", "-9", "-f", "pyspark.daemon"],
+                           check=False)
+    raise RuntimeError(f"level failed after 3 attempts: {last_err}")
 
 
 def main() -> None:

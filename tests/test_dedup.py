@@ -162,3 +162,40 @@ def test_ngram_jaccard_values(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["doc_a"], r["doc_b"], r["jaccard"]) == (1, 2, 1.0)
+
+
+def test_candidate_dedup_exchange_carries_no_payload(spark):
+    """The candidate-dedup distinct must shuffle (ids, scalar) ONLY —
+    never the 64-slot signatures (minhash/simhash) or embeddings (LSH
+    topk). At 100 TB the dedup exchange is the dominant shuffle of these
+    operators; carrying a 64-long signature per candidate would move
+    ~50x more bytes than the verified pair rows."""
+    import re as _re
+
+    from kg_microbe_merge_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_dups,
+    )
+
+    docs = _docs(spark)
+
+    def dedup_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # hashpartitioning lines of exchanges feeding the final distinct
+        return [
+            m.group(0)
+            for m in _re.finditer(r"hashpartitioning\([^)]*\)", plan)
+            if "doc_a" in m.group(0)
+        ]
+
+    ex = dedup_exchanges(minhash_lsh_pairs(docs, threshold=0.5, num_hashes=8, bands=4))
+    assert ex, "expected a candidate-dedup exchange"
+    for e in ex:
+        assert "sig_a" not in e and "sig_b" not in e, e
+        assert "est_jaccard" in e, e
+
+    ex = dedup_exchanges(simhash_near_dups(docs, max_hamming=6))
+    assert ex, "expected a candidate-dedup exchange"
+    for e in ex:
+        assert "sh_a" not in e and "sh_b" not in e, e
+        assert "hamming" in e, e

@@ -119,3 +119,48 @@ def test_same_as_candidates(spark):
         (r["src"], r["dst"]) for r in same_as_candidates(_aliases(spark)).collect()
     }
     assert cands == {("COMPANY:1", "FRUIT:1")}
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF-flat (hash-seeded centroids, row-local assignment) must reach
+    high recall on the clustered fixture with generous probing."""
+    from kg_microbe_merge_spark.operators.similarity import ivf_cosine_topk
+
+    vecs = _vectors(spark)
+    q = vecs.filter("vec_id < 10").withColumnRenamed("vec_id", "query_id")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_cosine_topk(vecs, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_cosine_topk(
+            vecs, q, k=5, n_centroids=12, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF top-k recall {recall:.2f}"
+
+
+def test_ivf_assignment_plan_has_no_preaggregate_shuffle(spark):
+    """Centroid assignment must be a row-local fold over inlined
+    literals: the only Exchanges in the plan are the final top-k window
+    (+ the broadcast of the tiny probe side) — never an N×K cross-join
+    shuffle of the data vectors."""
+    from kg_microbe_merge_spark.operators.similarity import ivf_cosine_topk
+
+    vecs = _vectors(spark, n=60)
+    q = vecs.filter("vec_id < 2").withColumnRenamed("vec_id", "query_id")
+    plan = (
+        ivf_cosine_topk(vecs, q, k=3, n_centroids=4, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re as _re
+
+    shuffles = _re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    # every hash exchange is the per-query window, never a vec-side key
+    assert shuffles, plan
+    assert all(s.startswith("query_id") for s in shuffles), shuffles
+    assert "CartesianProduct" not in plan, plan
