@@ -920,6 +920,18 @@ def q_cypher_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level near-duplicate resolution: MinHash+LSH pair graph →
+    connected components → min-id canonical survivor per cluster
+    (operators.dedup.near_dup_clusters). Transitive chains collapse into
+    ONE cluster — the decision step greedy pairwise dropping gets
+    wrong."""
+    from kg_microbe_merge_spark.operators.dedup import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_clusters(docs, threshold=0.5, num_hashes=64, bands=16, n=3)
+
+
 def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged-graph summary report (legacy KGX graph-stats analogue,
     reference merge.py:50-60): node count per merged category, edge
@@ -1351,6 +1363,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_arith": q_date_arith,
         "cypher_match": q_cypher_match,
         "ivf_cosine_topk": q_ivf_cosine_topk,
+        "near_dup_dedup": q_near_dup_dedup,
     }
 
 
@@ -2075,6 +2088,24 @@ def _all_oracle_sql() -> dict[str, str]:
     sql["minhash_lsh"] = _minhash_lsh_sql(
         threshold=0.5, num_hashes=64, bands=16, n=3
     )
+    # near-dup RESOLUTION twin: the same pair graph, collapsed to
+    # min-id components by a recursive walk (transitive closure)
+    sql["near_dup_dedup"] = f"""
+        WITH RECURSIVE
+        pairs AS ({_minhash_lsh_sql(threshold=0.5, num_hashes=64, bands=16, n=3)}),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs),
+        walk(node, comp) AS (
+            SELECT node, node
+            FROM (SELECT src AS node FROM sym UNION SELECT dst FROM sym)
+            UNION
+            SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node)
+        SELECT node AS doc_id, min(comp) AS canonical_id,
+               (node = min(comp)) AS kept
+        FROM walk GROUP BY node
+    """
     sql["simhash_near_dups"] = _simhash_sql(max_hamming=6, n=2)
     sql["lsh_cosine_topk"] = _lsh_topk_sql(
         k=10, dim=64, bits=8, tables=8, n_queries=5

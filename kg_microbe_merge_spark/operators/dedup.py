@@ -424,3 +424,63 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level near-duplicate RESOLUTION: the MinHash+LSH pair
+    graph collapsed into clusters via distributed connected components
+    (large-star/small-star — same machinery as entity canonicalization),
+    with the minimum id as each cluster's canonical survivor.
+
+    Output: ``(id_col, canonical_id, kept)`` for every document that has
+    at least one near-duplicate (singletons are absent — they are
+    trivially kept). This is the step that turns pairwise similarity
+    into an actual dedup decision: transitive chains (A~B~C with A≁C)
+    land in ONE cluster with one survivor, instead of the
+    pick-per-pair inconsistencies of greedy pairwise dropping.
+
+    Scale: the pair graph is tiny relative to the corpus (only
+    near-dups appear), CC converges in O(log² n) rounds over it; the
+    corpus itself is never shuffled here.
+    """
+    from .components import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, threshold, num_hashes, bands, n, text_col, id_col
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    m = connected_components(edges)
+    return m.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("canonical_id"),
+        (F.col("node") == F.col("component")).alias("kept"),
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus with near-duplicate losers removed: one survivor (the
+    minimum id) per cluster, everything else anti-joined away. The loser
+    list is the small side — Catalyst broadcasts it under the default
+    autoBroadcast threshold."""
+    losers = near_dup_clusters(
+        df, threshold, num_hashes, bands, n, text_col, id_col
+    ).filter(~F.col("kept")).select(id_col)
+    return df.join(losers, id_col, "left_anti")

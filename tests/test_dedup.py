@@ -199,3 +199,30 @@ def test_candidate_dedup_exchange_carries_no_payload(spark):
     for e in ex:
         assert "sh_a" not in e and "sh_b" not in e, e
         assert "hamming" in e, e
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    """A~B and B~C (A≁C directly) must land in ONE cluster with ONE
+    survivor — the decision greedy pairwise dropping gets wrong."""
+    from kg_microbe_merge_spark.operators.dedup import (
+        drop_near_duplicates,
+        near_dup_clusters,
+    )
+
+    base = " ".join(f"w{j}" for j in range(40))
+    rows = [
+        (1, base),
+        (2, base.replace("w3", "w3x")),            # ~ doc 1
+        (3, base.replace("w3", "w3x").replace("w30", "w30x")),  # ~ doc 2
+        (9, "completely unrelated text about spark adaptive execution "
+            "plans and shuffle partition coalescing strategies"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = near_dup_clusters(docs, threshold=0.5, num_hashes=32, bands=16, n=3)
+    got = {r["doc_id"]: (r["canonical_id"], r["kept"]) for r in clusters.collect()}
+    assert got.keys() == {1, 2, 3}  # singleton 9 absent
+    assert all(c == 1 for c, _ in got.values()), got
+    assert got[1][1] is True and got[2][1] is False and got[3][1] is False
+
+    kept = drop_near_duplicates(docs, threshold=0.5, num_hashes=32, bands=16, n=3)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 9}
