@@ -43,6 +43,7 @@ from kg_microbe_merge_spark.functions.text import (
 )
 from kg_microbe_merge_spark.functions.triples import extract_triples_regexp
 from kg_microbe_merge_spark.operators.components import connected_components
+from kg_microbe_merge_spark.operators.pagerank import pagerank
 from kg_microbe_merge_spark.operators.dedup import (
     dedup_exact,
     embedding_near_dups,
@@ -291,6 +292,44 @@ def _lsh_topk_sql(k: int, dim: int, bits: int, tables: int, n_queries: int) -> s
             FROM scored)
         WHERE rank <= {k}
     """
+
+
+def _pagerank_sql(iterations: int, damping: float) -> str:
+    """DuckDB twin of q_pagerank_kg: the identical power-iteration
+    recurrence unrolled as chained CTEs. Float parity: the damping /
+    teleport constants are Python-computed doubles inlined via ``repr``
+    (round-trips bit-exactly) and cast to DOUBLE before use, matching
+    ``F.lit(damping)`` / ``F.lit(1.0 - damping)``; per-node sums differ
+    only by summation order (~1e-13), absorbed by the final round(,6)."""
+    d = f"cast({damping!r} AS DOUBLE)"
+    t = f"cast({1.0 - damping!r} AS DOUBLE)"
+    ctes = [
+        """
+        e AS (
+            SELECT 'C' || o_custkey AS src, 'O' || o_orderkey AS dst
+            FROM orders
+            UNION ALL
+            SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (
+            SELECT src, cast(count(*) AS DOUBLE) AS outdeg
+            FROM e GROUP BY src),
+        r0 AS (SELECT node, cast(1.0 AS DOUBLE) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""
+        r{i} AS (
+            SELECT n.node, {t} + {d} * coalesce(s.c, 0.0) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / g.outdeg) AS c
+                FROM e JOIN r{i - 1} r ON e.src = r.node
+                       JOIN deg g ON e.src = g.src
+                GROUP BY e.dst) s ON n.node = s.node)""")
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"\n        SELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
 
 
 # DuckDB twin of operators.merge.pipe_agg (NULL-skipping sorted-distinct
@@ -993,6 +1032,24 @@ def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(e1.unionByName(e2))
 
 
+def q_pagerank_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (5 power iterations, d=0.85) over the same
+    customer→order / customer→nation KG as ``cc_components``. The DuckDB
+    twin unrolls the identical recurrence as 5 chained CTEs — an exact
+    oracle for an iterative DataFrame algorithm."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    e1 = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("dst"),
+    )
+    e2 = customer.select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    return pagerank(e1.unionByName(e2), iterations=5, damping=0.85)
+
+
 # ---------------------------------------------------------------------------
 # queries — training-data pipeline operators (documents / embeddings)
 
@@ -1364,6 +1421,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_match": q_cypher_match,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "near_dup_dedup": q_near_dup_dedup,
+        "pagerank_kg": q_pagerank_kg,
     }
 
 
@@ -2106,6 +2164,7 @@ def _all_oracle_sql() -> dict[str, str]:
                (node = min(comp)) AS kept
         FROM walk GROUP BY node
     """
+    sql["pagerank_kg"] = _pagerank_sql(iterations=5, damping=0.85)
     sql["simhash_near_dups"] = _simhash_sql(max_hamming=6, n=2)
     sql["lsh_cosine_topk"] = _lsh_topk_sql(
         k=10, dim=64, bits=8, tables=8, n_queries=5
