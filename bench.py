@@ -60,6 +60,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q18_large_orders",
     "cc_components",
+    "pagerank_kg",
+    "kmeans_clusters",
     "bgp_two_hop",
     "graph_stats_report",
     "triples_extract",

@@ -99,6 +99,9 @@ _CDATA_END = {
     t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _CDATA_TAGS
 }
 _AMP = "&"
+import html as _htmlmod  # noqa: E402  (module named like local vars below)
+
+_UNESCAPE = _htmlmod.unescape
 
 # html.parser's own tolerant tag grammar (public-stdlib module globals,
 # stable since CPython 3.5). If a future stdlib renames them the fast
@@ -156,9 +159,7 @@ def _fast_extract(src: str) -> str | None:
     def data(chunk: str) -> None:
         if skip_depth == 0 and chunk:
             if _AMP in chunk:
-                import html as _html
-
-                chunk = _html.unescape(chunk)
+                chunk = _UNESCAPE(chunk)
             buf.append(chunk)
 
     def flush() -> None:

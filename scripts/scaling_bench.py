@@ -169,9 +169,13 @@ warm-up run at every level.
 
 Interference rejection: every timed run is bracketed by a short
 pure-JVM codegen canary in the same session; a run is ACCEPTED only if
-both surrounding canaries are within 1.5× of the level's best canary
-(machine quiet before AND after), and sampling continues until at least
-max(3, {RUNS}) accepted runs. The reported wall is min over accepted
+(a) both surrounding canaries are within 1.5× of the level's best
+canary (machine quiet before AND after) AND (b) its wall is within
+1.3× of the level's best wall — bursts that start and end inside a
+run evade the canary bracket but cannot fake a cluster of fast runs.
+Sampling continues until at least max(3, {RUNS}) accepted runs (capped
+at 3× that), so the reported minimum is corroborated by ≥2 consistent
+repeats, never a lone sample. The reported wall is min over accepted
 runs — the `accepted` column shows how many samples survived. `busy HW
 threads` is the machine-wide non-idle CPU during the best run — the
 level's REAL hardware footprint.
