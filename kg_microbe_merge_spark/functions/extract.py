@@ -133,34 +133,70 @@ _ASCII_LETTERS = frozenset(
 #    startendtag-vs-starttag split.
 # Anything not matching (quotes in odd places, '<' or '>' in values,
 # '=' in names, …) silently falls to the exact tolerant path below.
-_SIMPLE_START_RE = re.compile(
-    r"<([a-zA-Z][a-zA-Z0-9.:_-]*)"
+_SIMPLE_START_BODY = (
+    r"([a-zA-Z][a-zA-Z0-9.:_-]*)"
     r"(?:\s+[a-zA-Z_:][a-zA-Z0-9_:.-]*"
     r"(?:\s*=\s*(?:'[^'<>]*'|\"[^\"<>]*\"|[a-zA-Z0-9_.:/,#?&%;~+-]+))?)*"
     r"\s*(/?)>"
 )
+_SIMPLE_START_RE = re.compile("<" + _SIMPLE_START_BODY)
 
-
-class _NeedsFallback(Exception):
-    """Raised inside the fast walker for inputs whose stdlib-parser
-    semantics it does not reproduce (EOF-inside-tag recovery, bogus
-    start-tag data emission)."""
+# Step-combined token: ONE C-level match consumes [leading text][one tag]
+# — or a whole attribute-less `<block>text</block>` element (the dominant
+# shape in web text) in a single step, bypassing the buf/flush machinery.
+# Three alternatives, tried in order:
+#   g1: inter-tag text (no '<');
+#   g2+g3: whole simple block — name ∈ _BLOCK_TAGS with an immediate '>'
+#          (so parse_starttag's extent is trivially the same), text with
+#          no '<', closed by `</name\s*>` (case-insensitive backref — a
+#          subset of endtagfind, identical extent). Semantics: flush old
+#          buf (start side-effect), emit normalized text as its own
+#          block (end side-effect) — exactly the parser's event order.
+#   g4+g5: generic simple start tag (the proven _SIMPLE_START_BODY
+#          subset grammar);
+#   g6: simple end tag `</name\s*>` (subset of endtagfind: no space
+#      before the name; identical extent).
+# Any position this regex rejects falls to the exact per-token path
+# below (tolerant-grammar mirror), so it is a pure fast lane: it only
+# accepts shapes where the extent and event equivalence is structural.
+_STEP_RE = re.compile(
+    r"([^<]*)"
+    r"(?:<(p|h[1-6]|li|div|article|section|td|th|blockquote|pre|title)>"
+    r"([^<]*)</\2\s*>"
+    r"|<" + _SIMPLE_START_BODY +
+    r"|</([a-zA-Z][a-zA-Z0-9.:_-]*)\s*>"
+    r")",
+    # ASCII: plain re.I is Unicode-case-folding, so [a-zA-Z] would admit
+    # exotic tag openers (ſ, K) that html.parser's case-SENSITIVE regexes
+    # reject as tags. re.A only narrows \s / letter classes → a miss here
+    # falls to the exact per-token path below (conservative-safe).
+    re.IGNORECASE | re.ASCII,
+)
 
 
 def _fast_extract(src: str) -> str | None:
-    """Regex walker; returns None when it meets a construct whose edge
-    semantics it does not reproduce (caller falls back to the parser)."""
+    """Single-pass regex walker mirroring HTMLParser.goahead(end=1) for
+    the construct subset that passes _RISKY_RE (no comments / PIs /
+    declarations, every '</' followed by a letter), with
+    convert_charrefs=True semantics. Returns None when it meets a
+    construct whose stdlib edge semantics it does not reproduce
+    (EOF-inside-tag recovery, bogus start-tag data emission) — the
+    caller falls back to the parser.
+
+    Hot loop is driven by _STEP_RE: one C-level match consumes the
+    inter-tag text plus one tag (or one whole attribute-less
+    <block>text</block> element) per iteration; handler side effects
+    (skip-container depth, block flushes) are inlined — no per-token
+    closure calls. Any position _STEP_RE rejects takes the exact
+    per-token branch below, which computes start-tag extents with
+    html.parser's OWN module regexes (locatestarttagend_tolerant /
+    tagfind_tolerant / attrfind_tolerant), mirroring parse_starttag /
+    parse_endtag / set_cdata_mode line-for-line."""
     if not _HAVE_TOLERANT:
         return None
     blocks: list[str] = []
     buf: list[str] = []
     skip_depth = 0
-
-    def data(chunk: str) -> None:
-        if skip_depth == 0 and chunk:
-            if _AMP in chunk:
-                chunk = _UNESCAPE(chunk)
-            buf.append(chunk)
 
     def flush() -> None:
         chunk = _WS_RE.sub(" ", "".join(buf)).strip()
@@ -168,38 +204,75 @@ def _fast_extract(src: str) -> str | None:
             blocks.append(chunk)
         buf.clear()
 
-    def start(tag: str) -> None:
-        nonlocal skip_depth
-        if tag in _SKIP_TAGS:
-            skip_depth += 1
-        elif tag in _BLOCK_TAGS and skip_depth == 0:
-            flush()
-
-    def end(tag: str) -> None:
-        nonlocal skip_depth
-        if tag in _SKIP_TAGS:
-            skip_depth = max(0, skip_depth - 1)
-        elif tag in _BLOCK_TAGS and skip_depth == 0:
-            flush()
-
-    try:
-        return _walk(src, data, flush, start, end, blocks)
-    except _NeedsFallback:
-        return None
-
-
-def _walk(src, data, flush, start, end, blocks):
-    """Mirror of HTMLParser.goahead(end=1) for the construct subset that
-    passes _RISKY_RE (no comments/PI/declarations, every '</' followed by
-    a letter), with convert_charrefs=True semantics."""
     pos = 0
     n = len(src)
+    step = _STEP_RE.match
     while pos < n:
+        # -- fast lane: text + one tag (or a whole simple block) per match
+        m = step(src, pos)
+        if m is not None:
+            text, bname, btext, gname, gslash, ename = m.groups()
+            if skip_depth == 0 and text:
+                if _AMP in text:
+                    text = _UNESCAPE(text)
+                buf.append(text)
+            if bname is not None:
+                # whole <block>text</block>: start-flush, then the text
+                # becomes its own block (end-flush) without a buf trip
+                if skip_depth == 0:
+                    flush()
+                    if btext:
+                        if _AMP in btext:
+                            btext = _UNESCAPE(btext)
+                        btext = _WS_RE.sub(" ", btext).strip()
+                        if btext:
+                            blocks.append(btext)
+                pos = m.end()
+                continue
+            if gname is not None:
+                tag = gname.lower()
+                pos = m.end()
+                if gslash:
+                    # handle_startendtag = start+end, no CDATA mode; for
+                    # a skip tag the +1/-1 cancels, so only block flushes
+                    if tag in _BLOCK_TAGS and skip_depth == 0:
+                        flush()
+                        flush()
+                    continue
+                if tag in _SKIP_TAGS:
+                    skip_depth += 1
+                    if tag in _CDATA_TAGS:
+                        # set_cdata_mode: raw data until r'</\s*tag\s*>'
+                        # (re.I); unterminated CDATA swallows the rest
+                        em = _CDATA_END[tag].search(src, pos)
+                        if em is None:
+                            break
+                        skip_depth -= 1
+                        pos = em.end()
+                elif tag in _BLOCK_TAGS and skip_depth == 0:
+                    flush()
+                continue
+            tag = ename.lower()
+            pos = m.end()
+            if tag in _SKIP_TAGS:
+                skip_depth = max(0, skip_depth - 1)
+            elif tag in _BLOCK_TAGS and skip_depth == 0:
+                flush()
+            continue
+        # -- exact per-token path (tolerant grammar mirror)
         lt = src.find("<", pos)
         if lt < 0:
-            data(src[pos:])
+            if skip_depth == 0 and pos < n:
+                chunk = src[pos:]
+                if _AMP in chunk:
+                    chunk = _UNESCAPE(chunk)
+                buf.append(chunk)
             break
-        data(src[pos:lt])
+        if skip_depth == 0 and lt > pos:
+            chunk = src[pos:lt]
+            if _AMP in chunk:
+                chunk = _UNESCAPE(chunk)
+            buf.append(chunk)
         nxt = src[lt + 1 : lt + 2]
         if nxt in _ASCII_LETTERS:
             sm = _SIMPLE_START_RE.match(src, lt)
@@ -220,10 +293,10 @@ def _walk(src, data, flush, start, end, blocks):
                     else:
                         # check_for_whole_start_tag returns -1 ("buffer
                         # boundary") → goahead(end=1) recovery path
-                        raise _NeedsFallback
+                        return None
                 elif ch == "" or ch in _ASCII_LETTERS or ch == "=":
                     # EOF inside the tag → goahead(end=1) recovery path
-                    raise _NeedsFallback
+                    return None
                 else:
                     endpos = j
                 nm = _TAGFIND.match(src, lt + 1)
@@ -243,51 +316,57 @@ def _walk(src, data, flush, start, end, blocks):
                     # parse_starttag emits the raw tag text as data (no
                     # unescape) — near-unreachable under the tolerant
                     # grammar; take the stdlib path rather than replicate
-                    raise _NeedsFallback
+                    return None
+            pos = endpos
             if selfclosing:
-                start(tag)  # handle_startendtag: no CDATA mode
-                end(tag)
-                pos = endpos
-            else:
-                start(tag)
-                pos = endpos
+                # start+end pair: skip +1/-1 cancels, block double-flush
+                if tag in _BLOCK_TAGS and skip_depth == 0:
+                    flush()
+                    flush()
+            elif tag in _SKIP_TAGS:
+                skip_depth += 1
                 if tag in _CDATA_TAGS:
-                    # set_cdata_mode: raw data until r'</\s*tag\s*>' (re.I);
-                    # unterminated CDATA swallows the rest of the document
                     em = _CDATA_END[tag].search(src, pos)
                     if em is None:
                         break
-                    end(tag)
+                    skip_depth -= 1
                     pos = em.end()
+            elif tag in _BLOCK_TAGS and skip_depth == 0:
+                flush()
         elif nxt == "/":
             # --- parse_endtag (cdata_elem is None; '</'+letter
             # guaranteed by _RISKY_RE) ---
             em = _ENDTAGFIND.match(src, lt)
             if em is not None:
-                end(em.group(1).lower())
+                tag = em.group(1).lower()
                 pos = em.end()
-                continue
-            if src.find(">", lt + 1) < 0:
-                raise _NeedsFallback  # incomplete end tag at EOF
-            nm = _TAGFIND.match(src, lt + 2)
-            if nm is None:
-                # '</' + non-letter: html.parser bogus-comment recovery
-                # (pre-filtered by _RISKY_RE in extract_text_py; reached
-                # only when _fast_extract is called standalone)
-                raise _NeedsFallback
-            gtpos = src.find(">", nm.end())
-            if gtpos < 0:
-                raise _NeedsFallback
-            end(nm.group(1).lower())
-            pos = gtpos + 1
+            else:
+                if src.find(">", lt + 1) < 0:
+                    return None  # incomplete end tag at EOF
+                nm = _TAGFIND.match(src, lt + 2)
+                if nm is None:
+                    # '</' + non-letter: html.parser bogus-comment
+                    # recovery (pre-filtered by _RISKY_RE in
+                    # extract_text_py; reached only standalone)
+                    return None
+                gtpos = src.find(">", nm.end())
+                if gtpos < 0:
+                    return None
+                tag = nm.group(1).lower()
+                pos = gtpos + 1
+            if tag in _SKIP_TAGS:
+                skip_depth = max(0, skip_depth - 1)
+            elif tag in _BLOCK_TAGS and skip_depth == 0:
+                flush()
         elif nxt == "!" or nxt == "?":
             # comment/PI/declaration — pre-filtered by _RISKY_RE in
             # extract_text_py; standalone callers fall back here
-            raise _NeedsFallback
+            return None
         else:
             # '<' + non-tag-opener: one literal '<' of data. At EOF the
             # goahead footer flushes it as data too — same result.
-            data("<")
+            if skip_depth == 0:
+                buf.append("<")
             pos = lt + 1
     flush()
     return "\n".join(blocks)

@@ -62,7 +62,19 @@ def test_fast_path_equals_stdlib_parser_on_pinned_cases():
                                # CDATA end-tag matching is the stdlib's
                                # full r"</\s*script\s*>" (case-insensitive)
                                b"<script>x</SCRIPT>y<p>v</p>",
-                               b"<script>x</script junk>y</script><p>w</p>"]:
+                               b"<script>x</script junk>y</script><p>w</p>",
+                               # step-lane (whole-block / combined-token)
+                               # edges: backref case, \s before '>',
+                               # Unicode case-folding tag openers that
+                               # html.parser does NOT treat as tags
+                               "<ſpan>x</ſpan>".encode(),
+                               "<Ka>x".encode(),
+                               b"a<P>x</p>b", b"<p>x</P >",
+                               "<p>x</p >".encode(),
+                               b"<TITLE>t</title>", b"<pre>a  b</PRE>",
+                               b"<p>&am</p>p;", b"<td>x</td>y</td>",
+                               b"<p/><p></p>", b"<h1>x</h2>",
+                               b"<foo-bar>x</foo-bar><p>y</p>"]:
         src = html.decode("utf-8", errors="replace")
         fast = ex._fast_extract(src)
         if fast is None:
@@ -84,12 +96,14 @@ def test_fast_path_equals_stdlib_parser_property():
 
     tag = st.sampled_from(
         ["p", "div", "li", "nav", "script", "style", "span", "b", "em",
-         "header", "footer", "article", "td", "h1", "P", "DIV", "foo-bar"]
+         "header", "footer", "article", "td", "h1", "P", "DIV", "foo-bar",
+         "title", "pre", "LI", "Td", "h2"]
     )
     piece = st.one_of(
-        st.text(alphabet="ab &<>;/xyz.\t\n 'é&amp;&lt;q\"=", max_size=12),
+        st.text(alphabet="ab &<>;/xyz.\t\n 'é&amp;&lt;q\"= ſK", max_size=12),
         tag.map(lambda t: f"<{t}>"),
         tag.map(lambda t: f"</{t}>"),
+        tag.map(lambda t: f"</{t} >"),
         tag.map(lambda t: f"<{t} class='x'>"),
         tag.map(lambda t: f"<{t}/>"),
         tag.map(lambda t: f"<{t} a=b/>"),
