@@ -1020,6 +1020,27 @@ def q_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(docs, threshold=0.5, num_hashes=64, bands=16, n=3)
 
 
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: held-out benchmark = deterministic 5%
+    id-hash slice of documents; for every training doc (the complement),
+    count distinct 3-gram shingles and how many also occur in the
+    benchmark (operators.dedup.benchmark_contamination — broadcast
+    benchmark shingle set, ONE corpus-side exchange). Exact integer
+    counts; only contaminated docs returned."""
+    from kg_microbe_merge_spark.operators.dedup import benchmark_contamination
+    from kg_microbe_merge_spark.operators.split import (
+        deterministic_complement,
+        deterministic_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = deterministic_sample(docs, 0.05, id_col="doc_id", salt="bench")
+    train = deterministic_complement(docs, 0.05, id_col="doc_id", salt="bench")
+    return benchmark_contamination(train, bench, n=3).filter(
+        F.col("n_contaminated") > 0
+    )
+
+
 def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged-graph summary report (legacy KGX graph-stats analogue,
     reference merge.py:50-60): node count per merged category, edge
@@ -1482,6 +1503,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_match": q_cypher_match,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "near_dup_dedup": q_near_dup_dedup,
+        "benchmark_contamination": q_benchmark_contamination,
     }
 
 
@@ -1994,6 +2016,38 @@ def _all_oracle_sql() -> dict[str, str]:
                min(quality) AS quality
         FROM filtered
         GROUP BY md5({_norm})
+    """
+
+    # 3-gram shingle universe (strings in DuckDB vs 60-bit hashes in
+    # Spark — identical distinct/membership counts modulo md5 collisions,
+    # same accepted equivalence as ngram_jaccard). Benchmark = the
+    # deterministic 5% ':bench' id-hash slice; train = complement.
+    sql["benchmark_contamination"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_toks} AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3
+                        THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                            for i in range(1, len(t) - 1)])
+                        ELSE [array_to_string(t, ' ')] END AS s
+            FROM toks),
+        ex AS (
+            SELECT doc_id, unnest(s) AS shingle FROM sh),
+        bench AS (
+            SELECT DISTINCT shingle FROM ex
+            WHERE ({_h60("doc_id::VARCHAR || ':bench'")} % 10000) < 500),
+        train AS (
+            SELECT doc_id, shingle FROM ex
+            WHERE ({_h60("doc_id::VARCHAR || ':bench'")} % 10000) >= 500)
+        SELECT doc_id,
+               cast(count(*) AS BIGINT) AS n_shingles,
+               cast(count(CASE WHEN shingle IN (SELECT shingle FROM bench)
+                          THEN 1 END) AS BIGINT) AS n_contaminated
+        FROM train
+        GROUP BY doc_id
+        HAVING count(CASE WHEN shingle IN (SELECT shingle FROM bench)
+                     THEN 1 END) > 0
     """
 
     sql["ngram_jaccard"] = f"""

@@ -484,3 +484,42 @@ def drop_near_duplicates(
         df, threshold, num_hashes, bands, n, text_col, id_col
     ).filter(~F.col("kept")).select(id_col)
     return df.join(losers, id_col, "left_anti")
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/test contamination check: per training document, how many of
+    its distinct word-``n``-gram shingles appear ANYWHERE in the
+    held-out ``benchmark`` set.
+
+    Returns ``(doc_id, n_shingles, n_contaminated)`` — consumers derive
+    the contamination fraction and apply their own removal threshold
+    (both counts are exact integers, so the result is float-free and
+    engine-portable).
+
+    100 TB design: the benchmark side is the tiny one (eval suites are
+    MBs against a TB-scale corpus), so its distinct shingle set is
+    BROADCAST — the corpus side is touched by exactly ONE exchange (the
+    per-doc count aggregation, with map-side partial counts); shingle
+    production itself is row-local (``shingle_postings``, zero
+    exchange). Both counts come from the same single pass: a broadcast
+    left join marks each posting as hit/miss, and one aggregation
+    counts postings and hits together.
+    """
+    doc_sh = shingle_postings(docs, n, text_col, id_col)
+    bench_sh = (
+        shingle_postings(benchmark, n, text_col, id_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    marked = doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("_hit").alias("n_contaminated"),
+    )

@@ -100,3 +100,17 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(round(frac * _BUCKETS)))
         ).otherwise(bound)
     return df.filter(_bucket(F.col(id_col), salt) < bound)
+
+
+def deterministic_complement(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Exactly the rows :func:`deterministic_sample` with the same
+    arguments does NOT keep — a disjoint, exhaustive train/held-out
+    partition of ``df`` (same hash, complementary bucket range), still
+    shuffle-free and growth-stable."""
+    bound = int(round(fraction * _BUCKETS))
+    return df.filter(_bucket(F.col(id_col), salt) >= bound)

@@ -226,3 +226,45 @@ def test_near_dup_clusters_transitive_chain(spark):
 
     kept = drop_near_duplicates(docs, threshold=0.5, num_hashes=32, bands=16, n=3)
     assert {r["doc_id"] for r in kept.collect()} == {1, 9}
+
+
+def test_benchmark_contamination_counts(spark):
+    """Hand-checkable fixture: doc t1 shares its full shingle set with
+    benchmark doc b1, t2 shares exactly one 3-gram, t3 shares none.
+    Counts are exact integers (distinct 3-gram shingles per doc)."""
+    from kg_microbe_merge_spark.operators.dedup import benchmark_contamination
+
+    train = spark.createDataFrame(
+        [("t1", "alpha beta gamma delta"),
+         ("t2", "zz yy alpha beta gamma qq rr"),
+         ("t3", "one two three four five")],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [("b1", "alpha beta gamma delta")], "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_contaminated"])
+        for r in benchmark_contamination(train, bench, n=3).collect()
+    }
+    # t1: shingles {abc, bcd} (2), both in bench; t2: 5 shingles, only
+    # 'alpha beta gamma' shared; t3: 3 shingles, none shared
+    assert got["t1"] == (2, 2)
+    assert got["t2"] == (5, 1)
+    assert got["t3"] == (3, 0)
+
+
+def test_deterministic_complement_partitions(spark):
+    """sample + complement = exact disjoint exhaustive partition."""
+    from kg_microbe_merge_spark.operators.split import (
+        deterministic_complement,
+        deterministic_sample,
+    )
+
+    df = spark.range(500).select(F.col("id").cast("string").alias("doc_id"))
+    s = set(r["doc_id"] for r in
+            deterministic_sample(df, 0.3, id_col="doc_id").collect())
+    c = set(r["doc_id"] for r in
+            deterministic_complement(df, 0.3, id_col="doc_id").collect())
+    assert s.isdisjoint(c)
+    assert len(s) + len(c) == 500
