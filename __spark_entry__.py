@@ -1325,6 +1325,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed 256-token training sequences (the
+    pre-training "pack short docs into budget-sized rows" step):
+    deterministic cumulative-sum packing inside 8 hashed packer groups.
+    ONE exchange (the window's hash partitioning); the layout is a pure
+    function of the id set — reproducible across runs, partitionings
+    and engines, hence exactly SQL-mirrorable."""
+    from kg_microbe_merge_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tok")
+    )
+    p = pack_sequences(d, budget=256, n_packers=8)
+    return p.orderBy("packer", "seq_id", "offset", "doc_id")
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: language filter → token-count
     bounds → quality threshold → exact-dedup representative selection.
@@ -1433,6 +1449,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate truncated before reaching
         "pagerank_kg": q_pagerank_kg,
         "kmeans_clusters": q_kmeans_clusters,
+        "sequence_packing": q_sequence_packing,
+        "near_dup_dedup": q_near_dup_dedup,
+        "benchmark_contamination": q_benchmark_contamination,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
+        "cypher_match": q_cypher_match,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -1449,26 +1470,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_star_agg": q_join_star_agg,
         "semi_join": q_semi_join,
         "topk_per_group": q_topk_per_group,
-        "global_topk": q_global_topk,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
         "rolling_stats": q_rolling_stats,
-        "set_ops": q_set_ops,
         "asof_enrich": q_asof_enrich,
         "json_extract": q_json_extract,
         "s2_union_align": q_s2_union_align,
         "percentiles": q_percentiles,
         "q3_shipping_priority": q_q3_shipping_priority,
-        "q18_large_orders": q_q18_large_orders,
         "cube_agg": q_cube_agg,
-        "string_funcs": q_string_funcs,
         "range_band_join": q_range_band_join,
         "fuzzy_levenshtein": q_fuzzy_levenshtein,
         "bgp_two_hop": q_bgp_two_hop,
         "bgp_filter_optional": q_bgp_filter_optional,
         "graph_stats_report": q_graph_stats,
         "cc_components": q_cc_components,
-        "cc_chain_hub": q_cc_chain_hub,
         "triples_extract": q_triples_extract,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
@@ -1488,9 +1504,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the 50-entry driver gate as redundant
     variants of gated queries (a3 salted/skew-aware ≡ a3 plain + salted
     branch + property/parity tests; anti_join ≡ j2_coverage_anti;
-    lag_delta shares its window operator with gated rolling_stats).
-    Still oracle-checked by scripts/check_correctness.py and pytest;
-    their round-2 driver rows were green."""
+    lag_delta shares its window operator with gated rolling_stats;
+    cc_chain_hub is the adversarial variant of gated cc_components with
+    its own networkx + recursive-CTE pytest oracles; set_ops/global_topk/
+    string_funcs/q18_large_orders had green round-2 driver rows and
+    their capabilities stay gated via u1_endpoint_union, topk_per_group,
+    the string functions used across gated queries, and q1/q3).
+    Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "a3_nodes_group_merge_salted": q_a3_salted,
         "a3_nodes_group_merge_skew_aware": q_a3_skew_aware,
@@ -1500,10 +1520,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "unpivot_stats": q_unpivot_stats,
         "date_arith": q_date_arith,
-        "cypher_match": q_cypher_match,
-        "ivf_cosine_topk": q_ivf_cosine_topk,
-        "near_dup_dedup": q_near_dup_dedup,
-        "benchmark_contamination": q_benchmark_contamination,
+        "cc_chain_hub": q_cc_chain_hub,
+        "set_ops": q_set_ops,
+        "global_topk": q_global_topk,
+        "string_funcs": q_string_funcs,
+        "q18_large_orders": q_q18_large_orders,
     }
 
 
@@ -2284,6 +2305,32 @@ def _all_oracle_sql() -> dict[str, str]:
     sql["lsh_cosine_topk"] = _lsh_topk_sql(
         k=10, dim=64, bits=8, tables=8, n_queries=5
     )
+
+    # Twin of q_sequence_packing: same hash order, same running-total
+    # window, same floor/mod layout arithmetic (budget=256, 8 packers).
+    _PACK_H = _h60("doc_id::VARCHAR || ':pack'")
+    sql["sequence_packing"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS BIGINT) AS tokens,
+                   ({_PACK_H}) % 8 AS packer,
+                   ({_PACK_H}) AS _order
+            FROM documents),
+        w AS (
+            SELECT doc_id, packer, tokens,
+                   cast(sum(tokens) OVER (
+                       PARTITION BY packer ORDER BY _order, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - tokens AS BIGINT) AS cum_before
+            FROM d)
+        SELECT doc_id, packer,
+               cast(floor(cum_before / 256) AS BIGINT) AS seq_id,
+               cum_before % 256 AS "offset",
+               tokens
+        FROM w
+    """
 
     # Twin of q_multimodal_features: the media table is a pure function
     # of sha256(text)/doc_id, so features + frame counts mirror exactly.

@@ -1,1 +1,14 @@
-from . import asof, components, dedup, guards, merge, multimodal, similarity, split, stats  # noqa: F401
+from . import (  # noqa: F401
+    asof,
+    components,
+    dedup,
+    guards,
+    kmeans,
+    merge,
+    multimodal,
+    packing,
+    pagerank,
+    similarity,
+    split,
+    stats,
+)
