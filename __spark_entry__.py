@@ -1126,6 +1126,31 @@ def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(e1.unionByName(e2))
 
 
+def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source k-hop BFS (operators/bfs.py) over the same
+    customer–order–nation KG as ``cc_components``, undirected, from two
+    nation seeds, max 2 hops — hop layers: seed nations (0), their
+    customers (1), those customers' orders (2). Oracle: DuckDB
+    recursive CTE bounded at dist<2 with min-dist aggregation."""
+    from kg_microbe_merge_spark.operators.bfs import bfs_distances
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    e1 = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("dst"),
+    )
+    e2 = customer.select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    seeds = spark.createDataFrame([("N1",), ("N2",)], ["id"])
+    return bfs_distances(
+        e1.unionByName(e2), seeds, max_hops=2, src="src", dst="dst",
+        directed=False,
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (2 assignment passes, k=4) over the embeddings
     table — deterministic hash60 init, all cross-engine floats rounded
@@ -1472,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 operators, then the five the round-2 driver gate
         # truncated before reaching
         "kg_incremental_upsert": q_kg_incremental_upsert,
+        "bfs_khop": q_bfs_khop,
         "pagerank_kg": q_pagerank_kg,
         "kmeans_clusters": q_kmeans_clusters,
         "sequence_packing": q_sequence_packing,
@@ -1520,7 +1546,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "holdout_split": q_holdout_split,
         "deterministic_sample": q_deterministic_sample,
-        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1535,10 +1560,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     their capabilities stay gated via u1_endpoint_union, topk_per_group,
     the string functions used across gated queries, and q1/q3;
     array_funcs had a green round-2 driver row and its array surface is
-    exercised by the gated dedup/similarity/packing queries).
+    exercised by the gated dedup/similarity/packing queries;
+    stratified_sample had a green round-2 driver row, shares its
+    hash-bucket sampling core with gated deterministic_sample, and keeps
+    per-stratum pytest coverage in test_split).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "array_funcs": q_array_funcs,
+        "stratified_sample": q_stratified_sample,
         "a3_nodes_group_merge_salted": q_a3_salted,
         "a3_nodes_group_merge_skew_aware": q_a3_skew_aware,
         "anti_join": q_anti_join,
@@ -1888,6 +1917,28 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN rep USING (c_nationkey)
+    """
+
+    # bounded recursive closure with min-dist aggregation: UNION
+    # (distinct) on (id, dist) pairs terminates because dist <= 2
+    sql["bfs_khop"] = """
+        WITH RECURSIVE base AS (
+            SELECT 'C' || o_custkey AS s, 'O' || o_orderkey AS d
+            FROM orders
+            UNION ALL
+            SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer),
+        sym AS (
+            SELECT DISTINCT s, d FROM (
+                SELECT s, d FROM base UNION ALL SELECT d, s FROM base)
+            WHERE s <> d),
+        walk(id, dist) AS (
+            SELECT id, 0 FROM (VALUES ('N1'), ('N2')) v(id)
+            UNION
+            SELECT sym.d, walk.dist + 1
+            FROM walk JOIN sym ON sym.s = walk.id
+            WHERE walk.dist < 2)
+        SELECT id, CAST(min(dist) AS INTEGER) AS dist
+        FROM walk GROUP BY id
     """
 
     sql["bgp_two_hop"] = """
