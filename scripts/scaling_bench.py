@@ -31,7 +31,19 @@ RUNS = os.environ.get("SCALING_RUNS", "5")
 LEVEL_TIMEOUT = int(os.environ.get("SCALING_LEVEL_TIMEOUT", "2400"))
 
 
-def _run(script: str, *args: str) -> dict:
+# Hard CPU-affinity enforcement (default ON): each level's whole process
+# tree — JVM task threads, GC, AND the out-of-process Python UDF workers
+# — is pinned to exactly N hardware threads with `taskset -c 0..N-1`.
+# Without pinning, "local[2]" borrows ~3.1 HW threads for its Python
+# workers (measured, see BASELINE.md history), deflating the low level's
+# wall and with it the pair efficiency; a real N-core cluster allocation
+# gives the executor AND its Python workers the same N cores, which is
+# exactly what the pin models. Disable with SCALING_TASKSET=0 to
+# reproduce the unpinned (footprint-drifting) view.
+TASKSET = os.environ.get("SCALING_TASKSET", "1") != "0"
+
+
+def _run(script: str, *args: str, cores: int | None = None) -> dict:
     """One measurement subprocess, with a hang cap + retry: local-mode
     PySpark can wedge when a Python worker's socket pair dies without
     EOF (observed: one executor thread parked in
@@ -40,10 +52,13 @@ def _run(script: str, *args: str) -> dict:
     JVM — measurements already inside the run are simply discarded, the
     canary-acceptance protocol makes the retry unbiased."""
     last_err = None
+    cmd = [sys.executable, script, *args]
+    if TASKSET and cores:
+        cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0", *cmd]
     for attempt in range(3):
         try:
             out = subprocess.run(
-                [sys.executable, script, *args],
+                cmd,
                 capture_output=True,
                 text=True,
                 cwd="/root/repo",
@@ -82,7 +97,8 @@ def main() -> None:
         spark.stop()
 
     results = {
-        c: _run("scripts/scaling_run.py", str(c), corpus_dir) for c in LEVELS
+        c: _run("scripts/scaling_run.py", str(c), corpus_dir, cores=c)
+        for c in LEVELS
     }
     # JVM compute control at EVERY level (not just the top pair): the
     # per-pair control efficiency is the machine's same-window ceiling
@@ -90,7 +106,8 @@ def main() -> None:
     # efficiency — it attributes each pair's gap between the engine and
     # the shared box quantitatively.
     control = {
-        c: _run("scripts/scaling_cpu_control.py", str(c)) for c in LEVELS
+        c: _run("scripts/scaling_cpu_control.py", str(c), cores=c)
+        for c in LEVELS
     }
 
     pairs = {}
@@ -132,6 +149,7 @@ def main() -> None:
         "scaling_efficiency": pairs.get(headline_pair) if headline_pair else None,
         "loadavg_at_start": load_before,
         "runs_per_level": int(RUNS),
+        "cpu_pinned": TASKSET,
     }
     print(json.dumps(summary))
 
@@ -166,6 +184,8 @@ linking → provenance-preserving KGX edge merge) on the IDENTICAL seeded
 corpus ({N_DOCS} documents, seed 42, 256 input files), measured
 end-to-end wall-clock per level in a fresh JVM with an untimed full
 warm-up run at every level.
+
+CPU pinning: {"ON — each level's entire process tree (JVM task threads, GC, and the out-of-process Python UDF workers) is hard-pinned to exactly N hardware threads with `taskset -c 0..N-1`, the faithful model of an N-core cluster allocation where executors and their Python workers share the same cores. Without the pin, low levels borrow extra HW threads for Python workers (local[2] measured ~3.1 busy threads in earlier rounds), deflating their wall and the pair efficiency." if TASKSET else "OFF (SCALING_TASKSET=0) — levels may occupy more HW threads than their nominal core count; see busy-HW-threads column."}
 
 Interference rejection: every timed run is bracketed by a short
 pure-JVM codegen canary in the same session; a run is ACCEPTED only if
