@@ -1151,6 +1151,33 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/triangles.py, degree-oriented
+    wedge join) over a supplier–nation–region graph where every supplier
+    closes exactly one triangle with its nation and region. Oracle:
+    generic 3-way self-join enumeration with a<b<c ordering."""
+    from kg_microbe_merge_spark.operators.triangles import triangle_counts
+
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    e1 = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("subject"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("object"),
+    )
+    e2 = supplier.select(
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("subject"),
+        F.concat(F.lit("N"), F.col("s_nationkey")).alias("object"),
+    )
+    e3 = (
+        supplier.join(nation, supplier["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("subject"),
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("object"),
+        )
+    )
+    return triangle_counts(e1.unionByName(e2).unionByName(e3))
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (2 assignment passes, k=4) over the embeddings
     table — deterministic hash60 init, all cross-engine floats rounded
@@ -1498,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # truncated before reaching
         "kg_incremental_upsert": q_kg_incremental_upsert,
         "bfs_khop": q_bfs_khop,
+        "triangle_counts": q_triangle_counts,
         "pagerank_kg": q_pagerank_kg,
         "kmeans_clusters": q_kmeans_clusters,
         "sequence_packing": q_sequence_packing,
@@ -1523,7 +1551,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
-        "rolling_stats": q_rolling_stats,
         "asof_enrich": q_asof_enrich,
         "json_extract": q_json_extract,
         "s2_union_align": q_s2_union_align,
@@ -1563,11 +1590,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exercised by the gated dedup/similarity/packing queries;
     stratified_sample had a green round-2 driver row, shares its
     hash-bucket sampling core with gated deterministic_sample, and keeps
-    per-stratum pytest coverage in test_split).
+    per-stratum pytest coverage in test_split;
+    rolling_stats had a green round-2 driver row and the window-function
+    family stays gated via sessionization, with lag_delta and
+    rolling_1h_range keeping local oracles here).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "array_funcs": q_array_funcs,
         "stratified_sample": q_stratified_sample,
+        "rolling_stats": q_rolling_stats,
         "a3_nodes_group_merge_salted": q_a3_salted,
         "a3_nodes_group_merge_skew_aware": q_a3_skew_aware,
         "anti_join": q_anti_join,
@@ -1939,6 +1970,33 @@ def _all_oracle_sql() -> dict[str, str]:
             WHERE walk.dist < 2)
         SELECT id, CAST(min(dist) AS INTEGER) AS dist
         FROM walk GROUP BY id
+    """
+
+    # generic triangle enumeration: undirected simple edges, each
+    # triangle once via a<b<c (e1=(a,b), e2=(b,c), e3=(a,c))
+    sql["triangle_counts"] = """
+        WITH raw AS (
+            SELECT 'N' || n_nationkey AS s, 'R' || n_regionkey AS d
+            FROM nation
+            UNION ALL
+            SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'S' || s_suppkey, 'R' || n_regionkey
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        und AS (
+            SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+            FROM raw WHERE s <> d),
+        tri AS (
+            SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (
+            SELECT u AS id FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri)
+        SELECT id, CAST(count(*) AS BIGINT) AS triangles
+        FROM corners GROUP BY id
     """
 
     sql["bgp_two_hop"] = """
