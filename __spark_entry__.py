@@ -45,8 +45,14 @@ from kg_microbe_merge_spark.functions.triples import extract_triples_regexp
 from kg_microbe_merge_spark.operators.components import connected_components
 from kg_microbe_merge_spark.operators.kmeans import kmeans_assignments
 from kg_microbe_merge_spark.operators.pagerank import pagerank
+from kg_microbe_merge_spark.functions.quality_model import (
+    hashed_linear_score,
+    hashed_linear_score_sql,
+    model_keep,
+)
 from kg_microbe_merge_spark.operators.dedup import (
     dedup_exact,
+    duplicated_span_stats,
     embedding_near_dups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -136,6 +142,41 @@ def _shingle_cte_sql(n: int) -> str:
                      THEN [{_h60(gram)} for i in range(1, len(t) - {n - 2})]
                      ELSE [{_h60(whole)}] END)) AS shingle
             FROM toks)
+    """
+
+
+def _kcore_sql(base_edges: str, k: int, rounds: int) -> str:
+    """DuckDB twin of operators.kcore.kcore_nodes: the peel recurrence
+    unrolled as chained CTEs. Peeling is a monotone fixpoint, so any
+    ``rounds`` ≥ the convergence depth yields the exact k-core (extra
+    rounds are no-ops); tests/test_kcore.py pins the gate graph's depth
+    safely below the unroll count."""
+    # AS MATERIALIZED: each round references the previous CTE three
+    # times; without materialization DuckDB inlines the references and
+    # the plan blows up 3^rounds.
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, "
+        f"greatest(s, d) AS b FROM ({base_edges}) WHERE s <> d)"
+    ]
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        ctes.append(
+            f"n{i} AS MATERIALIZED (SELECT node FROM (SELECT a AS node "
+            f"FROM {p} UNION ALL SELECT b FROM {p}) GROUP BY node "
+            f"HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT a, b FROM {p} "
+            f"WHERE a IN (SELECT node FROM n{i}) "
+            f"AND b IN (SELECT node FROM n{i}))"
+        )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT node AS id, cast(count(*) AS BIGINT) AS core_degree
+        FROM (SELECT a AS node FROM e{rounds}
+              UNION ALL SELECT b FROM e{rounds})
+        GROUP BY node
     """
 
 
@@ -1242,6 +1283,82 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (functions/quality_model.py): a
+    hashed-feature linear classifier (fastText/CCNet-style filter-model
+    inference) scored entirely JVM-side — the integer weight table is
+    inlined as an array literal into whole-stage codegen, tokens reuse
+    the row-local normalize+split, ZERO shuffle / zero Python. Exact
+    oracle: integer fold + one rounded double division."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count_ws(t).alias("n_tok"),
+        hashed_linear_score(t).alias("model_score"),
+        model_keep(t, threshold=0.0).alias("keep"),
+    )
+
+
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-SPAN detection (operators/dedup.py
+    duplicated_span_stats — the substring-dedup signal of Lee et al.):
+    share of each document's distinct 8-token spans occurring in ≥2
+    distinct documents. Two hash-keyed exchanges; span production is
+    row-local."""
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_span_stats(d, n=8, min_df=2)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the combined KG (operators/kcore.py, iterative peeling):
+    supplier–nation–region triangles UNION the customer–order/nation
+    tree. Peeling strips the dangling order leaves, then the
+    customer chains, then nations left without suppliers — the surviving
+    core is the densely-connected S/N/R cluster structure. Oracle:
+    peel rounds unrolled as chained DuckDB CTEs (monotone fixpoint, so
+    extra unrolled rounds are no-ops)."""
+    from kg_microbe_merge_spark.operators.kcore import kcore_nodes
+
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    edges = (
+        nation.select(
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+        )
+        .unionByName(
+            supplier.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            supplier.join(
+                nation, supplier["s_nationkey"] == nation["n_nationkey"]
+            ).select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("O"), F.col("o_orderkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            customer.select(
+                F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+    )
+    return kcore_nodes(edges, k=2, src="src", dst="dst")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index,
     over the stop-shingle-filtered universe (doc-freq ceiling 50)."""
@@ -1523,6 +1640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # least-proven first so they always get a verdict: the newest
         # round-3 operators, then the five the round-2 driver gate
         # truncated before reaching
+        "quality_model_score": q_quality_model,
+        "duplicated_spans": q_duplicated_spans,
+        "kcore_2": q_kcore,
         "kg_incremental_upsert": q_kg_incremental_upsert,
         "bfs_khop": q_bfs_khop,
         "triangle_counts": q_triangle_counts,
@@ -1547,15 +1667,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_count_distinct": q_a2_count_distinct,
         "q1_pricing_summary": q_q1_pricing_summary,
         "join_star_agg": q_join_star_agg,
-        "semi_join": q_semi_join,
         "topk_per_group": q_topk_per_group,
-        "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
         "asof_enrich": q_asof_enrich,
         "json_extract": q_json_extract,
         "s2_union_align": q_s2_union_align,
         "percentiles": q_percentiles,
-        "q3_shipping_priority": q_q3_shipping_priority,
         "cube_agg": q_cube_agg,
         "range_band_join": q_range_band_join,
         "fuzzy_levenshtein": q_fuzzy_levenshtein,
@@ -1593,9 +1710,21 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     per-stratum pytest coverage in test_split;
     rolling_stats had a green round-2 driver row and the window-function
     family stays gated via sessionization, with lag_delta and
-    rolling_1h_range keeping local oracles here).
+    rolling_1h_range keeping local oracles here;
+    events_hourly had a green round-2 driver row and its time-bucketed
+    aggregation stays gated via sessionization (event-time windows) and
+    pivot_events (hour-part bucketing);
+    semi_join had a green round-2 driver row and the left-semi capability
+    stays gated inside kg_incremental_upsert's broadcast semi carve-out
+    (operators/upsert.py:160, plan-asserted in test_upsert);
+    q3_shipping_priority had a green round-2 driver row and its
+    join+agg+top-k shape stays gated via q1_pricing_summary,
+    join_star_agg and topk_per_group).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "events_hourly": q_events_hourly,
+        "semi_join": q_semi_join,
+        "q3_shipping_priority": q_q3_shipping_priority,
         "array_funcs": q_array_funcs,
         "stratified_sample": q_stratified_sample,
         "rolling_stats": q_rolling_stats,
@@ -2489,6 +2618,56 @@ def _all_oracle_sql() -> dict[str, str]:
                     END AS INTEGER) AS n_frames
         FROM m
     """
+
+    # Twin of q_quality_model: same integer weight table (inlined as a
+    # list literal), same portable token hash, one rounded double
+    # division at the end — exact in any evaluation order.
+    _score = hashed_linear_score_sql("text")
+    _n_tok_sql = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    sql["quality_model_score"] = f"""
+        SELECT doc_id,
+               cast({_n_tok_sql} AS INTEGER) AS n_tok,
+               {_score} AS model_score,
+               ({_score}) >= 0.0 AS keep
+        FROM documents
+    """
+
+    # Twin of q_duplicated_spans: distinct 8-token span hashes per doc
+    # (shared shingle CTE), document frequency per span, per-doc dup
+    # share — exact integer counts + one rounded double division.
+    sql["duplicated_spans"] = f"""
+        WITH {_shingle_cte_sql(8)},
+        sdf AS (
+            SELECT shingle, count(*) AS c FROM sh GROUP BY shingle)
+        SELECT doc_id,
+               cast(count(*) AS BIGINT) AS n_spans,
+               cast(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans,
+               round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*)::DOUBLE, 6) AS dup_fraction
+        FROM sh JOIN sdf USING (shingle)
+        GROUP BY doc_id
+    """
+
+    # Twin of q_kcore: the peel recurrence unrolled (10 rounds safely
+    # above the gate graph's measured convergence depth; monotone, so
+    # extra rounds no-op).
+    _kcore_base = """
+        SELECT 'N' || n_nationkey AS s, 'R' || n_regionkey AS d FROM nation
+        UNION ALL
+        SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+        UNION ALL
+        SELECT 'S' || s_suppkey, 'R' || n_regionkey
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'C' || o_custkey, 'O' || o_orderkey FROM orders
+        UNION ALL
+        SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer
+    """
+    sql["kcore_2"] = _kcore_sql(_kcore_base, k=2, rounds=10)
     return sql
 
 

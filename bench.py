@@ -80,6 +80,15 @@ HEADLINE = [
     "ivf_cosine_topk",
     "bgp_filter_optional",
     "cypher_match",
+    "near_dup_dedup",
+    "benchmark_contamination",
+    "sequence_packing",
+    "kg_incremental_upsert",
+    "bfs_khop",
+    "triangle_counts",
+    "quality_model_score",
+    "duplicated_spans",
+    "kcore_2",
 ]
 
 

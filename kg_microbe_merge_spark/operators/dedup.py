@@ -523,3 +523,63 @@ def benchmark_contamination(
         F.count(F.lit(1)).alias("n_shingles"),
         F.count("_hit").alias("n_contaminated"),
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicated-SPAN detection (the substring-dedup signal
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): per document, what share of its distinct word-``n``-gram
+    spans occurs in ≥ ``min_df`` DISTINCT documents anywhere in the
+    corpus.
+
+    This is different from pairwise similarity (Jaccard/MinHash): a page
+    can be near-duplicate of nothing yet be 80% wire-copy boilerplate
+    shared across thousands of pages — exactly what span-level dedup
+    catches and document-level dedup misses. Consumers either drop
+    documents above a ``dup_fraction`` threshold or (in a full substring
+    dedup) cut the flagged spans out of the text.
+
+    Returns ``(doc_id, n_spans, n_dup_spans, dup_fraction)`` with
+    ``dup_fraction`` rounded to 6 decimals (one exact-int division —
+    engine-portable).
+
+    100 TB design: span production is row-local (``shingle_postings``,
+    zero exchange — distinct hashes per doc) and runs ONCE: the
+    document frequency is a ``count(*) over (partition by shingle)``
+    window on the posting stream (postings are distinct per doc, so the
+    count IS the distinct-doc count), which reuses the same shuffled
+    postings for the df and the mark — a groupBy+self-join formulation
+    would re-produce every shingle from text a second time. TWO
+    exchanges total, both keyed on the 60-bit span hash / doc id, never
+    on text: (1) the window partitioning, (2) the per-doc roll-up
+    (map-side partial counts). Hot boilerplate spans are bounded by the
+    window's per-key count state; AQE splits residual skew.
+    """
+    postings = shingle_postings(df, n, text_col, id_col)
+    # postings are distinct (doc, span) pairs -> count(*) = distinct docs
+    marked = postings.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("shingle"))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("_df") >= min_df, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(
+                F.col("n_dup_spans").cast("double")
+                / F.col("n_spans").cast("double"),
+                6,
+            ),
+        )
+    )

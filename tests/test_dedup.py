@@ -268,3 +268,48 @@ def test_deterministic_complement_partitions(spark):
             deterministic_complement(df, 0.3, id_col="doc_id").collect())
     assert s.isdisjoint(c)
     assert len(s) + len(c) == 500
+
+
+def test_duplicated_span_stats_values(spark):
+    """Span-level dup detection: doc-frequency over distinct per-doc
+    n-gram spans, hand-checkable on 3-token spans."""
+    from kg_microbe_merge_spark.operators.dedup import duplicated_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            # d1/d2 share the span "alpha beta gamma"; d1's second span
+            # "beta gamma delta" is unique to it
+            ("d1", "alpha beta gamma delta"),
+            ("d2", "alpha beta gamma"),
+            # d3 shares nothing
+            ("d3", "epsilon zeta eta theta"),
+            # d4 duplicates d3's FIRST span only
+            ("d4", "epsilon zeta eta"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_fraction"])
+        for r in duplicated_span_stats(docs, n=3, min_df=2).collect()
+    }
+    assert got["d1"] == (2, 1, 0.5)
+    assert got["d2"] == (1, 1, 1.0)
+    assert got["d3"] == (2, 1, 0.5)
+    assert got["d4"] == (1, 1, 1.0)
+
+
+def test_duplicated_span_within_doc_repeat_not_counted(spark):
+    """A span repeated WITHIN one document is not corpus-duplicated:
+    postings are distinct per doc, so df counts distinct documents."""
+    from kg_microbe_merge_spark.operators.dedup import duplicated_span_stats
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c a b c a b c"), ("d2", "x y z w v u")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_dup_spans"]
+        for r in duplicated_span_stats(docs, n=3, min_df=2).collect()
+    }
+    assert got["d1"] == 0
+    assert got["d2"] == 0
