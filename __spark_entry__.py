@@ -1359,6 +1359,27 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_nodes(edges, k=2, src="src", dst="dst")
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction (operators/vocab.py): corpus-wide
+    token counts (map-side-combinable wordcount), top-100 by
+    (count DESC, token ASC) with stable ids — the cut is a distributed
+    TakeOrdered; only the 100 survivors hit the id window."""
+    from kg_microbe_merge_spark.operators.vocab import top_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    return top_vocab(d, size=100, min_count=2)
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate counting (operators/vocab.py): adjacent
+    token-pair counts built row-locally from the token array, one
+    exchange (the pair groupBy with map-side partials)."""
+    from kg_microbe_merge_spark.operators.vocab import bpe_pair_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, min_count=5)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index,
     over the stop-shingle-filtered universe (doc-freq ceiling 50)."""
@@ -1720,8 +1741,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q3_shipping_priority had a green round-2 driver row and its
     join+agg+top-k shape stays gated via q1_pricing_summary,
     join_star_agg and topk_per_group).
+    New round-3 operators whose gate slots are deferred to the round-4
+    rotation (full oracles + pytest now): vocab_topk, bpe_pairs.
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "vocab_topk": q_vocab_topk,
+        "bpe_pairs": q_bpe_pairs,
         "events_hourly": q_events_hourly,
         "semi_join": q_semi_join,
         "q3_shipping_priority": q_q3_shipping_priority,
@@ -2668,6 +2693,39 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer
     """
     sql["kcore_2"] = _kcore_sql(_kcore_base, k=2, rounds=10)
+
+    # Twin of q_vocab_topk: same tokenization, (n DESC, token ASC)
+    # ordering, ids from 0 — AS MATERIALIZED so the window sees the
+    # aggregated counts once.
+    sql["vocab_topk"] = f"""
+        WITH c AS MATERIALIZED (
+            SELECT token, cast(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+            WHERE token <> ''
+            GROUP BY token
+            HAVING count(*) >= 2),
+        r AS (
+            SELECT cast(row_number() OVER (ORDER BY n DESC, token ASC) - 1
+                        AS BIGINT) AS token_id, token, n
+            FROM c)
+        SELECT token_id, token, n FROM r WHERE token_id < 100
+    """
+
+    # Twin of q_bpe_pairs: adjacent pairs via a 1-based list
+    # comprehension over the token array.
+    sql["bpe_pairs"] = f"""
+        WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+        p AS (
+            SELECT unnest(CASE WHEN len(t) >= 2
+                   THEN [struct_pack(lhs := t[i], rhs := t[i + 1])
+                         for i in range(1, len(t))]
+                   ELSE [] END) AS pp
+            FROM toks)
+        SELECT pp.lhs AS lhs, pp.rhs AS rhs,
+               cast(count(*) AS BIGINT) AS n
+        FROM p GROUP BY pp.lhs, pp.rhs
+        HAVING count(*) >= 5
+    """
     return sql
 
 
