@@ -89,6 +89,8 @@ HEADLINE = [
     "quality_model_score",
     "duplicated_spans",
     "kcore_2",
+    "vocab_topk",
+    "bpe_pairs",
 ]
 
 

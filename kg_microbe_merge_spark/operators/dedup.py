@@ -456,9 +456,14 @@ def near_dup_clusters(
     pairs = minhash_lsh_pairs(
         df, threshold, num_hashes, bands, n, text_col, id_col
     )
+    # Materialize the pair graph ONCE (lazy checkpoint: first CC action
+    # triggers it): connected_components consumes its edge input from
+    # two lineages (the node universe + the iterated edge set), which
+    # would otherwise re-run the whole MinHash pipeline a second time.
+    # On a real cluster use reliable checkpoint / an intermediate table.
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    ).localCheckpoint(eager=False)
     m = connected_components(edges)
     return m.select(
         F.col("node").alias(id_col),

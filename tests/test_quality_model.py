@@ -80,3 +80,35 @@ def test_zero_shuffle_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pandas_broadcast_path_matches_literal_path(spark):
+    """The mapInPandas broadcast-weights path (the large-model route)
+    must reproduce the literal/codegen path value-for-value."""
+    from kg_microbe_merge_spark.functions.quality_model import (
+        hashed_linear_score_pandas,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lit = docs.select(
+        "doc_id", hashed_linear_score(F.col("text")).alias("model_score")
+    )
+    pnd = hashed_linear_score_pandas(docs).select("doc_id", "model_score")
+    a = {r["doc_id"]: r["model_score"] for r in lit.collect()}
+    b = {r["doc_id"]: r["model_score"] for r in pnd.collect()}
+    assert a == b
+
+
+def test_pandas_path_handles_nulls_and_empties(spark):
+    from kg_microbe_merge_spark.functions.quality_model import (
+        hashed_linear_score_pandas,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "one token here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["model_score"]
+           for r in hashed_linear_score_pandas(df).collect()}
+    assert got[0] == 0.0 and got[1] == 0.0 and got[2] == 0.0
+    assert got[3] == _py_score("one token here")
