@@ -70,6 +70,19 @@ from kg_microbe_merge_spark.operators.similarity import (
     brute_force_cosine_topk,
     lsh_cosine_topk,
 )
+from kg_microbe_merge_spark.functions.pii import (
+    has_pii,
+    pii_counts,
+    pii_oracle_exprs,
+    redact_pii,
+)
+from kg_microbe_merge_spark.functions.urls import (
+    path_depth,
+    query_param,
+    registered_domain,
+    url_host,
+)
+from kg_microbe_merge_spark.operators.tfidf import tfidf_topk
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -1300,6 +1313,98 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_augmented_text_col() -> F.Column:
+    """Deterministic PII injection (Spark side): the synthetic documents
+    carry no PII, so the query plants one email / phone / IPv4 / SSN per
+    row, derived from doc_id, before scrubbing — the oracle builds the
+    IDENTICAL string, so the hash compare exercises real redaction work
+    on every row."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        did.cast("string"),
+        F.lit("@example.com or 555-123-4567, host 10.0."),
+        (did % 256).cast("string"),
+        F.lit(".21, ssn 219-09-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/pii.py): per-category match counts + fully
+    redacted text, all regexp_count/regexp_replace inside whole-stage
+    codegen — zero Python, zero shuffle; the RE2-safe patterns run
+    verbatim in the DuckDB oracle, which hash-compares the redacted
+    text itself."""
+    d = _t(spark, sf_dir, "documents")
+    aug = _pii_augmented_text_col()
+    counts = pii_counts(aug)
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ssn"].alias("n_ssn"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        has_pii(aug).alias("has_pii"),
+        redact_pii(aug).alias("redacted"),
+    )
+
+
+def _url_synth_col() -> F.Column:
+    """Deterministic URL synthesis (Spark side): documents carry no url
+    column, so the query builds one per row from (source, doc_id) —
+    multi-label host, 0-3 path segments, sometimes a query string — and
+    the oracle builds the identical string."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        (did % 5).cast("string"),
+        F.lit(".example"),
+        (did % 4).cast("string"),
+        F.lit(".com"),
+        F.repeat(F.lit("/seg"), (did % 4).cast("int")),
+        F.when(did % 3 == 0, F.concat(F.lit("?utm=c"), (did % 9).cast("string")))
+        .otherwise(F.lit("")),
+    )
+
+
+def q_url_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + per-domain density (functions/urls.py): host /
+    registered-domain / path-depth / query-param extraction per row
+    (whole-stage codegen, RE2-safe regexes shared verbatim with the
+    oracle), plus each row's domain page count via a partition-only
+    window — the per-domain rollup signal without collapsing rows."""
+    d = _t(spark, sf_dir, "documents")
+    u = _url_synth_col()
+    w = Window.partitionBy("domain")
+    return (
+        d.select(
+            "doc_id",
+            u.alias("url"),
+            url_host(u).alias("host"),
+            registered_domain(u).alias("domain"),
+            path_depth(u).alias("depth"),
+            query_param(u, "utm").alias("utm"),
+        )
+        .withColumn("domain_pages", F.count(F.lit(1)).over(w))
+    )
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 characteristic terms per document
+    (operators/tfidf.py): row-local tokenize → map-side-combined TF →
+    DF as a plain re-count of TF rows → broadcast-or-shuffle join on
+    term → bounded window top-k; smoothed idf, round-6 float protocol,
+    total (weight desc, term asc) order."""
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk(d, k=3).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
 def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicated-SPAN detection (operators/dedup.py
     duplicated_span_stats — the substring-dedup signal of Lee et al.):
@@ -1661,6 +1766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # least-proven first so they always get a verdict: the newest
         # round-3 operators, then the five the round-2 driver gate
         # truncated before reaching
+        "pii_redaction": q_pii_redaction,
+        "url_parse_stats": q_url_parse_stats,
+        "tfidf_topk": q_tfidf_topk,
         "quality_model_score": q_quality_model,
         "duplicated_spans": q_duplicated_spans,
         "kcore_2": q_kcore,
@@ -1691,10 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "sessionization": q_sessionization,
         "asof_enrich": q_asof_enrich,
-        "json_extract": q_json_extract,
         "s2_union_align": q_s2_union_align,
-        "percentiles": q_percentiles,
-        "cube_agg": q_cube_agg,
         "range_band_join": q_range_band_join,
         "fuzzy_levenshtein": q_fuzzy_levenshtein,
         "bgp_two_hop": q_bgp_two_hop,
@@ -1743,9 +1848,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     join_star_agg and topk_per_group).
     New round-3 operators whose gate slots are deferred to the round-4
     rotation (full oracles + pytest now): vocab_topk, bpe_pairs.
+    json_extract / percentiles / cube_agg had green round-2 driver rows
+    (rows+schema+hash) and ceded their gate slots to the new
+    pii_redaction / url_parse_stats / tfidf_topk curation queries; their
+    capabilities stay exercised (JSON path extraction in the events
+    props tests, exact percentile SQL retained here, grouping-sets via
+    rollup_agg here).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "vocab_topk": q_vocab_topk,
+        "json_extract": q_json_extract,
+        "percentiles": q_percentiles,
+        "cube_agg": q_cube_agg,
         "bpe_pairs": q_bpe_pairs,
         "events_hourly": q_events_hourly,
         "semi_join": q_semi_join,
@@ -2725,6 +2839,86 @@ def _all_oracle_sql() -> dict[str, str]:
                cast(count(*) AS BIGINT) AS n
         FROM p GROUP BY pp.lhs, pp.rhs
         HAVING count(*) >= 5
+    """
+
+    # -- PII scrub: identical deterministic injection + identical RE2
+    # patterns (functions/pii.py), hash-compared on the redacted text
+    _pii_aug = (
+        "text || ' Contact: user' || cast(doc_id AS VARCHAR)"
+        " || '@example.com or 555-123-4567, host 10.0.'"
+        " || cast(doc_id % 256 AS VARCHAR)"
+        " || '.21, ssn 219-09-'"
+        " || lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0') || '.'"
+    )
+    _pii = pii_oracle_exprs(_pii_aug)
+    sql["pii_redaction"] = f"""
+        SELECT doc_id,
+               {_pii["counts"]["email"]} AS n_email,
+               {_pii["counts"]["ssn"]} AS n_ssn,
+               {_pii["counts"]["phone"]} AS n_phone,
+               {_pii["counts"]["ipv4"]} AS n_ipv4,
+               ({_pii["counts"]["email"]} > 0 OR {_pii["counts"]["ssn"]} > 0
+                OR {_pii["counts"]["phone"]} > 0
+                OR {_pii["counts"]["ipv4"]} > 0) AS has_pii,
+               {_pii["redacted"]} AS redacted
+        FROM documents
+    """
+
+    # -- URL parse + per-domain density: identical synthesis + the same
+    # RE2-safe extraction regexes as functions/urls.py
+    _url = (
+        "'https://' || source || cast(doc_id % 5 AS VARCHAR)"
+        " || '.example' || cast(doc_id % 4 AS VARCHAR) || '.com'"
+        " || repeat('/seg', cast(doc_id % 4 AS INTEGER))"
+        " || (CASE WHEN doc_id % 3 = 0"
+        "      THEN '?utm=c' || cast(doc_id % 9 AS VARCHAR) ELSE '' END)"
+    )
+    sql["url_parse_stats"] = f"""
+        WITH parsed AS (
+            SELECT doc_id,
+                   {_url} AS url,
+                   lower(regexp_extract({_url},
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                   regexp_extract({_url},
+                       '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path
+            FROM documents)
+        SELECT doc_id, url, host,
+               regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+               cast(len(list_filter(regexp_split_to_array(path, '/'),
+                    s -> length(s) > 0)) AS INTEGER) AS depth,
+               nullif(regexp_extract(url, '[?&]utm=([^&#]*)', 1), '') AS utm,
+               count(*) OVER (PARTITION BY
+                   regexp_extract(host, '([^.]+\\.[^.]+)$', 1))
+                   AS domain_pages
+        FROM parsed
+    """
+
+    # -- TF-IDF top-3 per doc: same tokenizer (normalize + split, len>=2),
+    # smoothed idf, rank over the ROUNDED weight, (weight desc, term asc)
+    sql["tfidf_topk"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array({_norm}, ' '),
+                t -> length(t) >= 2)) AS term
+            FROM documents),
+        tf AS (
+            SELECT doc_id, term, cast(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, term),
+        dfreq AS (
+            SELECT term, cast(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+        n AS (SELECT cast(count(*) AS DOUBLE) AS nd FROM documents),
+        w AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                   round(tf.tf * (ln((n.nd + 1.0) / (dfreq.df + 1.0))
+                                  + 1.0), 6) AS weight
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY weight DESC, term ASC) AS rank
+            FROM w)
+        SELECT doc_id, term, tf, df, weight, cast(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 3
     """
     return sql
 
