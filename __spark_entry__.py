@@ -83,6 +83,12 @@ from kg_microbe_merge_spark.functions.urls import (
     url_host,
 )
 from kg_microbe_merge_spark.operators.tfidf import tfidf_topk
+from kg_microbe_merge_spark.operators.ngram_lm import bigram_lm_scores
+from kg_microbe_merge_spark.operators.projection import (
+    random_projection,
+    random_projection_sql,
+)
+from kg_microbe_merge_spark.operators.quantize import sq8_topk, sq8_topk_sql
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -1405,6 +1411,37 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (operators/ngram_lm.py — the
+    CCNet-style model-based quality filter): row-local bigram
+    production → map-side-combined corpus counts → vocabulary-bounded
+    score joins → exact integer micro-bits reduction per document.
+    Cross-engine float protocol is integer-exact (floor(x·1e6+0.5)
+    per bigram, BIGINT sum, one final division)."""
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, k=0.5)
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL random projection 64→8 dims
+    (operators/projection.py): ±1 sign matrix derived from the portable
+    md5 hash, inlined as 512 plan literals — zero shuffle, zero Python,
+    whole-stage codegen; left-to-right FP order shared with the oracle
+    so coordinates match bit-for-bit."""
+    e = _t(spark, sf_dir, "embeddings")
+    return random_projection(e, k=8, d=64)
+
+
+def q_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8-range) top-k neighbor search
+    (operators/quantize.py): one min/max training aggregation →
+    literal-constant row-local encode → EXACT integer dot/norms over
+    codes → TakeOrdered top-20 of vec_id 0. The oracle recomputes
+    min/max itself, verifying train + encode + search end to end."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sq8_topk(e, query_id=0, k=20, d=64)
+
+
 def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicated-SPAN detection (operators/dedup.py
     duplicated_span_stats — the substring-dedup signal of Lee et al.):
@@ -1766,6 +1803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # least-proven first so they always get a verdict: the newest
         # round-3 operators, then the five the round-2 driver gate
         # truncated before reaching
+        "bigram_lm_perplexity": q_bigram_lm,
+        "random_projection": q_random_projection,
+        "sq8_adc_topk": q_sq8_adc_topk,
         "pii_redaction": q_pii_redaction,
         "url_parse_stats": q_url_parse_stats,
         "tfidf_topk": q_tfidf_topk,
@@ -1795,14 +1835,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_endpoint_union": q_u1_endpoint_union,
         "a2_count_distinct": q_a2_count_distinct,
         "q1_pricing_summary": q_q1_pricing_summary,
-        "join_star_agg": q_join_star_agg,
         "topk_per_group": q_topk_per_group,
         "sessionization": q_sessionization,
         "asof_enrich": q_asof_enrich,
         "s2_union_align": q_s2_union_align,
-        "range_band_join": q_range_band_join,
         "fuzzy_levenshtein": q_fuzzy_levenshtein,
-        "bgp_two_hop": q_bgp_two_hop,
         "bgp_filter_optional": q_bgp_filter_optional,
         "graph_stats_report": q_graph_stats,
         "cc_components": q_cc_components,
@@ -1848,6 +1885,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     join_star_agg and topk_per_group).
     New round-3 operators whose gate slots are deferred to the round-4
     rotation (full oracles + pytest now): vocab_topk, bpe_pairs.
+    join_star_agg / range_band_join / bgp_two_hop had green round-2
+    driver rows (rows+schema+hash) and ceded their gate slots to the new
+    bigram_lm_perplexity / random_projection / sq8_adc_topk queries:
+    the multi-join+agg shape stays gated via q1_pricing_summary and
+    j2_coverage_anti, temporal/range join semantics via asof_enrich,
+    and bgp_two_hop is a strict subset of gated bgp_filter_optional
+    (same two-hop pattern plus FILTER and OPTIONAL).
     json_extract / percentiles / cube_agg had green round-2 driver rows
     (rows+schema+hash) and ceded their gate slots to the new
     pii_redaction / url_parse_stats / tfidf_topk curation queries; their
@@ -1880,6 +1924,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_topk": q_global_topk,
         "string_funcs": q_string_funcs,
         "q18_large_orders": q_q18_large_orders,
+        "join_star_agg": q_join_star_agg,
+        "range_band_join": q_range_band_join,
+        "bgp_two_hop": q_bgp_two_hop,
     }
 
 
@@ -2895,6 +2942,42 @@ def _all_oracle_sql() -> dict[str, str]:
 
     # -- TF-IDF top-3 per doc: same tokenizer (normalize + split, len>=2),
     # smoothed idf, rank over the ROUNDED weight, (weight desc, term asc)
+    # bigram-LM perplexity (operators/ngram_lm.py): identical token
+    # normalizer, identical add-k smoothing formula, integer micro-bits
+    # protocol (floor(x*1e6+0.5) per bigram, exact BIGINT sum)
+    sql["bigram_lm_perplexity"] = f"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(
+                {_TOKS_SQL},
+                t -> length(t) >= 1) AS t
+            FROM documents),
+        idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+        inst AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM inst GROUP BY w1, w2),
+        cw AS (SELECT w1, sum(cb) AS cw FROM cb GROUP BY w1),
+        v AS (SELECT count(DISTINCT w2) AS v FROM cb),
+        scored AS (
+            SELECT inst.doc_id,
+                   CAST(floor((-log2((cb.cb + 0.5) / (cw.cw + 0.5 * v.v)))
+                              * 1000000.0 + 0.5) AS BIGINT) AS micro
+            FROM inst JOIN cb USING (w1, w2) JOIN cw USING (w1)
+            CROSS JOIN v),
+        agg AS (
+            SELECT doc_id, cast(count(*) AS BIGINT) AS n_bigrams,
+                   sum(micro) AS s_micro
+            FROM scored GROUP BY doc_id)
+        SELECT d.doc_id,
+               cast(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(floor(agg.s_micro / agg.n_bigrams + 0.5) AS BIGINT)
+                   / 1000000.0 AS avg_bits
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
+
+    # JL projection / SQ8 quantized search: twins generated by the SAME
+    # module as the Spark plan (shared sign-matrix / protocol literals)
+    sql["random_projection"] = random_projection_sql(k=8, d=64)
+    sql["sq8_adc_topk"] = sq8_topk_sql(query_id=0, k=20, d=64)
+
     sql["tfidf_topk"] = f"""
         WITH toks AS (
             SELECT doc_id, unnest(list_filter(
