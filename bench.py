@@ -91,6 +91,9 @@ HEADLINE = [
     "kcore_2",
     "vocab_topk",
     "bpe_pairs",
+    "bigram_lm_perplexity",
+    "random_projection",
+    "sq8_adc_topk",
 ]
 
 
