@@ -1411,6 +1411,86 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG snapshot diff (operators/diff.py): ONE full-outer join on the
+    key, row-local null-safe column compare, unchanged rows dropped
+    before anything downstream. Snapshots derived from `part` with
+    deterministic membership/value perturbations so the diff exercises
+    added + removed + changed(+changed_cols)."""
+    from kg_microbe_merge_spark.operators.diff import snapshot_diff
+
+    part = _t(spark, sf_dir, "part")
+    old = part.filter(F.col("p_partkey") % 11 != 0).select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_retailprice").alias("price"),
+    )
+    new = part.filter(F.col("p_partkey") % 13 != 0).select(
+        F.col("p_partkey").alias("id"),
+        F.when(
+            F.col("p_partkey") % 5 == 0, F.concat(F.col("p_name"), F.lit("!"))
+        )
+        .otherwise(F.col("p_name"))
+        .alias("name"),
+        F.when(
+            F.col("p_partkey") % 7 == 0, F.col("p_retailprice") + 1
+        )
+        .otherwise(F.col("p_retailprice"))
+        .alias("price"),
+    )
+    return snapshot_diff(old, new, key="id")
+
+
+def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style random walks (operators/walks.py)
+    over the symmetrized customer–order–nation–region–supplier KG:
+    rank-join formulation — every step is two 1:1 hash joins per live
+    walk (degree lookup, then (src, rnk) equi-join), hub adjacency
+    never multiplies rows. Oracle: the same ranked relation + portable
+    hash unrolled as chained CTEs."""
+    from kg_microbe_merge_spark.operators.walks import random_walks
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    half = (
+        orders.select(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("O"), F.col("o_orderkey")).alias("dst"),
+        )
+        .unionByName(
+            customer.select(
+                F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            supplier.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    starts = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("id")
+    ).unionByName(
+        customer.filter(F.col("c_custkey") % 97 == 0).select(
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("id")
+        )
+    )
+    return random_walks(edges, starts, steps=4)
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity scoring (operators/ngram_lm.py — the
     CCNet-style model-based quality filter): row-local bigram
@@ -1884,7 +1964,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     join+agg+top-k shape stays gated via q1_pricing_summary,
     join_star_agg and topk_per_group).
     New round-3 operators whose gate slots are deferred to the round-4
-    rotation (full oracles + pytest now): vocab_topk, bpe_pairs.
+    rotation (full oracles + pytest now): vocab_topk, bpe_pairs,
+    kg_snapshot_diff, kg_random_walks.
     join_star_agg / range_band_join / bgp_two_hop had green round-2
     driver rows (rows+schema+hash) and ceded their gate slots to the new
     bigram_lm_perplexity / random_projection / sq8_adc_topk queries:
@@ -1900,6 +1981,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rollup_agg here).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "kg_snapshot_diff": q_kg_snapshot_diff,
+        "kg_random_walks": q_kg_random_walks,
         "vocab_topk": q_vocab_topk,
         "json_extract": q_json_extract,
         "percentiles": q_percentiles,
@@ -2977,6 +3060,67 @@ def _all_oracle_sql() -> dict[str, str]:
     # module as the Spark plan (shared sign-matrix / protocol literals)
     sql["random_projection"] = random_projection_sql(k=8, d=64)
     sql["sq8_adc_topk"] = sq8_topk_sql(query_id=0, k=20, d=64)
+
+    # snapshot diff: FULL OUTER + IS DISTINCT FROM; concat_ws skips
+    # NULLs exactly like array_join(array_compact(...)) (cols sorted)
+    sql["kg_snapshot_diff"] = """
+        WITH oldsnap AS (
+            SELECT p_partkey AS id, p_name AS name,
+                   p_retailprice AS price
+            FROM part WHERE p_partkey % 11 <> 0),
+        newsnap AS (
+            SELECT p_partkey AS id,
+                   CASE WHEN p_partkey % 5 = 0 THEN p_name || '!'
+                        ELSE p_name END AS name,
+                   CASE WHEN p_partkey % 7 = 0 THEN p_retailprice + 1
+                        ELSE p_retailprice END AS price
+            FROM part WHERE p_partkey % 13 <> 0),
+        j AS (
+            SELECT o.id AS oid, n.id AS nid,
+                   o.name AS oname, n.name AS nname,
+                   o.price AS oprice, n.price AS nprice
+            FROM oldsnap o FULL OUTER JOIN newsnap n ON o.id = n.id),
+        d AS (
+            SELECT coalesce(nid, oid) AS id,
+                   CASE WHEN oid IS NULL THEN 'added'
+                        WHEN nid IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change,
+                   CASE WHEN oid IS NULL OR nid IS NULL THEN ''
+                        ELSE concat_ws(',',
+                            CASE WHEN oname IS DISTINCT FROM nname
+                                 THEN 'name' END,
+                            CASE WHEN oprice IS DISTINCT FROM nprice
+                                 THEN 'price' END) END AS changed_cols
+            FROM j)
+        SELECT * FROM d
+        WHERE change <> 'changed' OR changed_cols <> ''
+    """
+
+    # random walks: twin generated by the module (chained step CTEs,
+    # same ranked relation + portable hash)
+    _walk_edges_sql = """
+        WITH half AS (
+            SELECT 'C' || o_custkey AS src, 'O' || o_orderkey AS dst
+            FROM orders
+            UNION ALL
+            SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation)
+        SELECT src, dst FROM half
+        UNION ALL SELECT dst AS src, src AS dst FROM half
+    """
+    _walk_starts_sql = """
+        SELECT 'N' || n_nationkey AS id FROM nation
+        UNION ALL
+        SELECT 'C' || c_custkey FROM customer WHERE c_custkey % 97 = 0
+    """
+    from kg_microbe_merge_spark.operators.walks import random_walks_sql
+
+    sql["kg_random_walks"] = random_walks_sql(
+        _walk_edges_sql, _walk_starts_sql, steps=4
+    )
 
     sql["tfidf_topk"] = f"""
         WITH toks AS (
