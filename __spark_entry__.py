@@ -1491,6 +1491,16 @@ def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges, starts, steps=4)
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context, n) pairs from the deterministic walk
+    corpus (operators/walks.skipgram_pairs): one bounded walk_id
+    self-join (walks are constant-length — no explodable key) +
+    map-side-partial count."""
+    from kg_microbe_merge_spark.operators.walks import skipgram_pairs
+
+    return skipgram_pairs(q_kg_random_walks(spark, sf_dir), window=2)
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity scoring (operators/ngram_lm.py — the
     CCNet-style model-based quality filter): row-local bigram
@@ -1965,7 +1975,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     join_star_agg and topk_per_group).
     New round-3 operators whose gate slots are deferred to the round-4
     rotation (full oracles + pytest now): vocab_topk, bpe_pairs,
-    kg_snapshot_diff, kg_random_walks.
+    kg_snapshot_diff, kg_random_walks, skipgram_pairs.
     join_star_agg / range_band_join / bgp_two_hop had green round-2
     driver rows (rows+schema+hash) and ceded their gate slots to the new
     bigram_lm_perplexity / random_projection / sq8_adc_topk queries:
@@ -1983,6 +1993,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_random_walks": q_kg_random_walks,
+        "skipgram_pairs": q_skipgram_pairs,
         "vocab_topk": q_vocab_topk,
         "json_extract": q_json_extract,
         "percentiles": q_percentiles,
@@ -3121,6 +3132,15 @@ def _all_oracle_sql() -> dict[str, str]:
     sql["kg_random_walks"] = random_walks_sql(
         _walk_edges_sql, _walk_starts_sql, steps=4
     )
+
+    sql["skipgram_pairs"] = f"""
+        WITH walks AS ({sql["kg_random_walks"]})
+        SELECT a.node AS center, b.node AS context,
+               cast(count(*) AS BIGINT) AS n
+        FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+        WHERE abs(a.step - b.step) <= 2 AND a.step <> b.step
+        GROUP BY a.node, b.node
+    """
 
     sql["tfidf_topk"] = f"""
         WITH toks AS (

@@ -94,6 +94,9 @@ HEADLINE = [
     "bigram_lm_perplexity",
     "random_projection",
     "sq8_adc_topk",
+    "kg_snapshot_diff",
+    "kg_random_walks",
+    "skipgram_pairs",
 ]
 
 
@@ -144,9 +147,17 @@ def main() -> None:
         .filter("lang = 'en'")
         .select("url", "text")
     ).count()
-    t0 = time.monotonic()
-    n_triples = triples.count()
-    pipeline_sec = time.monotonic() - t0
+    # best-of-3: this machine shows sporadic multi-second interference
+    # bursts (identical back-to-back runs measured 1.3 s vs 6.0 s); the
+    # minimum is the engine's capability, the per-run list is published
+    # so the noise is visible (same protocol as scripts/scaling_bench)
+    pipeline_runs = []
+    n_triples = 0
+    for _ in range(3):
+        t0 = time.monotonic()
+        n_triples = triples.count()
+        pipeline_runs.append(round(time.monotonic() - t0, 3))
+    pipeline_sec = min(pipeline_runs)
     shutil.rmtree(corpus_dir, ignore_errors=True)
     timings["webkg_extract_triples"] = round(pipeline_sec, 3)
     triples_per_sec = n_triples / pipeline_sec if pipeline_sec > 0 else 0.0
@@ -166,6 +177,7 @@ def main() -> None:
         "triples_per_sec": round(triples_per_sec, 1),
         "n_triples": n_triples,
         "pipeline_docs": N_DOCS_PIPELINE,
+        "pipeline_runs_sec": pipeline_runs,
         "cpus": CPUS,
     }
     # attach the last two-parallelism scaling measurement (produced

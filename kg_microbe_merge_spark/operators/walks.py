@@ -169,6 +169,39 @@ def random_walks_sql(
     )
 
 
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """(center, context, n) skip-gram training pairs from a walk corpus
+    (what DeepWalk/node2vec feed to word2vec): every ordered pair of
+    walk positions within ``window`` steps, aggregated to counts.
+
+    Shape at scale: one self-join on ``walk_id`` — bounded 1:(steps+1)
+    per row because a walk is a small constant length, so no key can
+    explode; the count aggregation is map-side partial. Walk corpora
+    are O(n_walks·steps) rows — tiny next to the edge table they came
+    from."""
+    a = walks.select(
+        "walk_id",
+        F.col("step").alias("s_c"),
+        F.col("node").alias("center"),
+    )
+    b = walks.select(
+        "walk_id",
+        F.col("step").alias("s_x"),
+        F.col("node").alias("context"),
+    )
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.abs(F.col("s_c") - F.col("s_x")) <= window)
+            & (F.col("s_c") != F.col("s_x"))
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def walks_py(edges: list[tuple], starts: list, steps: int = 3, seed: str = "walk"):
     """Python twin (tests): same ranked-neighbor + hash protocol."""
     from kg_microbe_merge_spark.functions.hashing import hash60_py

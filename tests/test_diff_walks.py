@@ -15,6 +15,7 @@ from kg_microbe_merge_spark.operators.diff import (
 from kg_microbe_merge_spark.operators.walks import (
     random_walks,
     ranked_edges,
+    skipgram_pairs,
     walks_py,
 )
 
@@ -137,6 +138,38 @@ def test_max_degree_caps_adjacency_deterministically(spark):
     assert sorted(r["dst"] for r in rows) == sorted(
         r["dst"] for r in again.filter("src = 'h'").collect()
     )
+
+
+def test_skipgram_pairs_hand_checkable(spark):
+    # one synthetic walk a,b,c,d (steps 0..3), window=2
+    walks = spark.createDataFrame(
+        [Row(walk_id="w", step=i, node=n) for i, n in enumerate("abcd")]
+    )
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    expect = {}
+    seq = "abcd"
+    for i in range(4):
+        for j in range(4):
+            if i != j and abs(i - j) <= 2:
+                k = (seq[i], seq[j])
+                expect[k] = expect.get(k, 0) + 1
+    assert got == expect
+
+
+def test_skipgram_pairs_counts_repeat_nodes(spark):
+    # node revisits aggregate: walk a,b,a gives (a,b) twice
+    walks = spark.createDataFrame(
+        [Row(walk_id="w", step=i, node=n) for i, n in enumerate("aba")]
+    )
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    assert got[("a", "b")] == 2 and got[("b", "a")] == 2
+    assert got[("a", "a")] == 2  # steps 0↔2 within window
 
 
 def test_walk_row_counts_bounded_by_walks_not_degree(spark):
