@@ -1501,6 +1501,20 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(q_kg_random_walks(spark, sf_dir), window=2)
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS) + overlap candidate pairs
+    (operators/winnow.py): gram hashing and window-min selection are
+    row-local array expressions (only the ~2/(w+1) selected minima
+    explode); pairing is the inverted-index join with a doc-frequency
+    ceiling on boilerplate prints."""
+    from kg_microbe_merge_spark.operators.winnow import winnow_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        d, k=3, w=4, min_shared=1, max_doc_freq=50
+    )
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity scoring (operators/ngram_lm.py — the
     CCNet-style model-based quality filter): row-local bigram
@@ -1975,7 +1989,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     join_star_agg and topk_per_group).
     New round-3 operators whose gate slots are deferred to the round-4
     rotation (full oracles + pytest now): vocab_topk, bpe_pairs,
-    kg_snapshot_diff, kg_random_walks, skipgram_pairs.
+    kg_snapshot_diff, kg_random_walks, skipgram_pairs, winnow_overlap.
     join_star_agg / range_band_join / bgp_two_hop had green round-2
     driver rows (rows+schema+hash) and ceded their gate slots to the new
     bigram_lm_perplexity / random_projection / sq8_adc_topk queries:
@@ -1994,6 +2008,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_random_walks": q_kg_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
+        "winnow_overlap": q_winnow_overlap,
         "vocab_topk": q_vocab_topk,
         "json_extract": q_json_extract,
         "percentiles": q_percentiles,
@@ -3140,6 +3155,45 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM walks a JOIN walks b ON a.walk_id = b.walk_id
         WHERE abs(a.step - b.step) <= 2 AND a.step <> b.step
         GROUP BY a.node, b.node
+    """
+
+    # winnowing fingerprints (operators/winnow.py): same gram hash,
+    # window-min selection, doc-frequency ceiling, inverted-index pairs
+    _wk, _ww, _wdf, _wms = 3, 4, 50, 1
+    sql["winnow_overlap"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter({_TOKS_SQL}, t -> length(t) >= 1) AS t
+            FROM documents),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= {_wk} THEN
+                       list_transform(range(1, len(t) - {_wk - 1} + 1),
+                           i -> {_h60(f"array_to_string(t[i:i + {_wk - 1}], ' ')")})
+                   ELSE CAST([] AS BIGINT[]) END AS g
+            FROM toks),
+        mins AS (
+            SELECT doc_id,
+                   CASE WHEN len(g) > 0 THEN
+                       list_distinct(list_transform(
+                           range(1, greatest(len(g) - {_ww - 1}, 1) + 1),
+                           j -> list_min(
+                               g[j:j + least({_ww}, len(g)) - 1])))
+                   ELSE CAST([] AS BIGINT[]) END AS m
+            FROM g),
+        fps AS (SELECT DISTINCT doc_id, unnest(m) AS fp FROM mins),
+        dfreq AS (
+            SELECT fp FROM (
+                SELECT fp, count(*) AS c FROM fps GROUP BY fp)
+            WHERE c <= {_wdf}),
+        kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN dfreq USING (fp)),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   cast(count(*) AS BIGINT) AS shared
+            FROM kept a JOIN kept b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= {_wms}
     """
 
     sql["tfidf_topk"] = f"""

@@ -97,6 +97,7 @@ HEADLINE = [
     "kg_snapshot_diff",
     "kg_random_walks",
     "skipgram_pairs",
+    "winnow_overlap",
 ]
 
 
@@ -116,6 +117,28 @@ def main() -> None:
     # a long-running production job pays once, not per query.
     force(qs["semi_join"](spark, SF_DIR))
     force(qs["triples_extract"](spark, SF_DIR))
+    # Machine-speed reference: a fixed pure-JVM codegen canary (same
+    # job as scripts/scaling_run.py). Absolute query timings ride the
+    # sandbox's clock/tenancy drift — measured 4.0 s vs 5.4 s for THIS
+    # canary across two otherwise-idle windows a day apart (±25%);
+    # the canary in the output lets rounds be compared speed-normalized.
+    from pyspark.sql import functions as _F
+
+    def _canary() -> float:
+        h = _F.col("id")
+        for i in range(8):
+            h = _F.xxhash64(h, _F.lit(i))
+        job = (
+            spark.range(0, 40_000_000 * CPUS, 1, CPUS * 4)
+            .select(h.alias("h"))
+            .agg(_F.expr("bit_xor(h)").alias("s"))
+        )
+        t0 = time.monotonic()
+        job.write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    _canary()  # codegen/JIT warm-up
+    jvm_canary_sec = round(min(_canary() for _ in range(2)), 3)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # GC barrier: without it, heap garbage from earlier queries
@@ -178,6 +201,7 @@ def main() -> None:
         "n_triples": n_triples,
         "pipeline_docs": N_DOCS_PIPELINE,
         "pipeline_runs_sec": pipeline_runs,
+        "jvm_canary_sec": jvm_canary_sec,
         "cpus": CPUS,
     }
     # attach the last two-parallelism scaling measurement (produced
