@@ -1,0 +1,63 @@
+"""Plan-shape assertions for the round-3 vector/LM/fingerprint/diff
+operators — pinning the scale claims in PLANS.md the way the elder
+operators pin theirs (shuffle counts, no cartesian products, row-local
+production stages)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from kg_microbe_merge_spark.operators.diff import snapshot_diff
+from kg_microbe_merge_spark.operators.ngram_lm import bigram_instances
+from kg_microbe_merge_spark.operators.winnow import winnow_fingerprints
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta w{i} x{i} y{i}")
+         for i in range(20)]
+    )
+
+
+def test_bigram_production_is_row_local(spark):
+    # the bigram instance stream (the corpus-sized relation every LM
+    # count hangs off) must be produced inside the scan stage: slices +
+    # arrays_zip + explode, NO Exchange anywhere in its plan
+    plan = _plan(bigram_instances(_docs(spark)))
+    assert "Exchange" not in plan, plan
+
+
+def test_winnow_fingerprints_single_exchange(spark):
+    # gram hashing + window-min selection row-local; the ONLY Exchange
+    # is the final distinct on (doc_id, fp)
+    plan = _plan(winnow_fingerprints(_docs(spark), k=3, w=4))
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the gram-hash selection itself is exchange-free (row-local)
+    from kg_microbe_merge_spark.operators import winnow as _w
+    from pyspark.sql import functions as F
+
+    g = _w._gram_hashes(F.col("text"), 3)
+    sel = _docs(spark).select(F.col("doc_id"), g.alias("g"))
+    assert "Exchange" not in _plan(sel), _plan(sel)
+
+
+def test_snapshot_diff_two_exchanges_no_cartesian(spark):
+    old = spark.createDataFrame(
+        [Row(id=i, name=f"n{i}", price=float(i)) for i in range(50)]
+    )
+    new = spark.createDataFrame(
+        [Row(id=i + 1, name=f"n{i + 1}", price=float(i)) for i in range(50)]
+    )
+    d = snapshot_diff(old, new)
+    plan = _plan(d)
+    # full outer join: one Exchange per side, nothing else; the column
+    # compare is a row-local Project above the join
+    assert plan.count("Exchange") <= 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "FullOuter" in plan.replace(" ", ""), plan
