@@ -18,6 +18,7 @@ import os
 import subprocess
 import sys
 import tempfile
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -157,94 +158,24 @@ def main() -> None:
     with open("/root/repo/BENCH/scaling_last.json", "w") as f:
         json.dump(summary, f)
 
-    rows = "\n".join(
-        f"| local[{c}] | {r['wall_sec']} | {r['all_runs_sec']} "
-        f"| {r.get('n_accepted', '—')}/{len(r['all_runs_sec'])} "
-        f"| {r.get('busy_hw_threads', '—')} | {r['triples_per_sec']} |"
-        for c, r in results.items()
-    )
-    pair_rows = "\n".join(
-        f"| {k} cores | **{v}** | {ctrl_pairs.get(k, '—')} "
-        f"| {norm_pairs.get(k, '—')} |"
-        + (" ← headline (brief's N→4N pair)" if k == headline_pair else "")
-        for k, v in pairs.items()
-    )
-    ctrl_rows = "\n".join(
-        f"| local[{c}] | {r['wall_sec']} | {r['all_runs_sec']} |"
-        for c, r in control.items()
-    )
+    # Windows archive: measured pair efficiencies swing with sandbox
+    # co-tenancy that pinning + canaries cannot fully reject (memory
+    # bandwidth, not cores) — a single window over- or under-states the
+    # engine. Every run appends here and BASELINE.md renders the full
+    # distribution, so the claim rests on all windows, not the best one.
+    summary["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    with open("/root/repo/BENCH/scaling_windows.jsonl", "a") as f:
+        f.write(json.dumps(summary) + "\n")
+    windows = []
+    with open("/root/repo/BENCH/scaling_windows.jsonl") as f:
+        for line in f:
+            if line.strip():
+                windows.append(json.loads(line))
+
+    import scaling_report
+
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH/BASELINE — throughput + scaling evidence
-
-Two-cluster-size rule (BASELINE.json north_rule) evidenced at local
-parallelism levels {list(LEVELS)} (no real cluster in this sandbox): the
-IDENTICAL pipeline binary (corpus parquet → HTML text extraction
-(pandas UDF) → SVO triple extraction (pandas UDF) → broadcast entity
-linking → provenance-preserving KGX edge merge) on the IDENTICAL seeded
-corpus ({N_DOCS} documents, seed 42, 256 input files), measured
-end-to-end wall-clock per level in a fresh JVM with an untimed full
-warm-up run at every level.
-
-CPU pinning: {"ON — each level's entire process tree (JVM task threads, GC, and the out-of-process Python UDF workers) is hard-pinned to exactly N hardware threads with `taskset -c 0..N-1`, the faithful model of an N-core cluster allocation where executors and their Python workers share the same cores. Without the pin, low levels borrow extra HW threads for Python workers (local[2] measured ~3.1 busy threads in earlier rounds), deflating their wall and the pair efficiency." if TASKSET else "OFF (SCALING_TASKSET=0) — levels may occupy more HW threads than their nominal core count; see busy-HW-threads column."}
-
-Interference rejection: every timed run is bracketed by a short
-pure-JVM codegen canary in the same session; a run is ACCEPTED only if
-(a) both surrounding canaries are within 1.5× of the level's best
-canary (machine quiet before AND after) AND (b) its wall is within
-1.3× of the level's best wall — bursts that start and end inside a
-run evade the canary bracket but cannot fake a cluster of fast runs.
-Sampling continues until at least max(3, {RUNS}) accepted runs (capped
-at 3× that), so the reported minimum is corroborated by ≥2 consistent
-repeats, never a lone sample. The reported wall is min over accepted
-runs — the `accepted` column shows how many samples survived. `busy HW
-threads` is the machine-wide non-idle CPU during the best run — the
-level's REAL hardware footprint.
-
-| parallelism | wall best-accepted (s) | all runs (s) | accepted | busy HW threads | triples/sec |
-|---|---|---|---|---|---|
-{rows}
-
-Scaling efficiency T(4N)/(4·T(N)) per measured pair (the headline is
-the brief's named N→4N pair, not a max over pairs). `control eff` is
-the SAME pair measured with a pure-JVM compute job in the same window —
-the machine's ceiling for that pair; `normalized` = pipeline/control,
-i.e. how much of the machine-achievable scaling the ENGINE delivers:
-
-| pair | pipeline eff | control eff | normalized (pipeline/control) |
-|---|---|---|---|
-{pair_rows}
-
-## JVM compute control (what the machine can supply per level)
-
-Pure whole-stage-codegen job (640M-row xxhash64 chain, trivial shuffle),
-fresh JVM per level, best-of-3:
-
-| parallelism | wall best-of-3 (s) | all runs (s) |
-|---|---|---|
-{ctrl_rows}
-
-## Reading these numbers
-
-Use the busy-HW-threads and per-busy-thread-throughput columns to
-attribute each pair's efficiency between the ENGINE (slot scheduling,
-plan shape) and the MACHINE (slot occupancy achievable by the
-Arrow→Python feed on one box; shared cache/memory bandwidth; sporadic
-interference bursts visible as 2-10× single-run inflations in the
-all-runs columns, suppressed by best-of-{RUNS}). The JVM control —
-pure whole-stage-codegen, no Python workers, trivial shuffle — bounds
-what ANY workload can achieve between the top pair's levels on this
-hardware. On a real cluster, 4× executors bring 4× machines (own
-cores for Python workers, own shuffle disks), so single-box saturation
-does not model cluster scaling for the top pair; the footprint-feasible
-pair is the honest cluster analogue.
-
-Machine context: 1-minute load average at measurement start was
-{load_before[0]} (of 32).
-
-Reproduce: `SCALING_LEVELS={",".join(str(c) for c in LEVELS)} SCALING_RUNS={RUNS} python
-scripts/scaling_bench.py {N_DOCS}`
-(raw JSON: `{json.dumps(summary)}`)
-""")
+        f.write(scaling_report.render(summary, windows))
     print("wrote /root/repo/BENCH/BASELINE.md")
 
 
