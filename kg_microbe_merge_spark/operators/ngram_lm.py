@@ -28,12 +28,15 @@ Shape at scale (what survives 100 TB):
   partitioning for the count side);
 - the per-doc reduction ships one BIGINT per (doc, distinct bigram) —
   never the text;
-- the float protocol is integer-exact: per-bigram bits are fixed to
-  micro-bits with ``floor(x·1e6 + 0.5)`` (identical in Spark and
-  DuckDB, no round-half-mode ambiguity), summed as BIGINT (exact,
-  order-free), and divided once at the end — so the DuckDB oracle
-  twin (`__spark_entry__.oracle_sql['bigram_lm_perplexity']`) matches
-  value-for-value, not approximately.
+- the float protocol pins per-bigram bits to micro-bits with
+  ``floor(x·1e6 + 0.5)`` (no round-half-mode ambiguity — engine
+  ``round()`` implementations genuinely disagree there), sums them as
+  BIGINT (exact, order-free), and divides once at the end, so the
+  DuckDB oracle twin matches value-for-value. Residual cross-engine
+  risk: ``log2`` is transcendental and IEEE does not pin its last ulp,
+  so a bits value landing within 1 ulp of a micro-boundary could
+  differ by 1 micro-bit between JVM and libm (~1e-8 chance per
+  distinct (cb, cw) pair; none observed over the gate corpora).
 
 Reference parity: the reference (DuckDB TSV merge) has no corpus LM;
 this is part of the training-data curation family the brief mandates
@@ -73,11 +76,18 @@ def bigram_instances(
 def bigram_model(inst: DataFrame):
     """Corpus bigram counts, context totals, and continuation-vocab
     size. Returns (counts_df(w1, w2, cb), context_df(w1, cw), V).
-    ``V`` is a driver-side int (one count job) — it is a literal in the
-    scoring expression, mirroring the oracle."""
+    ``V`` is a driver-side int — it is a literal in the scoring
+    expression, mirroring the oracle.
+
+    ``cb`` (the trained model) is persisted: it is vocabulary-bounded
+    (sublinear in corpus size), and caching it means the corpus is
+    scanned exactly twice total — once here to train, once in the
+    score join — instead of once per consumer (the V count, the cw
+    roll-up, and the score join all reuse the cached counts)."""
     cb = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cb = cb.persist()
     cw = cb.groupBy("w1").agg(F.sum("cb").alias("cw"))
-    v = cb.select("w2").distinct().count()
+    v = cb.select("w2").distinct().count()  # materializes the cache
     return cb, cw, v
 
 

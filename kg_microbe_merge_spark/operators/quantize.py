@@ -101,33 +101,50 @@ def sq8_topk(
     if mn is None or mx is None:
         mn, mx = train_minmax(df, d=d, vec_col=vec_col)
     codes = sq8_encode(df, mn, mx, vec_col=vec_col, id_col=id_col)
-    qrow = codes.filter(F.col(id_col) == F.lit(query_id)).select(
-        F.col("code").alias("qcode")
-    )
-    paired = codes.join(F.broadcast(qrow)).filter(
-        F.col(id_col) != F.lit(query_id)
-    )
+    # the query code is model state like mn/mx: ONE collected row,
+    # inlined as literals — no broadcast join, and its self-dot (a
+    # per-query constant) is computed once driver-side instead of
+    # re-folded for every corpus row
+    qrows = codes.filter(F.col(id_col) == F.lit(query_id)).collect()
+    if not qrows:
+        return codes.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("qdot"),
+            F.lit(None).cast("double").alias("qcos"),
+            F.lit(None).cast("int").alias("rank"),
+        ).limit(0)
+    qcode = list(qrows[0]["code"])
+    nq = sum(c * c for c in qcode)
+    rest = codes.filter(F.col(id_col) != F.lit(query_id))
 
-    def _idot(a: str, b: str):
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b), lambda x, y: (x * y).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    scored = paired.select(
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col("code"),
+            F.array(*[F.lit(c) for c in qcode]),
+            lambda x, y: (x * y).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nv = F.aggregate(
+        F.zip_with(
+            F.col("code"), F.col("code"), lambda x, y: (x * y).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = rest.select(
         F.col(id_col),
-        _idot("code", "qcode").alias("qdot"),
-        _idot("code", "code").alias("nv"),
-        _idot("qcode", "qcode").alias("nq"),
+        qdot.alias("qdot"),
+        nv.alias("nv"),
     ).select(
         id_col,
         "qdot",
         F.when(
-            (F.col("nv") > 0) & (F.col("nq") > 0),
+            (F.col("nv") > 0) & (F.lit(nq) > 0),
             F.floor(
                 F.col("qdot")
-                / F.sqrt((F.col("nv") * F.col("nq")).cast("double"))
+                / F.sqrt((F.col("nv") * F.lit(nq)).cast("double"))
                 * F.lit(1000000.0)
                 + F.lit(0.5)
             )

@@ -96,7 +96,9 @@ def random_walks(
     re_df = ranked_edges(edges, src=src, dst=dst, max_degree=max_degree)
     # persist the reused relations so k steps don't recompute the
     # ranking window (reliable checkpoint / intermediate table on a
-    # real cluster)
+    # real cluster), then release them before returning — the result
+    # is eagerly localCheckpoint-ed each step, so the returned plan
+    # holds no reference to the caches (same pattern as bfs/pagerank)
     re_df = re_df.persist()
     deg_df = re_df.select("src", "deg").distinct().persist()
 
@@ -104,7 +106,7 @@ def random_walks(
         F.col(start_col).cast("string").alias("walk_id"),
         F.col(start_col).cast("string").alias("node"),
     )
-    out = pos.withColumn("step", F.lit(0))
+    out = pos.withColumn("step", F.lit(0)).localCheckpoint(eager=True)
     for t in range(1, steps + 1):
         step_hash = hash60(
             F.concat_ws(":", F.col("walk_id"), F.lit(str(t)), F.lit(seed))
@@ -123,9 +125,13 @@ def random_walks(
         nxt = withr.join(
             re_df,
             (withr["node"] == re_df["src"]) & (withr["r"] == re_df["rnk"]),
-        ).select("walk_id", F.col("dst").alias("node"))
+        ).select(
+            "walk_id", F.col("dst").alias("node")
+        ).localCheckpoint(eager=True)
         out = out.unionByName(nxt.withColumn("step", F.lit(t)))
         pos = nxt
+    re_df.unpersist()
+    deg_df.unpersist()
     return out.select("walk_id", F.col("step").cast("int"), "node")
 
 
