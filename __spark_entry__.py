@@ -1501,6 +1501,24 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(q_kg_random_walks(spark, sf_dir), window=2)
 
 
+def q_er_token_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-agnostic token-blocking ER candidates
+    (operators/blocking.py, MinoanER-style): row-local name-token
+    postings → ONE block-index count → size-capped (max_block) block
+    purge BEFORE the self-join → rarity(IDF)-weighted pair scores via
+    the exact integer micro protocol. Entities are a part subsample
+    whose name-token rarity matches real entity names."""
+    from kg_microbe_merge_spark.operators.blocking import (
+        token_blocking_candidates,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    ents = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    )
+    return token_blocking_candidates(ents, max_block=50, min_shared=1)
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS) + overlap candidate pairs
     (operators/winnow.py): gram hashing and window-min selection are
@@ -1989,7 +2007,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     join_star_agg and topk_per_group).
     New round-3 operators whose gate slots are deferred to the round-4
     rotation (full oracles + pytest now): vocab_topk, bpe_pairs,
-    kg_snapshot_diff, kg_random_walks, skipgram_pairs, winnow_overlap.
+    kg_snapshot_diff, kg_random_walks, skipgram_pairs, winnow_overlap,
+    er_token_blocking.
     join_star_agg / range_band_join / bgp_two_hop had green round-2
     driver rows (rows+schema+hash) and ceded their gate slots to the new
     bigram_lm_perplexity / random_projection / sq8_adc_topk queries:
@@ -2009,6 +2028,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": q_kg_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "winnow_overlap": q_winnow_overlap,
+        "er_token_blocking": q_er_token_blocking,
         "vocab_topk": q_vocab_topk,
         "json_extract": q_json_extract,
         "percentiles": q_percentiles,
@@ -3155,6 +3175,39 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM walks a JOIN walks b ON a.walk_id = b.walk_id
         WHERE abs(a.step - b.step) <= 2 AND a.step <> b.step
         GROUP BY a.node, b.node
+    """
+
+    # token-blocking ER candidates (operators/blocking.py): same
+    # tokenizer, block purge bounds, and IDF micro protocol
+    sql["er_token_blocking"] = f"""
+        WITH ent AS (
+            SELECT p_partkey AS id, p_name AS name
+            FROM part WHERE p_partkey % 20 = 0),
+        posts AS (
+            SELECT DISTINCT id AS eid,
+                   unnest(list_filter(
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(name), '\\s+', ' ',
+                                               'g')), ' '),
+                       t -> length(t) >= 2)) AS token
+            FROM ent),
+        n AS (SELECT count(DISTINCT id) AS n FROM ent),
+        blocks AS (SELECT token, count(*) AS df FROM posts GROUP BY token),
+        kept AS (
+            SELECT posts.token, posts.eid,
+                   CAST(floor(ln(n.n / blocks.df) * 1000000.0 + 0.5)
+                        AS BIGINT) AS idf_micro
+            FROM posts JOIN blocks USING (token) CROSS JOIN n
+            WHERE blocks.df BETWEEN 2 AND 50),
+        pairs AS (
+            SELECT a.eid AS id_a, b.eid AS id_b,
+                   cast(count(*) AS BIGINT) AS shared,
+                   sum(a.idf_micro) AS score_micro
+            FROM kept a JOIN kept b
+              ON a.token = b.token AND a.eid < b.eid
+            GROUP BY 1, 2)
+        SELECT id_a, id_b, shared, score_micro / 1000000.0 AS score
+        FROM pairs WHERE shared >= 1
     """
 
     # winnowing fingerprints (operators/winnow.py): same gram hash,

@@ -98,6 +98,7 @@ HEADLINE = [
     "kg_random_walks",
     "skipgram_pairs",
     "winnow_overlap",
+    "er_token_blocking",
 ]
 
 

@@ -42,22 +42,6 @@ from kg_microbe_merge_spark.functions.hashing import hash60
 from kg_microbe_merge_spark.functions.text import normalized_text
 
 
-def _gram_hashes(text: Column, k: int) -> Column:
-    """Row-local: array of hash60 over the k-token grams of ``text``."""
-    toks = F.filter(F.split(normalized_text(text), " "), lambda t: F.length(t) >= 1)
-    n = F.size(toks)
-    # gram i (1-based): tokens[i .. i+k-1], joined by single spaces.
-    # NB: F.sequence(1, 0) is a DESCENDING [1, 0], not empty — the
-    # n < k case needs an explicit typed empty array
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
-        lambda i: hash60(F.array_join(F.slice(toks, i, k), " ")),
-    )
-    return F.when(n >= k, grams).otherwise(
-        F.expr("CAST(array() AS ARRAY<BIGINT>)")
-    )
-
-
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 5,
@@ -67,13 +51,41 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """Distinct winnowing fingerprints per document:
     (id_col, fp BIGINT). Guarantee: two documents sharing any run of
-    ``w + k - 1`` tokens share at least one fingerprint."""
-    g = _gram_hashes(F.col(text_col), k)
+    ``w + k - 1`` tokens share at least one fingerprint.
+
+    STAGED projections, not one expression: the token array and the
+    gram-hash array each materialize in their own Project and are
+    referenced as attributes downstream (the ``shingle_array`` barrier
+    pattern, operators/dedup.py:86). Building them inline would embed
+    the gram subtree in EVERY window lambda — Column expressions are
+    trees, so each reference is a runtime re-evaluation — turning the
+    per-row cost from O(n·w) into O(n²) md5 calls (measured: 671 s vs
+    ~2 s for the sf0.1 gate query)."""
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda t: F.length(t) >= 1,
+    )
+    s1 = df.select(F.col(id_col), toks.alias("_toks"))
+    t = F.col("_toks")
+    n = F.size(t)
+    # gram i (1-based): tokens[i .. i+k-1], joined by single spaces.
+    # NB: F.sequence(1, 0) is a DESCENDING [1, 0], not empty — the
+    # n < k case needs an explicit typed empty array
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: hash60(F.array_join(F.slice(t, i, k), " ")),
+    )
+    s2 = s1.select(
+        F.col(id_col),
+        F.when(n >= k, grams)
+        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+        .alias("_g"),
+    )
+    g = F.col("_g")
     ng = F.size(g)
     # windows j = 1 .. ng-w+1; a doc shorter than one window (but with
     # ≥1 gram) fingerprints its global min (degenerate window); no
-    # grams → no fingerprints. F.sequence(1, 0) would be a DESCENDING
-    # [1, 0], so the empty case is an explicit typed empty array.
+    # grams → no fingerprints.
     widx = F.when(
         ng > 0, F.sequence(F.lit(1), F.greatest(ng - F.lit(w - 1), F.lit(1)))
     ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
@@ -82,7 +94,7 @@ def winnow_fingerprints(
         lambda j: F.array_min(F.slice(g, j, F.least(F.lit(w), ng))),
     )
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+        s2.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
         .distinct()
     )
 

@@ -38,13 +38,12 @@ def test_winnow_fingerprints_single_exchange(spark):
     assert plan.count("Exchange") == 1, plan
     assert "hashpartitioning(doc_id" in plan, plan
     assert "CartesianProduct" not in plan
-    # the gram-hash selection itself is exchange-free (row-local)
-    from kg_microbe_merge_spark.operators import winnow as _w
-    from pyspark.sql import functions as F
-
-    g = _w._gram_hashes(F.col("text"), 3)
-    sel = _docs(spark).select(F.col("doc_id"), g.alias("g"))
-    assert "Exchange" not in _plan(sel), _plan(sel)
+    # the staged-projection barrier must survive optimization: the
+    # token array and the gram array each materialize in their OWN
+    # Project (inlining the gram subtree into every window lambda is
+    # the O(n²)-md5 regression this pins — 671 s vs 6.7 s at sf0.1)
+    assert "_toks#" in plan, plan
+    assert "_g#" in plan, plan
 
 
 def test_snapshot_diff_two_exchanges_no_cartesian(spark):
