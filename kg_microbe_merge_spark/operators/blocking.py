@@ -75,23 +75,24 @@ def token_blocking_candidates(
     (rarer shared tokens → higher score). Tokens in more than
     ``max_block`` entities are purged before pairing (stop-text is
     the quadratic term); singleton blocks pair nothing."""
+    from pyspark.sql import Window
+
     posts = name_tokens(
         df, id_col=id_col, name_col=name_col, min_token_len=min_token_len
     )
     n_entities = df.select(id_col).distinct().count()
-    blocks = posts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    kept = posts.join(
-        blocks.filter(
-            (F.col("df") >= 2) & (F.col("df") <= max_block)
-        ),
-        "token",
-    )
+    # block size as a window over the posting stream (not groupBy+join):
+    # the purge filter then sits on the ONE plan both self-join sides
+    # share, so ReuseExchange materializes the postings once
+    sized = posts.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    ).filter((F.col("df") >= 2) & (F.col("df") <= max_block))
     # per-token IDF in exact micro-units (integer protocol)
     idf_micro = F.floor(
         F.log(F.lit(float(n_entities)) / F.col("df")) * F.lit(1000000.0)
         + F.lit(0.5)
     ).cast("bigint")
-    kept = kept.select("token", "_eid", idf_micro.alias("idf_micro"))
+    kept = sized.select("token", "_eid", idf_micro.alias("idf_micro"))
 
     a = kept.select(
         "token", F.col("_eid").alias("id_a"), "idf_micro"

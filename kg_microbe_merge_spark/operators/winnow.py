@@ -112,13 +112,19 @@ def winnow_overlap_pairs(
     doc_a < doc_b, sharing ≥ ``min_shared`` fingerprints. Fingerprints
     occurring in > ``max_doc_freq`` documents are dropped before the
     self-join (boilerplate text is the quadratic term)."""
+    from pyspark.sql import Window
+
     fps = winnow_fingerprints(
         df, k=k, w=w, text_col=text_col, id_col=id_col
     )
-    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-    kept = fps.join(
-        dfreq.filter(F.col("df") <= max_doc_freq).select("fp"), "fp"
-    )
+    # doc-frequency as a window over the posting stream, NOT a
+    # groupBy+join: the ceiling filter then sits on the SAME plan both
+    # self-join sides share, so Spark's ReuseExchange materializes the
+    # postings once (the groupBy+join form re-derived every fingerprint
+    # from text a second time — same finding as duplicated_span_stats)
+    kept = fps.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("_df") <= max_doc_freq)
     a = kept.select(F.col("fp"), F.col(id_col).alias("doc_a"))
     b = kept.select(F.col("fp"), F.col(id_col).alias("doc_b"))
     return (
