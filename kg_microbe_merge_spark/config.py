@@ -8,6 +8,14 @@ plain dataclasses (SURVEY.md §1.1: "plain dataclass/dict pipeline
 config, YAML-loadable"): a migrating user's existing ``merge.yaml``
 files load unchanged and drive the same merge the CLI flags would.
 
+Validation parity: the reference's merge_schema.yaml declares NO
+``required:`` slots and no enums/patterns — LinkML validation there
+reduces to "known slots, correct ranges". ``load_merge_config``
+enforces exactly that (and more): unknown keys raise
+``MergeConfigError`` naming the YAML path, and every nested mapping /
+list is range-checked against the document tree below, so a config
+that LinkML would reject is rejected here too.
+
 Document tree:
     MergeKG
     ├── configuration: Configuration (output_directory, checkpoint, …)
