@@ -1978,6 +1978,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _mix_tier_col():
+    """Skewed source tiers derived from the uniform srcN ids (20×equal
+    sources are degenerate for mixing): web=src0-13, books=src14-17,
+    code=src18, wiki=src19 → e.g. 350/100/25/25 docs at sf0.01."""
+    num = F.substring(F.col("source"), 4, 10).cast("int")
+    return (
+        F.when(num < 14, F.lit("web"))
+        .when(num < 18, F.lit("books"))
+        .when(num == 18, F.lit("code"))
+        .otherwise(F.lit("wiki"))
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 corpus mixing (operators/mixing.py): one tiny
+    per-source count agg → driver-side integer-protocol rate
+    derivation (IEEE-exact sqrt micro-weights, the repo's
+    floor(x+0.5) round-half protocol) → ONE shuffle-free hash filter
+    with the bounds inlined as a literal CASE map. Small sources
+    (code/wiki) exercise the clamp-at-keep-everything path; the
+    oracle re-derives counts, weights and bounds entirely in SQL."""
+    from kg_microbe_merge_spark.operators.mixing import temperature_mix
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "mix_source", _mix_tier_col()
+    )
+    out = temperature_mix(
+        d,
+        temperature=0.5,
+        target_total=250,
+        source_col="mix_source",
+        id_col="doc_id",
+    )
+    return out.select("doc_id", "mix_source", "n_chars")
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-source cap (operators/mixing.py): hash-threshold
+    prefilter bounds every window task at ~oversample·cap rows
+    regardless of source size (the prefilter is a PREFIX of the
+    ranking hash order, so the capped result is exact, and the
+    operator verifies prefix sufficiency from its own output);
+    web/books take the threshold path, code/wiki the keep-all path."""
+    from kg_microbe_merge_spark.operators.mixing import cap_per_source
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "mix_source", _mix_tier_col()
+    )
+    out = cap_per_source(
+        d, cap=8, source_col="mix_source", id_col="doc_id", oversample=4
+    )
+    return out.select(
+        "doc_id",
+        "mix_source",
+        F.col("rank_in_source").cast("int").alias("rank_in_source"),
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the 50-entry driver gate as redundant
     variants of gated queries (a3 salted/skew-aware ≡ a3 plain + salted
@@ -2008,7 +2066,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     New round-3 operators whose gate slots are deferred to the round-4
     rotation (full oracles + pytest now): vocab_topk, bpe_pairs,
     kg_snapshot_diff, kg_random_walks, skipgram_pairs, winnow_overlap,
-    er_token_blocking.
+    er_token_blocking, temperature_mix, cap_per_source.
     join_star_agg / range_band_join / bgp_two_hop had green round-2
     driver rows (rows+schema+hash) and ceded their gate slots to the new
     bigram_lm_perplexity / random_projection / sq8_adc_topk queries:
@@ -2024,6 +2082,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rollup_agg here).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "temperature_mix": q_temperature_mix,
+        "cap_per_source": q_cap_per_source,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_random_walks": q_kg_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
@@ -3273,6 +3333,64 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM w)
         SELECT doc_id, term, tf, df, weight, cast(rank AS INTEGER) AS rank
         FROM r WHERE rank <= 3
+    """
+
+    # corpus mixing (operators/mixing.py): tier CASE, per-tier counts,
+    # IEEE-exact sqrt micro-weights (2^20 scale, floor(x+0.5)), one
+    # left-associated double division chain — token-for-token the
+    # operator's python derivation — then the split.py bucket filter
+    _mix_tier = """
+        CASE WHEN CAST(substr(source, 4) AS INT) < 14 THEN 'web'
+             WHEN CAST(substr(source, 4) AS INT) < 18 THEN 'books'
+             WHEN CAST(substr(source, 4) AS INT) = 18 THEN 'code'
+             ELSE 'wiki' END
+    """
+    sql["temperature_mix"] = f"""
+        WITH d AS (
+            SELECT doc_id, n_chars, {_mix_tier} AS mix_source
+            FROM documents),
+        c AS (SELECT mix_source, count(*) AS n FROM d GROUP BY 1),
+        w AS (SELECT mix_source, n,
+                     CAST(floor(sqrt(n) * 1048576.0 + 0.5) AS BIGINT)
+                         AS w_micro
+              FROM c),
+        t AS (SELECT sum(w_micro) AS total_w FROM w),
+        b AS (SELECT mix_source,
+                     GREATEST(0, LEAST(10000, CAST(floor(
+                         10000.0 * 250 * w_micro / t.total_w / n + 0.5)
+                         AS BIGINT))) AS bound
+              FROM w CROSS JOIN t)
+        SELECT d.doc_id, d.mix_source, d.n_chars
+        FROM d JOIN b USING (mix_source)
+        WHERE {_h60("(d.doc_id)::VARCHAR || ':mix'")} % 10000 < b.bound
+    """
+
+    # per-source cap (operators/mixing.py): hash-threshold prefilter
+    # (2^60·oversample·cap/n, keep-all when the source is small) is a
+    # prefix of the ranking hash order, so prefilter + row_number ≤ cap
+    # is the exact top-cap
+    sql["cap_per_source"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_mix_tier} AS mix_source FROM documents),
+        c AS (SELECT mix_source, count(*) AS n FROM d GROUP BY 1),
+        thr AS (SELECT mix_source,
+                       CASE WHEN n <= 32 THEN 1152921504606846976
+                            ELSE CAST(floor(
+                                1152921504606846976.0 * 32.0 / n)
+                                AS BIGINT) END AS thr
+                FROM c),
+        h AS (SELECT doc_id, mix_source,
+                     {_h60("(doc_id)::VARCHAR || ':cap'")} AS hh
+              FROM d),
+        kept AS (
+            SELECT h.doc_id, h.mix_source, h.hh
+            FROM h JOIN thr USING (mix_source) WHERE h.hh < thr.thr),
+        r AS (SELECT doc_id, mix_source,
+                     row_number() OVER (PARTITION BY mix_source
+                                        ORDER BY hh, doc_id) AS rn
+              FROM kept)
+        SELECT doc_id, mix_source, CAST(rn AS INTEGER) AS rank_in_source
+        FROM r WHERE rn <= 8
     """
     return sql
 

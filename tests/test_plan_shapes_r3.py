@@ -60,3 +60,37 @@ def test_snapshot_diff_two_exchanges_no_cartesian(spark):
     assert plan.count("Exchange") <= 2, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "FullOuter" in plan.replace(" ", ""), plan
+
+
+def test_temperature_mix_is_shuffle_free(spark):
+    from kg_microbe_merge_spark.operators.mixing import temperature_mix
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="a" if i % 3 else "b") for i in range(60)]
+    )
+    out = temperature_mix(df, 0.5, target_total=30)
+    plan = _plan(out)
+    # bounds are literal CASE branches: ONE filter folded into the scan
+    # stage, no join, no Exchange — the 100 TB mixing pass is scan-speed
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_cap_per_source_partial_group_limit_before_exchange(spark):
+    from kg_microbe_merge_spark.operators.mixing import cap_per_source
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i % 2}") for i in range(400)]
+    )
+    out = cap_per_source(df, cap=5, source_col="source")
+    plan = _plan(out)
+    # hash prefilter sits in the scan stage; exactly ONE Exchange (the
+    # per-source window), and Spark's WindowGroupLimit runs in Partial
+    # mode BEFORE it — at most cap rows per source per map partition
+    # ever cross the wire, so a 90%-of-corpus source costs what a tiny
+    # one does
+    assert plan.count("Exchange") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    partial = plan.find("Partial")
+    exchange = plan.find("Exchange")
+    assert partial != -1 and exchange < partial, plan
