@@ -2036,6 +2036,33 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic unigram^0.75 negative sampling
+    (operators/negatives.py): the word2vec training-data step — CDF
+    built once from the token-count dimension (collected sorted,
+    shipped in the UDF closure like the linking dict / IVF centroids),
+    then each (pair, j) draw is a row-local portable-hash mod + one
+    vectorized np.searchsorted in an Arrow-batched pandas UDF. ZERO
+    shuffle beyond the pair/count aggregations; integer protocol
+    end-to-end, so the oracle re-derives CDF and draws in SQL and
+    range-joins to the same words."""
+    from kg_microbe_merge_spark.operators.negatives import (
+        negative_samples,
+        unigram_cdf,
+    )
+    from kg_microbe_merge_spark.operators.vocab import (
+        bpe_pair_counts,
+        token_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cdf = unigram_cdf(token_counts(d, min_count=2), power=0.75)
+    pairs = bpe_pair_counts(d, min_count=5)
+    return negative_samples(pairs, cdf, k=2).select(
+        "lhs", "rhs", "j", "negative"
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the 50-entry driver gate as redundant
     variants of gated queries (a3 salted/skew-aware ≡ a3 plain + salted
@@ -2066,7 +2093,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     New round-3 operators whose gate slots are deferred to the round-4
     rotation (full oracles + pytest now): vocab_topk, bpe_pairs,
     kg_snapshot_diff, kg_random_walks, skipgram_pairs, winnow_overlap,
-    er_token_blocking, temperature_mix, cap_per_source.
+    er_token_blocking, temperature_mix, cap_per_source,
+    negative_samples.
     join_star_agg / range_band_join / bgp_two_hop had green round-2
     driver rows (rows+schema+hash) and ceded their gate slots to the new
     bigram_lm_perplexity / random_projection / sq8_adc_topk queries:
@@ -2084,6 +2112,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "temperature_mix": q_temperature_mix,
         "cap_per_source": q_cap_per_source,
+        "negative_samples": q_negative_samples,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_random_walks": q_kg_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
@@ -3391,6 +3420,47 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM kept)
         SELECT doc_id, mix_source, CAST(rn AS INTEGER) AS rank_in_source
         FROM r WHERE rn <= 8
+    """
+
+    # negative sampling (operators/negatives.py): same token counts as
+    # vocab, micro-weights floor(n^0.75·2^20+0.5) with n^0.75 =
+    # sqrt(n)·sqrt(sqrt(n)) (IEEE-exact sqrts), BIGINT cumulative CDF
+    # ordered by token, hash-mod draws, range join into the CDF —
+    # value-for-value the pandas-UDF searchsorted
+    sql["negative_samples"] = f"""
+        WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+        tok AS (SELECT unnest(t) AS token FROM toks),
+        vc AS (SELECT token, cast(count(*) AS BIGINT) AS n
+               FROM tok WHERE token != ''
+               GROUP BY token HAVING count(*) >= 2),
+        wm AS (SELECT token,
+                      CAST(floor(sqrt(n) * sqrt(sqrt(n)) * 1048576.0
+                                 + 0.5) AS BIGINT) AS w
+               FROM vc),
+        cdf AS (SELECT token, w,
+                       sum(w) OVER (ORDER BY token
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS hi
+                FROM wm),
+        tot AS (SELECT sum(w) AS total FROM wm),
+        p AS (
+            SELECT unnest(CASE WHEN len(t) >= 2
+                   THEN [struct_pack(lhs := t[i], rhs := t[i + 1])
+                         for i in range(1, len(t))]
+                   ELSE [] END) AS pp
+            FROM toks),
+        pairs AS (
+            SELECT pp.lhs AS lhs, pp.rhs AS rhs
+            FROM p GROUP BY pp.lhs, pp.rhs HAVING count(*) >= 5),
+        draws AS (
+            SELECT lhs, rhs, j,
+                   {_h60("lhs || ':' || rhs || ':' || CAST(j AS VARCHAR) || ':neg'")}
+                       % tot.total AS u
+            FROM pairs CROSS JOIN (VALUES (1), (2)) v(j) CROSS JOIN tot)
+        SELECT d.lhs, d.rhs, CAST(d.j AS INTEGER) AS j,
+               cdf.token AS negative
+        FROM draws d JOIN cdf
+          ON d.u >= cdf.hi - cdf.w AND d.u < cdf.hi
     """
     return sql
 

@@ -99,6 +99,9 @@ HEADLINE = [
     "skipgram_pairs",
     "winnow_overlap",
     "er_token_blocking",
+    "temperature_mix",
+    "cap_per_source",
+    "negative_samples",
 ]
 
 

@@ -1,0 +1,152 @@
+"""Deterministic negative sampling from a unigram^power distribution.
+
+The word2vec/DeepWalk training-data step downstream of
+``operators/walks.skipgram_pairs`` / ``operators/vocab``: every
+(positive-pair, draw-index) gets a negative example drawn from the
+smoothed unigram distribution P(w) ∝ count(w)^power (power = 0.75 in
+Mikolov et al.) — here as a pure function of the pair, so the sampled
+corpus is reproducible across runs, partitionings and engines.
+
+Architecture at 100 TB:
+
+* the vocabulary is a DIMENSION (≤ tens of millions of rows next to
+  trillions of pairs), so its CDF is built once, collected sorted, and
+  shipped to executors inside the UDF closure — the same
+  broadcast-small-side discipline as the entity-linking dict and the
+  IVF centroids;
+* the draw itself is row-local: the 60-bit portable hash of
+  (pair, draw index) mod total maps into the CDF via a vectorized
+  ``np.searchsorted`` inside an Arrow-batched pandas UDF — ZERO
+  additional shuffle beyond whatever produced the pairs (plan-asserted
+  in tests), O(log V) per draw;
+* integer protocol end-to-end: micro-weights
+  ``floor(n^power · 2^20 + 0.5)`` with ``n^0.75`` computed as
+  ``sqrt(n) · sqrt(sqrt(n))`` (IEEE-exact sqrts, one correctly-rounded
+  multiply — the identical expression tree in Spark, DuckDB and
+  numpy), BIGINT cumulative sums, integer modulo — so the driver's
+  DuckDB gate verifies every sampled word value-for-value with a
+  range join against the same CDF.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.hashing import hash60
+
+#: micro-weight scale (2^20), shared with operators/mixing.py
+WEIGHT_SCALE = 1 << 20
+
+#: powers whose n^power is IEEE-exact via sqrt chains
+EXACT_POWERS = (1.0, 0.75, 0.5, 0.25)
+
+
+def _power_micro(n: int, power: float) -> int:
+    """floor(n^power · 2^20 + 0.5) with sqrt-chain exactness."""
+    if power == 1.0:
+        w = float(n)
+    elif power == 0.75:
+        w = math.sqrt(float(n)) * math.sqrt(math.sqrt(float(n)))
+    elif power == 0.5:
+        w = math.sqrt(float(n))
+    elif power == 0.25:
+        w = math.sqrt(math.sqrt(float(n)))
+    else:
+        w = float(n) ** power
+    return int(math.floor(w * WEIGHT_SCALE + 0.5))
+
+
+class UnigramCDF:
+    """Sorted-by-word cumulative micro-weight table (the sampling
+    dimension). ``words[i]`` owns the draw interval
+    ``[hi[i] - w[i], hi[i])``."""
+
+    def __init__(self, words: list[str], micro: list[int]):
+        if not words:
+            raise ValueError("empty vocabulary")
+        self.words = np.asarray(words, dtype=object)
+        cum, acc = [], 0
+        for m in micro:
+            acc += m
+            cum.append(acc)
+        if acc <= 0:
+            raise ValueError("all micro-weights are zero")
+        if acc > (1 << 62):
+            raise ValueError(
+                f"CDF total {acc} exceeds 2^62 — lower the weight scale"
+            )
+        self.hi = np.asarray(cum, dtype=np.int64)
+        self.total = acc
+
+    def pick(self, u: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.hi, u, side="right")
+        return self.words[idx]
+
+
+def unigram_cdf(
+    vocab_counts: DataFrame,
+    word_col: str = "token",
+    count_col: str = "n",
+    power: float = 0.75,
+) -> UnigramCDF:
+    """Build the sampling CDF from a distributed ``(word, count)``
+    table. The collect is vocabulary-sized (a dimension, not the
+    corpus); rows are taken sorted by word so the cumulative layout —
+    and therefore every sampled value — is independent of upstream
+    partitioning."""
+    rows = (
+        vocab_counts.select(word_col, count_col)
+        .orderBy(F.asc(word_col))
+        .collect()
+    )
+    return UnigramCDF(
+        [r[0] for r in rows], [_power_micro(r[1], power) for r in rows]
+    )
+
+
+def negative_samples(
+    pairs: DataFrame,
+    cdf: UnigramCDF,
+    k: int = 2,
+    a_col: str = "lhs",
+    b_col: str = "rhs",
+    salt: str = "neg",
+    out_col: str = "negative",
+) -> DataFrame:
+    """Attach ``k`` deterministic negative draws to every positive
+    pair: row (a, b) gets draws j = 1..k with
+    ``u_j = hash60(a:b:j:salt) mod total`` mapped through the CDF.
+
+    No accidental-positive exclusion (the standard simplification —
+    with a real vocabulary the collision odds per draw are the pair's
+    own unigram mass); filter ``negative != b`` afterwards if the
+    training recipe requires it, accepting the count shortfall.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    words, hi = cdf.words, cdf.hi
+
+    @pandas_udf("string")
+    def _pick(u):
+        import pandas as pd
+
+        idx = np.searchsorted(hi, u.values, side="right")
+        return pd.Series(words[idx])
+
+    drawn = pairs.withColumn(
+        "j", F.explode(F.sequence(F.lit(1), F.lit(k)))
+    ).withColumn(
+        "_u",
+        hash60(
+            F.concat_ws(
+                ":", F.col(a_col), F.col(b_col), F.col("j"), F.lit(salt)
+            )
+        )
+        % F.lit(cdf.total),
+    )
+    return drawn.withColumn(out_col, _pick(F.col("_u"))).drop("_u")
