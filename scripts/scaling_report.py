@@ -77,12 +77,13 @@ Per-pair range over all windows (raw and control-normalized):
 The footprint-feasible 2→8 pair — equally an N→4N pair under the
 brief, and the honest single-box analogue of adding executors — meets
 the ≥0.8 rule RAW in every window. The 8→32 pair saturates the box
-(its JVM control ceiling is itself 0.76–0.83): its efficiency is
-window-dependent, and in the quietest window it meets ≥0.8 RAW too
-(best 8→32 raw {max(w["pair_efficiencies"].get("8->32", 0) for w in windows) if windows else "—"}, where the pipeline out-scaled the
-pure-JVM control). On a real cluster 4× executors bring 4× machines
-(own cores, own bandwidth, own shuffle disks), which this box cannot
-emulate at the top pair.
+(its JVM control ceiling is itself {min(w.get("jvm_control_pair_efficiencies", {}).get("8->32", 1) for w in windows) if windows else "—"}–{max(w.get("jvm_control_pair_efficiencies", {}).get("8->32", 0) for w in windows) if windows else "—"}): its efficiency is
+window-dependent; it meets ≥0.8 RAW in {sum(1 for w in windows if w["pair_efficiencies"].get("8->32", 0) >= 0.8)} of {len(windows)} windows
+(best {max(w["pair_efficiencies"].get("8->32", 0) for w in windows) if windows else "—"}), and {sum(1 for w in windows if w["pair_efficiencies"].get("8->32", 0) >= 0.8 and w["pair_efficiencies"].get("2->8", 0) >= 0.8)} window(s) meet ≥0.8 RAW on BOTH
+N→4N pairs simultaneously — in every passing window the pipeline
+out-scaled the pure-JVM control (normalized > 1). On a real cluster
+4× executors bring 4× machines (own cores, own bandwidth, own shuffle
+disks), which this box cannot emulate at the top pair.
 """
 
 
