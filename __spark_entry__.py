@@ -2063,6 +2063,22 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced output sharding (operators/sharding.py): the
+    training-shard writer layout — every row's shard is
+    before_bytes div shard_bytes under the deterministic hash order,
+    computed as a two-level prefix sum (per-bucket totals → broadcast
+    offsets → per-bucket window) so no task sees the whole corpus;
+    the oracle collapses it to ONE global window over the identical
+    (bucket, hash, id) order — exact because all arithmetic is BIGINT."""
+    from kg_microbe_merge_spark.operators.sharding import assign_shards
+
+    d = _t(spark, sf_dir, "documents")
+    return assign_shards(d, shard_bytes=30_000, n_buckets=64).select(
+        "doc_id", "shard_id"
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the 50-entry driver gate as redundant
     variants of gated queries (a3 salted/skew-aware ≡ a3 plain + salted
@@ -2094,7 +2110,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation (full oracles + pytest now): vocab_topk, bpe_pairs,
     kg_snapshot_diff, kg_random_walks, skipgram_pairs, winnow_overlap,
     er_token_blocking, temperature_mix, cap_per_source,
-    negative_samples.
+    negative_samples, shard_layout.
     join_star_agg / range_band_join / bgp_two_hop had green round-2
     driver rows (rows+schema+hash) and ceded their gate slots to the new
     bigram_lm_perplexity / random_projection / sq8_adc_topk queries:
@@ -2113,6 +2129,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "cap_per_source": q_cap_per_source,
         "negative_samples": q_negative_samples,
+        "shard_layout": q_shard_layout,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_random_walks": q_kg_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
@@ -3461,6 +3478,24 @@ def _all_oracle_sql() -> dict[str, str]:
                cdf.token AS negative
         FROM draws d JOIN cdf
           ON d.u >= cdf.hi - cdf.w AND d.u < cdf.hi
+    """
+
+    # size-balanced sharding (operators/sharding.py): the engine's
+    # two-level prefix sum collapses to one global window here — same
+    # (bucket, hash, id) order, BIGINT cum, integer division
+    sql["shard_layout"] = f"""
+        WITH h AS (
+            SELECT doc_id, n_chars,
+                   {_h60("(doc_id)::VARCHAR || ':shard'")} AS hh
+            FROM documents),
+        c AS (
+            SELECT doc_id,
+                   sum(n_chars) OVER (
+                       ORDER BY hh % 64, hh, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_chars AS bytes_before
+            FROM h)
+        SELECT doc_id, bytes_before // 30000 AS shard_id FROM c
     """
     return sql
 

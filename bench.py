@@ -102,6 +102,7 @@ HEADLINE = [
     "temperature_mix",
     "cap_per_source",
     "negative_samples",
+    "shard_layout",
 ]
 
 

@@ -81,7 +81,12 @@ the ≥0.8 rule RAW in every window. The 8→32 pair saturates the box
 window-dependent; it meets ≥0.8 RAW in {sum(1 for w in windows if w["pair_efficiencies"].get("8->32", 0) >= 0.8)} of {len(windows)} windows
 (best {max(w["pair_efficiencies"].get("8->32", 0) for w in windows) if windows else "—"}), and {sum(1 for w in windows if w["pair_efficiencies"].get("8->32", 0) >= 0.8 and w["pair_efficiencies"].get("2->8", 0) >= 0.8)} window(s) meet ≥0.8 RAW on BOTH
 N→4N pairs simultaneously — in every passing window the pipeline
-out-scaled the pure-JVM control (normalized > 1). On a real cluster
+out-scaled the pure-JVM control (normalized > 1). Control-normalized —
+the share of the MACHINE-achievable scaling the engine delivers —
+8→32 is ≥ 1 in {sum(1 for w in windows if w.get("control_normalized_pair_efficiencies", {}).get("8->32", 0) >= 1.0)} of {len(windows)} windows: when the top pair
+falls short RAW it is the box ceiling falling, not the engine
+(e.g. a window with raw 0.675 and control 0.628 → normalized 1.075).
+On a real cluster
 4× executors bring 4× machines (own cores, own bandwidth, own shuffle
 disks), which this box cannot emulate at the top pair.
 """
