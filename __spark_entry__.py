@@ -3490,12 +3490,13 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM documents),
         c AS (
             SELECT doc_id,
-                   sum(n_chars) OVER (
+                   CAST(sum(n_chars) OVER (
                        ORDER BY hh % 64, hh, doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) - n_chars AS bytes_before
+                   ) - n_chars AS BIGINT) AS bytes_before
             FROM h)
-        SELECT doc_id, bytes_before // 30000 AS shard_id FROM c
+        SELECT doc_id, CAST(bytes_before // 30000 AS BIGINT) AS shard_id
+        FROM c
     """
     return sql
 

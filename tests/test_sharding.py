@@ -71,11 +71,14 @@ def test_partitioning_invariant(spark):
 
 
 def test_oversized_row_owns_shards(spark):
-    df = spark.createDataFrame(
-        [Row(doc_id=0, n_chars=25_000), Row(doc_id=1, n_chars=10)]
-    )
+    # hash order of ids 0-7 under salt "shard" is [3,5,1,4,0,2,7,6]:
+    # the 25 kB giant (id 0) sits mid-order, so id 2 right after it
+    # must start 25 shards later — floor arithmetic, no blocking
+    rows = [Row(doc_id=i, n_chars=25_000 if i == 0 else 10) for i in range(8)]
+    df = spark.createDataFrame(rows)
     out = {r["doc_id"]: r["shard_id"] for r in assign_shards(df, 1000).collect()}
-    assert len(set(out.values())) == 2  # the giant row pushes the next far ahead
+    assert out == _expected(rows, 1000)
+    assert out[2] == (4 * 10 + 25_000) // 1000 == 25
 
 
 def test_guards(spark):
