@@ -2063,6 +2063,36 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_incremental_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EDGE upsert (operators/upsert.edges_merge_incremental):
+    raw edge rows split deterministically ~4:1 into initial load and
+    delta; the delta folds into the provenance-merged snapshot without
+    re-aggregating it (broadcast anti/semi carve-out — snapshot scanned
+    once, never shuffled, plan-asserted in tests/test_upsert.py). The
+    oracle is the FULL provenance re-merge over all raw rows: pure set
+    algebra makes fold ≡ re-merge with no sidecar state."""
+    from kg_microbe_merge_spark.operators.merge import edges_merge_provenance
+    from kg_microbe_merge_spark.operators.upsert import edges_merge_incremental
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("P:"), F.col("l_partkey")).alias("subject"),
+        F.col("l_returnflag").alias("predicate"),
+        F.concat(F.lit("S:"), F.col("l_suppkey")).alias("object"),
+        F.col("l_linestatus").alias("relation"),
+        F.concat(F.lit("O:"), F.col("l_orderkey")).alias("knowledge_source"),
+    )
+    is_delta = (
+        F.pmod(
+            F.xxhash64(F.col("subject"), F.col("object"), F.col("knowledge_source")),
+            F.lit(5),
+        )
+        == 0
+    )
+    snap = edges_merge_provenance(e.filter(~is_delta), sort_output=False)
+    return edges_merge_incremental(snap, e.filter(is_delta))
+
+
 def q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-balanced output sharding (operators/sharding.py): the
     training-shard writer layout — every row's shard is
@@ -2110,7 +2140,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation (full oracles + pytest now): vocab_topk, bpe_pairs,
     kg_snapshot_diff, kg_random_walks, skipgram_pairs, winnow_overlap,
     er_token_blocking, temperature_mix, cap_per_source,
-    negative_samples, shard_layout.
+    negative_samples, shard_layout, kg_incremental_edges.
     join_star_agg / range_band_join / bgp_two_hop had green round-2
     driver rows (rows+schema+hash) and ceded their gate slots to the new
     bigram_lm_perplexity / random_projection / sq8_adc_topk queries:
@@ -2130,6 +2160,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "negative_samples": q_negative_samples,
         "shard_layout": q_shard_layout,
+        "kg_incremental_edges": q_kg_incremental_edges,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_random_walks": q_kg_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
@@ -3497,6 +3528,16 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM h)
         SELECT doc_id, CAST(bytes_before // 30000 AS BIGINT) AS shard_id
         FROM c
+    """
+
+    # incremental edge upsert: fold ≡ full provenance re-merge (same
+    # invariant-as-oracle pattern as kg_incremental_upsert)
+    sql["kg_incremental_edges"] = f"""
+        SELECT subject, predicate, object,
+               {pipe('relation')},
+               {pipe('knowledge_source')}
+        FROM ({_EDGES_SQL})
+        GROUP BY subject, predicate, object
     """
     return sql
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..constants import MULTIVALUE_SEP
+from ..constants import EDGE_KEY_COLUMNS, MULTIVALUE_SEP
 from .merge import pipe_agg, priority_name
 
 #: boolean sidecar column carried by incremental-capable snapshots
@@ -171,3 +171,74 @@ def nodes_merge_incremental(
         affected.select(*cols, NAME_STATE_COLUMN)
     )
     return out.orderBy("id") if sort_output else out
+
+
+def edges_merge_incremental(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    sort_output: bool = True,
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Fold raw ``delta`` edge rows into a merged (s,p,o)-keyed snapshot
+    produced by ``merge.edges_merge_provenance`` (or ``edges_merge``
+    when there are no payload columns), returning the new snapshot.
+
+    Invariant (tested + gated as ``kg_incremental_edges``)::
+
+        edges_merge_incremental(edges_merge_provenance(old), new)
+          ==  edges_merge_provenance(old UNION ALL new)
+
+    Unlike nodes, edges need NO sidecar state: pipe-joined payloads are
+    set unions and the key is the whole identity — the fold is pure
+    set algebra. Scale shape is the nodes pattern: delta aggregated
+    (one O(delta) shuffle), its keys broadcast, snapshot split into an
+    untouched passthrough (broadcast anti) and an O(delta) affected
+    stream (broadcast semi + broadcast outer join) — the snapshot is
+    scanned once and never shuffled."""
+    keys = [c for c in EDGE_KEY_COLUMNS]
+    for k in keys:
+        if k not in snapshot.columns or k not in delta.columns:
+            raise ValueError(f"both sides need edge key column {k!r}")
+    snap_payload = [c for c in snapshot.columns if c not in keys]
+    payload = snap_payload + [
+        c for c in delta.columns if c not in keys and c not in snap_payload
+    ]
+    for c in payload:
+        if c not in delta.columns:
+            delta = delta.withColumn(c, F.lit(None).cast("string"))
+        if c not in snapshot.columns:
+            snapshot = snapshot.withColumn(c, F.lit(None).cast("string"))
+    maybe_bc = F.broadcast if broadcast_delta else (lambda df: df)
+
+    if not payload:
+        new_edges = delta.select(*keys).distinct()
+        existing = snapshot.join(maybe_bc(new_edges), keys, "left_semi")
+        fresh = new_edges.join(maybe_bc(existing), keys, "left_anti")
+        out = snapshot.unionByName(fresh)
+        return out.orderBy(*keys) if sort_output else out
+
+    delta_agg = delta.groupBy(*keys).agg(
+        *[F.collect_set(F.col(c)).alias(f"_d_{c}") for c in payload]
+    )
+    delta_keys = delta_agg.select(*keys)
+    untouched = snapshot.join(maybe_bc(delta_keys), keys, "left_anti")
+    affected_old = snapshot.join(maybe_bc(delta_keys), keys, "left_semi")
+
+    def _merged_pipe(c: str) -> F.Column:
+        comb = F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    _split_pipes(c),
+                    F.coalesce(
+                        F.col(f"_d_{c}"), F.array().cast("array<string>")
+                    ),
+                )
+            )
+        )
+        return F.when(F.size(comb) > 0, F.array_join(comb, MULTIVALUE_SEP)).alias(c)
+
+    affected = delta_agg.join(maybe_bc(affected_old), keys, "left_outer").select(
+        *keys, *[_merged_pipe(c) for c in payload]
+    )
+    out = untouched.select(*keys, *payload).unionByName(affected)
+    return out.orderBy(*keys) if sort_output else out

@@ -119,3 +119,74 @@ def test_snapshot_side_never_shuffled(spark, tmp_path):
     assert _collect(out) == _collect(
         nodes_merge(snap_raw.unionByName(delta), ["R"])
     )
+
+
+# --- incremental EDGE upsert -------------------------------------------
+
+ECOLS = ["subject", "predicate", "object", "relation", "knowledge_source"]
+
+
+def _edf(spark, rows):
+    return spark.createDataFrame(rows, ECOLS)
+
+
+def _erows(n, tag, start=0):
+    return [
+        (
+            f"P:{(start + i) % 7}",
+            "related_to" if i % 2 else "part_of",
+            f"S:{(start + i) % 5}",
+            f"rel_{tag}{i % 3}",
+            f"src_{tag}",
+        )
+        for i in range(n)
+    ]
+
+
+def test_edges_incremental_equals_full_merge(spark):
+    from kg_microbe_merge_spark.operators.merge import edges_merge_provenance
+    from kg_microbe_merge_spark.operators.upsert import edges_merge_incremental
+
+    old, new = _erows(40, "a"), _erows(25, "b", start=3)
+    snap = edges_merge_provenance(_edf(spark, old), sort_output=False)
+    got = edges_merge_incremental(snap, _edf(spark, new))
+    want = edges_merge_provenance(_edf(spark, old + new))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # chained second delta keeps the invariant
+    third = _erows(10, "c", start=6)
+    got2 = edges_merge_incremental(got, _edf(spark, third))
+    want2 = edges_merge_provenance(_edf(spark, old + new + third))
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want2.collect()))
+
+
+def test_edges_incremental_distinct_variant(spark):
+    from kg_microbe_merge_spark.operators.merge import edges_merge
+    from kg_microbe_merge_spark.operators.upsert import edges_merge_incremental
+
+    old = _edf(spark, _erows(30, "a")).select("subject", "predicate", "object")
+    new = _edf(spark, _erows(20, "b", start=2)).select(
+        "subject", "predicate", "object"
+    )
+    snap = edges_merge(old, sort_output=False)
+    got = edges_merge_incremental(snap, new)
+    want = edges_merge(old.unionByName(new))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_edges_incremental_snapshot_never_shuffled(spark, tmp_path):
+    from kg_microbe_merge_spark.operators.merge import edges_merge_provenance
+    from kg_microbe_merge_spark.operators.upsert import edges_merge_incremental
+
+    snap_path = str(tmp_path / "esnap")
+    edges_merge_provenance(
+        _edf(spark, _erows(60, "a")), sort_output=False
+    ).write.parquet(snap_path)
+    snap = spark.read.parquet(snap_path)
+    out = edges_merge_incremental(
+        snap, _edf(spark, _erows(8, "b")), sort_output=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    # the only exchange keys allowed are the delta aggregation's —
+    # nothing repartitions the snapshot scan
+    assert "BroadcastHashJoin" in plan, plan
