@@ -103,6 +103,7 @@ HEADLINE = [
     "cap_per_source",
     "negative_samples",
     "shard_layout",
+    "kg_incremental_edges",
 ]
 
 

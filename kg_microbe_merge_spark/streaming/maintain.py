@@ -32,7 +32,35 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-from ..operators.upsert import nodes_merge_incremental, nodes_merge_with_state
+from ..operators.merge import edges_merge_provenance
+from ..operators.upsert import (
+    edges_merge_incremental,
+    nodes_merge_incremental,
+    nodes_merge_with_state,
+)
+
+
+def fold_edges_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    snapshot_dir: str,
+) -> None:
+    """Edge twin of :func:`fold_batch`: fold one raw edge delta into the
+    provenance-merged (s,p,o) snapshot. Same guarantees — idempotent
+    (set-union payloads), atomic swap, O(delta) per batch with the
+    snapshot never shuffled."""
+    if not batch.take(1):
+        return
+    if os.path.exists(snapshot_dir):
+        snapshot = spark.read.parquet(snapshot_dir)
+        new_snap = edges_merge_incremental(snapshot, batch, sort_output=False)
+    else:
+        new_snap = edges_merge_provenance(batch, sort_output=False)
+    tmp = snapshot_dir + "._tmp"
+    new_snap.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(snapshot_dir):
+        shutil.rmtree(snapshot_dir)
+    os.replace(tmp, snapshot_dir)
 
 
 def fold_batch(

@@ -112,3 +112,34 @@ def test_empty_batch_is_noop(spark, tmp_path):
         spark, spark.createDataFrame([], SCHEMA), snap_dir, PRIO
     )
     assert _snap(spark, snap_dir) == before
+
+
+def test_edge_fold_equals_batch_and_idempotent(spark, tmp_path):
+    from pyspark.sql import Row as R
+
+    from kg_microbe_merge_spark.operators.merge import edges_merge_provenance
+    from kg_microbe_merge_spark.streaming.maintain import fold_edges_batch
+
+    def edges(tag, n, start=0):
+        return [
+            R(
+                subject=f"P:{(start + i) % 6}",
+                predicate="part_of",
+                object=f"S:{(start + i) % 4}",
+                relation=f"r_{tag}{i % 2}",
+                knowledge_source=f"src_{tag}",
+            )
+            for i in range(n)
+        ]
+
+    snap_dir = str(tmp_path / "esnap")
+    a, b = edges("a", 25), edges("b", 15, start=2)
+    fold_edges_batch(spark, spark.createDataFrame(a), snap_dir)
+    fold_edges_batch(spark, spark.createDataFrame(b), snap_dir)
+    got = sorted(map(tuple, spark.read.parquet(snap_dir).collect()))
+    want = sorted(
+        map(tuple, edges_merge_provenance(spark.createDataFrame(a + b)).collect())
+    )
+    assert got == want
+    fold_edges_batch(spark, spark.createDataFrame(b), snap_dir)  # replay
+    assert sorted(map(tuple, spark.read.parquet(snap_dir).collect())) == want
