@@ -219,6 +219,36 @@ def main() -> None:
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             out["scaling_measurement"] = json.load(f)
+    # cross-window summary over EVERY archived measurement (the single
+    # latest window under-/over-states a distribution this machine's
+    # co-tenancy makes wide — BENCH/BASELINE.md renders the full table)
+    windows_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH",
+        "scaling_windows.jsonl",
+    )
+    if os.path.exists(windows_path):
+        with open(windows_path) as f:
+            wins = [json.loads(l) for l in f if l.strip()]
+        summary = {}
+        for pair in ("2->8", "8->32"):
+            raw = [w["pair_efficiencies"].get(pair) for w in wins]
+            raw = [r for r in raw if r is not None]
+            norm = [
+                w.get("control_normalized_pair_efficiencies", {}).get(pair)
+                for w in wins
+            ]
+            norm = [x for x in norm if x is not None]
+            if raw:
+                summary[pair] = {
+                    "windows": len(raw),
+                    "raw_min": min(raw),
+                    "raw_max": max(raw),
+                    "raw_pass_0.8": sum(1 for r in raw if r >= 0.8),
+                    "norm_min": min(norm) if norm else None,
+                    "norm_max": max(norm) if norm else None,
+                }
+        out["scaling_windows_summary"] = summary
     print(json.dumps(out))
 
 
