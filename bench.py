@@ -232,7 +232,7 @@ def main() -> None:
             wins = [json.loads(l) for l in f if l.strip()]
         summary = {}
         for pair in ("2->8", "8->32"):
-            raw = [w["pair_efficiencies"].get(pair) for w in wins]
+            raw = [w.get("pair_efficiencies", {}).get(pair) for w in wins]
             raw = [r for r in raw if r is not None]
             norm = [
                 w.get("control_normalized_pair_efficiencies", {}).get(pair)

@@ -47,11 +47,13 @@ from pyspark.sql import functions as F
 from ..functions.hashing import HASH60_SPACE, hash60
 from .split import _BUCKETS
 
-#: micro-weight scale for the integer rate protocol (2^20)
+#: micro-weight scale for the integer rate protocol (2^20) — shared by
+#: operators/negatives.py (one definition of the cross-engine protocol)
 WEIGHT_SCALE = 1 << 20
 
-#: temperatures with an IEEE-exact power (x, sqrt(x), sqrt(sqrt(x)))
-EXACT_TEMPERATURES = (1.0, 0.5, 0.25)
+#: temperatures/powers with an IEEE-exact n^t via sqrt chains
+#: (x, sqrt·sqrt∘sqrt, sqrt, sqrt∘sqrt)
+EXACT_TEMPERATURES = (1.0, 0.75, 0.5, 0.25)
 
 
 def _bucket(id_col: Column, salt: str) -> Column:
@@ -72,11 +74,21 @@ def _power_weight(n: int, temperature: float) -> float:
     """n ** temperature via IEEE-exact sqrt chains when possible."""
     if temperature == 1.0:
         return float(n)
+    if temperature == 0.75:
+        return math.sqrt(float(n)) * math.sqrt(math.sqrt(float(n)))
     if temperature == 0.5:
         return math.sqrt(float(n))
     if temperature == 0.25:
         return math.sqrt(math.sqrt(float(n)))
     return float(n) ** temperature
+
+
+def power_micro(n: int, power: float) -> int:
+    """Integer micro-weight ``floor(n^power · 2^20 + 0.5)`` — THE
+    cross-engine protocol constant both temperature mixing and negative
+    sampling inline into their oracles (one definition so the Spark,
+    DuckDB and python twins can never desynchronize)."""
+    return int(math.floor(_power_weight(n, power) * WEIGHT_SCALE + 0.5))
 
 
 def temperature_bounds(
@@ -101,10 +113,7 @@ def temperature_bounds(
     stays a one-pass expression)."""
     if target_total < 0:
         raise ValueError(f"target_total must be >= 0: {target_total}")
-    micro = {
-        s: int(math.floor(_power_weight(n, temperature) * WEIGHT_SCALE + 0.5))
-        for s, n in counts.items()
-    }
+    micro = {s: power_micro(n, temperature) for s, n in counts.items()}
     total_w = sum(micro.values())
     if total_w == 0:
         return {s: 0 for s in counts}

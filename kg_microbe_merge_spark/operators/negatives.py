@@ -30,35 +30,13 @@ Architecture at 100 TB:
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.hashing import hash60
-
-#: micro-weight scale (2^20), shared with operators/mixing.py
-WEIGHT_SCALE = 1 << 20
-
-#: powers whose n^power is IEEE-exact via sqrt chains
-EXACT_POWERS = (1.0, 0.75, 0.5, 0.25)
-
-
-def _power_micro(n: int, power: float) -> int:
-    """floor(n^power · 2^20 + 0.5) with sqrt-chain exactness."""
-    if power == 1.0:
-        w = float(n)
-    elif power == 0.75:
-        w = math.sqrt(float(n)) * math.sqrt(math.sqrt(float(n)))
-    elif power == 0.5:
-        w = math.sqrt(float(n))
-    elif power == 0.25:
-        w = math.sqrt(math.sqrt(float(n)))
-    else:
-        w = float(n) ** power
-    return int(math.floor(w * WEIGHT_SCALE + 0.5))
+from .mixing import power_micro as _power_micro  # ONE protocol definition
 
 
 class UnigramCDF:

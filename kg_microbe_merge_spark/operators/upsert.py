@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..constants import EDGE_KEY_COLUMNS, MULTIVALUE_SEP
+from ..constants import EDGE_KEY_COLUMNS, EDGE_PAYLOAD_COLUMNS, MULTIVALUE_SEP
 from .merge import pipe_agg, priority_name
 
 #: boolean sidecar column carried by incremental-capable snapshots
@@ -77,6 +77,23 @@ def _split_pipes(col: str) -> F.Column:
     return F.coalesce(
         F.split(F.col(col), "\\" + MULTIVALUE_SEP), F.array().cast("array<string>")
     )
+
+
+def _merged_pipe(c: str) -> F.Column:
+    """Set-union of a snapshot pipe-joined column with the delta's
+    ``collect_set`` twin ``_d_<c>`` — the exact output shape of
+    ``pipe_agg`` (shared by the node and edge incremental folds; the
+    fold ≡ re-merge invariants both depend on this matching pipe_agg
+    character-for-character)."""
+    comb = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                _split_pipes(c),
+                F.coalesce(F.col(f"_d_{c}"), F.array().cast("array<string>")),
+            )
+        )
+    )
+    return F.when(F.size(comb) > 0, F.array_join(comb, MULTIVALUE_SEP)).alias(c)
 
 
 def nodes_merge_incremental(
@@ -139,17 +156,6 @@ def nodes_merge_incremental(
     new_prio = F.greatest(old_prio, F.col("_d_prio"))
     new_max = F.greatest(old_max, F.col("_d_max"))
 
-    def _merged_pipe(c: str) -> F.Column:
-        comb = F.array_sort(
-            F.array_distinct(
-                F.concat(
-                    _split_pipes(c),
-                    F.coalesce(F.col(f"_d_{c}"), F.array().cast("array<string>")),
-                )
-            )
-        )
-        return F.when(F.size(comb) > 0, F.array_join(comb, MULTIVALUE_SEP)).alias(c)
-
     # delta_agg drives the join: affected ids are exactly the delta's
     # ids (brand-new ids have no snapshot row → NULL old columns).
     # Spark cannot broadcast the STREAM side of an outer join, so a
@@ -199,10 +205,18 @@ def edges_merge_incremental(
     for k in keys:
         if k not in snapshot.columns or k not in delta.columns:
             raise ValueError(f"both sides need edge key column {k!r}")
-    snap_payload = [c for c in snapshot.columns if c not in keys]
-    payload = snap_payload + [
-        c for c in delta.columns if c not in keys and c not in snap_payload
+    # mirror edges_merge_provenance exactly: only EDGE_PAYLOAD_COLUMNS
+    # are aggregated; any other raw delta columns (per-row uuid id,
+    # extra annotations) are dropped, never grafted onto the snapshot —
+    # otherwise the snapshot schema would depend on batch arrival order
+    # and the fold ≡ re-merge invariant would break on real KGX inputs
+    payload = [
+        c
+        for c in EDGE_PAYLOAD_COLUMNS
+        if c in snapshot.columns or c in delta.columns
     ]
+    snapshot = snapshot.select(*keys, *[c for c in payload if c in snapshot.columns])
+    delta = delta.select(*keys, *[c for c in payload if c in delta.columns])
     for c in payload:
         if c not in delta.columns:
             delta = delta.withColumn(c, F.lit(None).cast("string"))
@@ -223,19 +237,6 @@ def edges_merge_incremental(
     delta_keys = delta_agg.select(*keys)
     untouched = snapshot.join(maybe_bc(delta_keys), keys, "left_anti")
     affected_old = snapshot.join(maybe_bc(delta_keys), keys, "left_semi")
-
-    def _merged_pipe(c: str) -> F.Column:
-        comb = F.array_sort(
-            F.array_distinct(
-                F.concat(
-                    _split_pipes(c),
-                    F.coalesce(
-                        F.col(f"_d_{c}"), F.array().cast("array<string>")
-                    ),
-                )
-            )
-        )
-        return F.when(F.size(comb) > 0, F.array_join(comb, MULTIVALUE_SEP)).alias(c)
 
     affected = delta_agg.join(maybe_bc(affected_old), keys, "left_outer").select(
         *keys, *[_merged_pipe(c) for c in payload]

@@ -11,9 +11,14 @@ row-local projection) instead of ``spark.read.json`` PERMISSIVE mode —
 that sidesteps Spark's "queries referencing only the internal corrupt
 record column are disallowed" restriction (which otherwise forces a
 ``cache()`` of the whole parsed relation to split valid from corrupt —
-a non-starter at corpus scale). One scan produces BOTH outputs as
-plain filters over the same parsed projection; Catalyst prunes the
-raw-line column out of the valid branch's plan.
+a non-starter at corpus scale). Each returned branch is ONE scan +
+row-local parse + filter (no caching, no Exchange — plan-asserted);
+Catalyst prunes the raw-line column out of the valid branch's plan.
+A caller materializing BOTH branches pays two scans — at corpus scale
+persist the valid output first and derive quarantine from the same
+batch job, or write both from one pass with a ``reason``-partitioned
+sink; the quarantine branch's scan is cheap relative to the corpus
+only because malformed lines short-circuit the parse.
 
 Quarantine rows keep the raw line, the source file, and a reason
 (``malformed_json`` or ``missing:<field>``) — enough to re-drive the

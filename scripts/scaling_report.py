@@ -17,6 +17,18 @@ import os
 BENCH_DIR = "/root/repo/BENCH"
 
 
+def _rng(windows: list[dict], key: str, pair: str) -> str:
+    """min–max of windows[*][key][pair], excluding windows that lack the
+    value (symmetric — no asymmetric min/max sentinel defaults)."""
+    vals = [
+        w.get(key, {}).get(pair) for w in windows
+    ]
+    vals = [v for v in vals if v is not None]
+    if not vals:
+        return "—"
+    return f"{min(vals)}–{max(vals)}"
+
+
 def _windows_section(windows: list[dict]) -> str:
     win_rows = []
     all_pair_keys: list[str] = []
@@ -76,15 +88,15 @@ Per-pair range over all windows (raw and control-normalized):
 
 The footprint-feasible 2→8 pair — equally an N→4N pair under the
 brief, and the honest single-box analogue of adding executors — meets
-the ≥0.8 rule RAW in every window. The 8→32 pair saturates the box
-(its JVM control ceiling is itself {min(w.get("jvm_control_pair_efficiencies", {}).get("8->32", 1) for w in windows) if windows else "—"}–{max(w.get("jvm_control_pair_efficiencies", {}).get("8->32", 0) for w in windows) if windows else "—"}): its efficiency is
-window-dependent; it meets ≥0.8 RAW in {sum(1 for w in windows if w["pair_efficiencies"].get("8->32", 0) >= 0.8)} of {len(windows)} windows
-(best {max(w["pair_efficiencies"].get("8->32", 0) for w in windows) if windows else "—"}), and {sum(1 for w in windows if w["pair_efficiencies"].get("8->32", 0) >= 0.8 and w["pair_efficiencies"].get("2->8", 0) >= 0.8)} window(s) meet ≥0.8 RAW on BOTH
-N→4N pairs simultaneously — in every passing window the pipeline
-out-scaled the pure-JVM control (normalized > 1). Control-normalized —
-the share of the MACHINE-achievable scaling the engine delivers —
-8→32 is ≥ 1 in {sum(1 for w in windows if w.get("control_normalized_pair_efficiencies", {}).get("8->32", 0) >= 1.0)} of {len(windows)} windows: when the top pair
-falls short RAW it is the box ceiling falling, not the engine
+the ≥0.8 rule RAW in {sum(1 for w in windows if w.get("pair_efficiencies", {}).get("2->8", 0) >= 0.8)} of {len(windows)} windows. The 8→32 pair saturates
+the box (its JVM control ceiling is itself {_rng(windows, "jvm_control_pair_efficiencies", "8->32")}): its efficiency
+is window-dependent; it meets ≥0.8 RAW in {sum(1 for w in windows if w.get("pair_efficiencies", {}).get("8->32", 0) >= 0.8)} of {len(windows)} windows
+(best {max((w.get("pair_efficiencies", {}).get("8->32", 0) for w in windows), default="—")}), and {sum(1 for w in windows if w.get("pair_efficiencies", {}).get("8->32", 0) >= 0.8 and w.get("pair_efficiencies", {}).get("2->8", 0) >= 0.8)} window(s) meet ≥0.8 RAW on BOTH
+N→4N pairs simultaneously; of the {sum(1 for w in windows if w.get("pair_efficiencies", {}).get("8->32", 0) >= 0.8)} RAW-passing 8→32 windows,
+{sum(1 for w in windows if w.get("pair_efficiencies", {}).get("8->32", 0) >= 0.8 and w.get("control_normalized_pair_efficiencies", {}).get("8->32", 0) > 1.0)} also out-scaled the pure-JVM control (normalized > 1).
+Control-normalized — the share of the MACHINE-achievable scaling the
+engine delivers — 8→32 is ≥ 1 in {sum(1 for w in windows if w.get("control_normalized_pair_efficiencies", {}).get("8->32", 0) >= 1.0)} of {len(windows)} windows: when the
+top pair falls short RAW it is the box ceiling falling, not the engine
 (e.g. a window with raw 0.675 and control 0.628 → normalized 1.075).
 On a real cluster
 4× executors bring 4× machines (own cores, own bandwidth, own shuffle

@@ -20,6 +20,7 @@ from kg_microbe_merge_spark.operators.upsert import (
 )
 from kg_microbe_merge_spark.streaming.maintain import (
     fold_batch,
+    read_snapshot,
     run_kg_maintenance_stream,
 )
 
@@ -49,7 +50,7 @@ def _rows(tag: str, n: int, start: int = 0):
 def _snap(spark, path):
     return {
         r["id"]: (r["name"], r["category"], r[NAME_STATE_COLUMN])
-        for r in spark.read.parquet(path).collect()
+        for r in read_snapshot(spark, path).collect()
     }
 
 
@@ -78,7 +79,7 @@ def test_stream_folds_equal_batch_merge_and_resume(spark, tmp_path):
         spark, delta_dir + "/*", snap_dir, ckpt, SCHEMA, PRIO,
         available_now=True, max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     assert _snap(spark, snap_dir) == _batch_expected(spark, a + b)
 
     # resume: a third delta lands; only it is folded, invariant holds
@@ -88,7 +89,7 @@ def test_stream_folds_equal_batch_merge_and_resume(spark, tmp_path):
         spark, delta_dir + "/*", snap_dir, ckpt, SCHEMA, PRIO,
         available_now=True, max_files_per_trigger=1,
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)
     assert _snap(spark, snap_dir) == _batch_expected(spark, a + b + c)
 
 
@@ -134,12 +135,30 @@ def test_edge_fold_equals_batch_and_idempotent(spark, tmp_path):
 
     snap_dir = str(tmp_path / "esnap")
     a, b = edges("a", 25), edges("b", 15, start=2)
+    from kg_microbe_merge_spark.streaming.maintain import read_snapshot as rs
+
     fold_edges_batch(spark, spark.createDataFrame(a), snap_dir)
     fold_edges_batch(spark, spark.createDataFrame(b), snap_dir)
-    got = sorted(map(tuple, spark.read.parquet(snap_dir).collect()))
+    got = sorted(map(tuple, rs(spark, snap_dir).collect()))
     want = sorted(
         map(tuple, edges_merge_provenance(spark.createDataFrame(a + b)).collect())
     )
     assert got == want
     fold_edges_batch(spark, spark.createDataFrame(b), snap_dir)  # replay
-    assert sorted(map(tuple, spark.read.parquet(snap_dir).collect())) == want
+    assert sorted(map(tuple, rs(spark, snap_dir).collect())) == want
+
+
+def test_half_written_version_never_breaks_readers(spark, tmp_path):
+    # crash between version write and pointer flip leaves a stray
+    # version dir: readers must keep resolving the old CURRENT, and the
+    # next successful fold must still work (and GC the stray)
+    snap_dir = str(tmp_path / "snapshot")
+    fold_batch(spark, spark.createDataFrame(_rows("a", 10), SCHEMA), snap_dir, PRIO)
+    before = _snap(spark, snap_dir)
+    os.makedirs(os.path.join(snap_dir, "v99"))  # simulated partial write
+    assert _snap(spark, snap_dir) == before
+    fold_batch(spark, spark.createDataFrame(_rows("b", 5, start=3), SCHEMA), snap_dir, PRIO)
+    assert _snap(spark, snap_dir) == _batch_expected(
+        spark, _rows("a", 10) + _rows("b", 5, start=3)
+    )
+    assert not os.path.exists(os.path.join(snap_dir, "v99"))
