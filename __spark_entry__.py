@@ -1533,6 +1533,54 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HyperLogLog distinct-span estimates
+    (operators/sketches.py): m=512 integer registers per group — the
+    ONLY state crossing the shuffle regardless of cardinality (exact
+    count(distinct span) would shuffle the span set itself, i.e. the
+    corpus, at 10^12 docs). Register index / rank / harmonic-mean
+    denominator are all exact integer arithmetic over the portable
+    md5 hash (2^(Rmax-rho) summed as BIGINT, order-independent); the
+    single int64→double division is snapped to the micro protocol, so
+    the DuckDB oracle matches value-for-value. Per-lang cardinalities
+    (2.9k–10k) sit above the 2.5m small-range cutoff — the raw
+    estimator's valid regime."""
+    from kg_microbe_merge_spark.operators.dedup import shingle_array
+    from kg_microbe_merge_spark.operators.sketches import hll_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    # (doc_id=lang, shingles): per-ROW distinct 8-token span hashes
+    sh = shingle_array(d, 8, "text", "lang")
+    items = sh.select(
+        F.col("doc_id").alias("lang"),
+        F.explode_outer("shingles").alias("span"),
+    )
+    return hll_distinct(items, "span", ["lang"], p=9).orderBy("lang")
+
+
+def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter tokens (operators/sketches.py): d=4×w=1024
+    integer counters; each map partition contributes ≤ d·w cells to the
+    single counter exchange no matter how long the token stream is, and
+    estimation probes broadcast the (≤ d·w)-cell table. One-sided
+    guarantee: every token with true count ≥ threshold is returned.
+    Counter rows use the repo's universal-hash family over the portable
+    md5 hash — the DuckDB oracle rebuilds the identical counters."""
+    from kg_microbe_merge_spark.functions.text import normalized_text
+    from kg_microbe_merge_spark.operators.sketches import cms_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(normalized_text(F.col("text")), " "),
+        lambda t: F.length(t) >= 1,
+    )
+    stream = (
+        d.select(F.explode_outer(toks).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    return cms_heavy_hitters(stream, "tok", threshold=400, depth=4, width=1024)
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity scoring (operators/ngram_lm.py — the
     CCNet-style model-based quality filter): row-local bigram
@@ -1925,6 +1973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # least-proven first so they always get a verdict: the newest
         # round-3 operators, then the five the round-2 driver gate
         # truncated before reaching
+        "hll_distinct_spans": q_hll_distinct_spans,
+        "cms_heavy_tokens": q_cms_heavy_tokens,
         "bigram_lm_perplexity": q_bigram_lm,
         "random_projection": q_random_projection,
         "sq8_adc_topk": q_sq8_adc_topk,
@@ -1955,7 +2005,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_priority_dedup": q_w1_priority_dedup,
         "j2_coverage_anti": q_j2_coverage_anti,
         "u1_endpoint_union": q_u1_endpoint_union,
-        "a2_count_distinct": q_a2_count_distinct,
         "q1_pricing_summary": q_q1_pricing_summary,
         "topk_per_group": q_topk_per_group,
         "sessionization": q_sessionization,
@@ -1970,7 +2019,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
-        "embedding_near_dups": q_embedding_near_dups,
         "pivot_events": q_pivot_events,
         "repetition_ratio": q_repetition_ratio,
         "holdout_split": q_holdout_split,
@@ -2154,8 +2202,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     capabilities stay exercised (JSON path extraction in the events
     props tests, exact percentile SQL retained here, grouping-sets via
     rollup_agg here).
+    a2_count_distinct / embedding_near_dups had green round-1 AND
+    round-2 driver rows and ceded their gate slots to the new
+    hll_distinct_spans / cms_heavy_tokens sketch queries: exact
+    count-distinct stays gated inside u1_endpoint_union and
+    graph_stats_report (and hll_distinct_spans is its scale-path
+    successor); the brute embedding near-dup baseline is the guarded
+    O(N²) correctness twin of the still-gated lsh_cosine_topk /
+    ivf_cosine_topk / near_dup_dedup family.
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "a2_count_distinct": q_a2_count_distinct,
+        "embedding_near_dups": q_embedding_near_dups,
         "temperature_mix": q_temperature_mix,
         "cap_per_source": q_cap_per_source,
         "negative_samples": q_negative_samples,
@@ -3103,6 +3161,35 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM sh JOIN sdf USING (shingle)
         GROUP BY doc_id
     """
+
+    # Twins of the sketch gate queries (operators/sketches.py): the SQL
+    # is GENERATED by the same module that builds the Spark plan, from
+    # the same constants — oracle and engine cannot drift.
+    from kg_microbe_merge_spark.operators.sketches import (
+        cms_heavy_hitters_sql,
+        hll_sql,
+    )
+
+    _span8 = f"""toks AS (SELECT lang, {_TOKS_SQL} AS t FROM documents),
+        items AS (
+            SELECT lang, unnest(list_distinct(
+                CASE WHEN len(t) >= 8
+                     THEN [{_h60("array_to_string(t[i:i+7], ' ')")}
+                           for i in range(1, len(t) - 6)]
+                     ELSE [{_h60("array_to_string(t, ' ')")}] END)) AS span
+            FROM toks)"""
+    sql["hll_distinct_spans"] = (
+        hll_sql(_span8, "span", ["lang"], p=9) + " ORDER BY lang"
+    )
+
+    sql["cms_heavy_tokens"] = cms_heavy_hitters_sql(
+        "items AS (SELECT unnest(list_filter("
+        f"{_TOKS_SQL}, t -> length(t) >= 1)) AS tok FROM documents)",
+        "tok",
+        400,
+        depth=4,
+        width=1024,
+    )
 
     # Twin of q_kcore: the peel recurrence unrolled (10 rounds safely
     # above the gate graph's measured convergence depth; monotone, so
