@@ -104,6 +104,8 @@ HEADLINE = [
     "negative_samples",
     "shard_layout",
     "kg_incremental_edges",
+    "hll_distinct_spans",
+    "cms_heavy_tokens",
 ]
 
 

@@ -65,16 +65,27 @@ def read_snapshot(spark: SparkSession, base_dir: str) -> DataFrame | None:
     return spark.read.parquet(cur) if cur else None
 
 
-def _publish(df: DataFrame, base_dir: str) -> None:
+def _publish(
+    df: DataFrame, base_dir: str, marker: tuple[str, str] | None = None
+) -> None:
     """Write ``df`` as the next immutable version, flip CURRENT
     atomically, then garbage-collect older versions. A crash at any
     point leaves a readable snapshot: before the flip the old version
-    is untouched; the flip itself is a single-file ``os.replace``."""
+    is untouched; the flip itself is a single-file ``os.replace``.
+
+    ``marker=(filename, contents)`` writes a sidecar file INTO the
+    version dir before the flip (filename must start with ``_`` so
+    Spark's parquet reader ignores it) — state that must travel
+    atomically with the snapshot, e.g. the Count-Min epoch ledger."""
     os.makedirs(base_dir, exist_ok=True)
     prev = _current_version(base_dir)
     n = int(os.path.basename(prev)[1:]) if prev else -1
     name = f"v{n + 1}"
     df.write.mode("overwrite").parquet(os.path.join(base_dir, name))
+    if marker is not None:
+        fname, contents = marker
+        with open(os.path.join(base_dir, name, fname), "w") as f:
+            f.write(contents)
     ptr = os.path.join(base_dir, _CURRENT)
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
@@ -148,6 +159,129 @@ def run_kg_maintenance_stream(
 
     def _fold(batch: DataFrame, epoch_id: int) -> None:
         fold_batch(spark, batch, snapshot_dir, priority_sources)
+
+    writer = (
+        deltas.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --- continuous sketch maintenance (operators/sketches.py) ----------------
+#
+# The sketches are semigroups, so a stream folds them the same way the
+# KG folds: sketch(batch) merged into the published sketch snapshot,
+# O(sketch state) per micro-batch — the stream itself is never re-read.
+# The exactly-once-effect argument differs per sketch and is encoded
+# here explicitly:
+#
+# * HLL register merge is ``max`` — IDEMPOTENT. Re-folding a replayed
+#   micro-batch (foreachBatch's at-least-once contract) converges, the
+#   same argument as the KG node fold. No extra state needed.
+# * Count-Min merge is ``sum`` — NOT idempotent; a replay would double
+#   count. The fold therefore keeps an epoch high-water mark as a
+#   sidecar that travels atomically with each published version:
+#   foreachBatch replays reuse the SAME epoch_id, so a batch whose
+#   epoch is <= the snapshot's mark is skipped. At-least-once delivery
+#   + ledger = exactly-once effect.
+
+_EPOCH_FILE = "_EPOCH"
+
+
+def _last_epoch(base_dir: str) -> int | None:
+    cur = _current_version(base_dir)
+    if cur is None:
+        return None
+    path = os.path.join(cur, _EPOCH_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(f.read().strip())
+
+
+def fold_hll_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    sketch_dir: str,
+    item_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int | None = None,
+) -> None:
+    """Fold one micro-batch into the published HLL register snapshot.
+    Safe to call again with the same batch — register max is
+    idempotent."""
+    from ..operators.sketches import HLL_P, hll_merge, hll_registers
+
+    if not batch.take(1):
+        return
+    regs = hll_registers(batch, item_col, group_cols, p or HLL_P)
+    cur = read_snapshot(spark, sketch_dir)
+    if cur is not None:
+        regs = hll_merge(cur, regs, group_cols)
+    _publish(regs, sketch_dir)
+
+
+def fold_cms_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    sketch_dir: str,
+    item_col: str,
+    epoch_id: int,
+    depth: int | None = None,
+    width: int | None = None,
+    family: str = "cms",
+) -> None:
+    """Fold one micro-batch into the published Count-Min counter
+    snapshot. Replays of an already-applied epoch are skipped via the
+    epoch ledger (cell-wise sum is not idempotent)."""
+    from ..operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_counters,
+        cms_merge,
+    )
+
+    last = _last_epoch(sketch_dir)
+    if last is not None and epoch_id <= last:
+        return
+    if not batch.take(1):
+        return
+    c = cms_counters(
+        batch, item_col, depth or CMS_DEPTH, width or CMS_WIDTH, family
+    )
+    cur = read_snapshot(spark, sketch_dir)
+    if cur is not None:
+        c = cms_merge(cur, c)
+    _publish(c, sketch_dir, marker=(_EPOCH_FILE, str(epoch_id)))
+
+
+def run_sketch_stream(
+    spark: SparkSession,
+    delta_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    item_col: str,
+    hll_dir: str | None = None,
+    cms_dir: str | None = None,
+    group_cols: tuple[str, ...] = (),
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain HLL and/or Count-Min sketch snapshots over an
+    append-only delta stream (file source standing in for Iceberg/
+    queue, like :func:`run_kg_maintenance_stream`)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    deltas = reader.parquet(delta_dir)
+
+    def _fold(batch: DataFrame, epoch_id: int) -> None:
+        if hll_dir is not None:
+            fold_hll_batch(spark, batch, hll_dir, item_col, group_cols)
+        if cms_dir is not None:
+            fold_cms_batch(spark, batch, cms_dir, item_col, epoch_id)
 
     writer = (
         deltas.writeStream.foreachBatch(_fold)
