@@ -1581,6 +1581,33 @@ def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(stream, "tok", threshold=400, depth=4, width=1024)
 
 
+def q_bloom_prune_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join-prune decision surface (operators/bloom.py):
+    the bitmap over high-value orders' custkeys is a fixed-size
+    ``bit_or`` aggregation (≤ n_bits/64 BIGINT words cross the build
+    shuffle per partition — key-set size never does), then inlined as
+    a plan literal so the probe-side membership test is pure row-local
+    codegen: ZERO probe-side exchange before the (pre-pruned) join
+    shuffle. No false negatives — ``bloom_prune_semi_join`` returns
+    exactly the plain semi join's rows; this query gates the raw
+    decisions, which the oracle reproduces bit-for-bit from the same
+    md5/universal-hash bitmap."""
+    from kg_microbe_merge_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_literal,
+        with_might_contain,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    cust = _t(spark, sf_dir, "customer")
+    words = bloom_literal(bloom_bitmap(orders.select("o_custkey"), "o_custkey"))
+    return with_might_contain(
+        cust.select("c_custkey"), "c_custkey", words
+    ).orderBy("c_custkey")
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity scoring (operators/ngram_lm.py — the
     CCNet-style model-based quality filter): row-local bigram
@@ -1975,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # truncated before reaching
         "hll_distinct_spans": q_hll_distinct_spans,
         "cms_heavy_tokens": q_cms_heavy_tokens,
+        "bloom_prune_decisions": q_bloom_prune_decisions,
         "bigram_lm_perplexity": q_bigram_lm,
         "random_projection": q_random_projection,
         "sq8_adc_topk": q_sq8_adc_topk,
@@ -2006,7 +2034,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_coverage_anti": q_j2_coverage_anti,
         "u1_endpoint_union": q_u1_endpoint_union,
         "q1_pricing_summary": q_q1_pricing_summary,
-        "topk_per_group": q_topk_per_group,
         "sessionization": q_sessionization,
         "asof_enrich": q_asof_enrich,
         "s2_union_align": q_s2_union_align,
@@ -2210,10 +2237,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     successor); the brute embedding near-dup baseline is the guarded
     O(N²) correctness twin of the still-gated lsh_cosine_topk /
     ivf_cosine_topk / near_dup_dedup family.
+    topk_per_group had green round-1 AND round-2 driver rows and ceded
+    its slot to bloom_prune_decisions: its WindowGroupLimit rank-filter
+    capability stays gated via w1_priority_dedup (rn = 1 is the k = 1
+    case of the same operator and plan shape).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "a2_count_distinct": q_a2_count_distinct,
         "embedding_near_dups": q_embedding_near_dups,
+        "topk_per_group": q_topk_per_group,
         "temperature_mix": q_temperature_mix,
         "cap_per_source": q_cap_per_source,
         "negative_samples": q_negative_samples,
@@ -3189,6 +3221,23 @@ def _all_oracle_sql() -> dict[str, str]:
         400,
         depth=4,
         width=1024,
+    )
+
+    # Twin of q_bloom_prune_decisions (operators/bloom.py): the oracle
+    # rebuilds the identical bitmap from the same md5/universal-hash
+    # constants and re-tests every probe — SQL generated by the module.
+    from kg_microbe_merge_spark.operators.bloom import bloom_decisions_sql
+
+    sql["bloom_prune_decisions"] = (
+        bloom_decisions_sql(
+            "build AS (SELECT o_custkey FROM orders"
+            " WHERE o_totalprice > 400000)",
+            "o_custkey",
+            "probe AS (SELECT c_custkey FROM customer)",
+            "c_custkey",
+            "c_custkey",
+        )
+        + " ORDER BY c_custkey"
     )
 
     # Twin of q_kcore: the peel recurrence unrolled (10 rounds safely

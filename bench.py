@@ -106,6 +106,7 @@ HEADLINE = [
     "kg_incremental_edges",
     "hll_distinct_spans",
     "cms_heavy_tokens",
+    "bloom_prune_decisions",
 ]
 
 
