@@ -1581,6 +1581,21 @@ def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(stream, "tok", threshold=400, depth=4, width=1024)
 
 
+def q_quantile_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language approximate doc-length quantiles via the mergeable
+    log-binned histogram (operators/sketches.py): exact quantiles need
+    a global range-shuffle of the corpus; the histogram shuffles ONE
+    partially-aggregated count per (lang, bin) — a few hundred bins
+    regardless of row count — and extracts p50/p90/p99 from integer
+    cumulative ranks. Bin mapping is pure integer (packed exponent/
+    mantissa over bit length, relative error ≤ 2^-4), identical in
+    Spark SQL and DuckDB, so the oracle matches value-for-value."""
+    from kg_microbe_merge_spark.operators.sketches import quantile_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    return quantile_sketch(d, "n_chars", ["lang"]).orderBy("lang", "q")
+
+
 def q_bloom_prune_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter join-prune decision surface (operators/bloom.py):
     the bitmap over high-value orders' custkeys is a fixed-size
@@ -2003,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_spans": q_hll_distinct_spans,
         "cms_heavy_tokens": q_cms_heavy_tokens,
         "bloom_prune_decisions": q_bloom_prune_decisions,
+        "quantile_doc_lengths": q_quantile_doc_lengths,
         "bigram_lm_perplexity": q_bigram_lm,
         "random_projection": q_random_projection,
         "sq8_adc_topk": q_sq8_adc_topk,
@@ -2047,7 +2063,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "pivot_events": q_pivot_events,
-        "repetition_ratio": q_repetition_ratio,
         "holdout_split": q_holdout_split,
         "deterministic_sample": q_deterministic_sample,
     }
@@ -2241,11 +2256,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     its slot to bloom_prune_decisions: its WindowGroupLimit rank-filter
     capability stays gated via w1_priority_dedup (rn = 1 is the k = 1
     case of the same operator and plan shape).
+    repetition_ratio had green round-1 AND round-2 driver rows and
+    ceded its slot to quantile_doc_lengths: the text-analysis family
+    stays gated via text_quality and the repetition operator keeps its
+    value-level pytest (test_split::test_repetition_ratio_values) plus
+    the full oracle here.
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "a2_count_distinct": q_a2_count_distinct,
         "embedding_near_dups": q_embedding_near_dups,
         "topk_per_group": q_topk_per_group,
+        "repetition_ratio": q_repetition_ratio,
         "temperature_mix": q_temperature_mix,
         "cap_per_source": q_cap_per_source,
         "negative_samples": q_negative_samples,
@@ -3221,6 +3242,19 @@ def _all_oracle_sql() -> dict[str, str]:
         400,
         depth=4,
         width=1024,
+    )
+
+    # Twin of q_quantile_doc_lengths (operators/sketches.py): histogram
+    # + rank extraction re-derived entirely in SQL by the same module.
+    from kg_microbe_merge_spark.operators.sketches import quantile_sketch_sql
+
+    sql["quantile_doc_lengths"] = (
+        quantile_sketch_sql(
+            "items AS (SELECT lang, n_chars FROM documents)",
+            "n_chars",
+            ["lang"],
+        )
+        + " ORDER BY lang, q"
     )
 
     # Twin of q_bloom_prune_decisions (operators/bloom.py): the oracle

@@ -107,6 +107,7 @@ HEADLINE = [
     "hll_distinct_spans",
     "cms_heavy_tokens",
     "bloom_prune_decisions",
+    "quantile_doc_lengths",
 ]
 
 

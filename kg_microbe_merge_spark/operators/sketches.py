@@ -429,6 +429,211 @@ def cms_heavy_hitters_sql(
     """
 
 
+# --- log-binned quantile histogram ----------------------------------------
+#
+# The third mergeable sketch: approximate quantiles over non-negative
+# integer measures (doc lengths, token counts, latencies) with bounded
+# relative error 2^-s and bounded state. Exact quantiles need a global
+# sort (a full range-shuffle of the corpus); the histogram needs ONE
+# partial-aggregated count per (group, bin) — a few hundred bins per
+# group regardless of row count — and merges by cell-wise sum.
+#
+# Bin mapping is the float-like packed exponent/mantissa over the
+# integer bit length (HdrHistogram's scheme): values below 2^s are
+# exact; above, the top s mantissa bits after the leading 1 are kept.
+# Monotone, pure integer, identical in Spark SQL / DuckDB / Python —
+# so quantile extraction (smallest bin whose cumulative count reaches
+# ceil(q * n)) is engine-exact, and the sketch gets a full value
+# oracle like the other two.
+
+QUANT_S = 4  # mantissa bits: relative error <= 2^-4 = 6.25%
+
+
+def _bin_expr_sql(x: str, s: int) -> str:
+    """Engine-shared SQL text of the bin mapping (valid in BOTH Spark
+    SQL and DuckDB: length(bin(x)), >>, &, CASE)."""
+    bl = f"length(bin({x}))"
+    return (
+        f"(CASE WHEN ({x}) < {1 << s} THEN ({x}) "
+        f"ELSE ((({bl}) - {s}) << {s}) "
+        f"| ((({x}) >> (({bl}) - 1 - {s})) & {(1 << s) - 1}) END)"
+    )
+
+
+def _bin_lower_py(b: int, s: int) -> int:
+    if b < (1 << s):
+        return b
+    e = (b >> s) - 1
+    m = b & ((1 << s) - 1)
+    return ((1 << s) + m) << e
+
+
+def log_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    s: int = QUANT_S,
+) -> DataFrame:
+    """Per-group log-binned histogram ``(*group_cols, bin INT,
+    cnt BIGINT)`` over a NON-NEGATIVE integer column (negative values
+    raise downstream of the CHECK in the caller's hands; NULLs are
+    dropped). Partially aggregated — each map partition emits at most
+    the bin count per group; merge histograms with
+    :func:`histogram_merge`."""
+    b = F.expr(_bin_expr_sql(f"CAST(`{value_col}` AS BIGINT)", s)).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 0))
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def histogram_merge(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge two histograms (cell-wise sum): sketch(A ++ B)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    group_cols: Sequence[str] = (),
+    s: int = QUANT_S,
+) -> DataFrame:
+    """Quantile estimates from a histogram: ``(*group_cols, q DOUBLE,
+    est BIGINT)`` — ``est`` is the lower bound of the smallest bin
+    whose cumulative count reaches ``ceil(q * n)`` (true quantile is
+    within relative error 2^-s above it). Integer ranks → engine-exact.
+
+    The cumulative sum is a per-group window over the (tiny) histogram
+    relation, not the data."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*[F.col(g) for g in group_cols])
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*[F.col(g) for g in group_cols])
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    # bin lower bound, inverse of the bin mapping — integer exprs only
+    lower = F.expr(
+        f"CASE WHEN bin < {1 << s} THEN CAST(bin AS BIGINT) "
+        f"ELSE CAST(({1 << s} | (bin & {(1 << s) - 1})) AS BIGINT) "
+        f"<< ((bin >> {s}) - 1) END"
+    )
+    qcol = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    exp = cum.select(*group_cols, "bin", "cum", "total", qcol)
+    hit = (
+        exp.filter(
+            F.col("cum")
+            >= F.ceil(F.col("total") * F.col("q")).cast("long")
+        )
+        .groupBy(*group_cols, "q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.select(*group_cols, "q", lower.alias("est"))
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    s: int = QUANT_S,
+) -> DataFrame:
+    """One-shot per-group approximate quantiles."""
+    return histogram_quantiles(
+        log_histogram(df, value_col, group_cols, s), qs, group_cols, s
+    )
+
+
+def quantile_sketch_sql(
+    items_cte: str,
+    value_expr: str,
+    group_exprs: Sequence[str] = (),
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    s: int = QUANT_S,
+) -> str:
+    """DuckDB twin of :func:`quantile_sketch` over a CTE body
+    ``items_cte`` (must define relation ``items``)."""
+    g_sel = "".join(f"{g}, " for g in group_exprs)
+    g_by = ", ".join(group_exprs) if group_exprs else ""
+    part = f"PARTITION BY {g_by}" if group_exprs else ""
+    grp = ("GROUP BY " + g_by) if group_exprs else ""
+    b = _bin_expr_sql(f"CAST(({value_expr}) AS BIGINT)", s)
+    # ::DOUBLE — DuckDB parses bare decimal literals as DECIMAL, Spark
+    # emits DOUBLE; both must carry the identical IEEE double
+    q_rows = " UNION ALL ".join(
+        f"SELECT ({float(q)!r})::DOUBLE AS q" for q in qs
+    )
+    lower = (
+        f"CASE WHEN bin < {1 << s} THEN bin::BIGINT "
+        f"ELSE (({1 << s} | (bin & {(1 << s) - 1}))::BIGINT) "
+        f"<< ((bin >> {s}) - 1) END"
+    )
+    return f"""
+        WITH {items_cte},
+        hist AS (
+            SELECT {g_sel}{b}::INT AS bin, count(*)::BIGINT AS cnt
+            FROM items
+            WHERE ({value_expr}) IS NOT NULL AND ({value_expr}) >= 0
+            GROUP BY {g_sel}bin),
+        cum AS (
+            SELECT {g_sel}bin,
+                   sum(cnt) OVER ({part} ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+                   sum(cnt) OVER ({part})::BIGINT AS total
+            FROM hist),
+        qs AS ({q_rows}),
+        hit AS (
+            SELECT {g_sel}q, min(bin) AS bin
+            FROM cum CROSS JOIN qs
+            WHERE cum >= ceil(total * q)::BIGINT
+            GROUP BY {g_sel}q)
+        SELECT {g_sel}q, ({lower}) AS est FROM hit
+    """
+
+
+def quantile_sketch_py(values, qs=(0.5, 0.9, 0.99), s: int = QUANT_S):
+    """Python twin: {q: est} over non-negative ints."""
+    import math
+    from collections import Counter
+
+    def to_bin(x: int) -> int:
+        if x < (1 << s):
+            return x
+        bl = x.bit_length()
+        return ((bl - s) << s) | ((x >> (bl - 1 - s)) & ((1 << s) - 1))
+
+    hist = Counter(to_bin(v) for v in values if v is not None and v >= 0)
+    bins = sorted(hist)
+    total = sum(hist.values())
+    out = {}
+    for q in qs:
+        rank = math.ceil(total * q)
+        cum = 0
+        for b in bins:
+            cum += hist[b]
+            if cum >= rank:
+                out[q] = _bin_lower_py(b, s)
+                break
+    return out
+
+
 def cms_py(items, depth: int = CMS_DEPTH, width: int = CMS_WIDTH, family: str = "cms"):
     """Python twin: returns (counters dict[(row,col)] -> cnt,
     estimate fn)."""

@@ -22,6 +22,10 @@ from kg_microbe_merge_spark.operators.sketches import (
     hll_merge,
     hll_py,
     hll_registers,
+    histogram_merge,
+    log_histogram,
+    quantile_sketch,
+    quantile_sketch_py,
 )
 
 
@@ -180,6 +184,56 @@ def test_cms_merge_equals_union_sketch(spark):
         (r.row, r.col): r.cnt for r in cms_counters(df_u, "item").collect()
     }
     assert merged == whole
+
+
+# --- log-binned quantile histogram ---------------------------------------
+
+
+def _values():
+    # deterministic long-tailed lengths incl. 0 and small exact region
+    return [0, 1, 7, 15] + [((i * 37) % 97 + 1) * (1 + i % 13) for i in range(1500)]
+
+
+def test_quantiles_match_python_twin(spark):
+    vals = _values()
+    df = spark.createDataFrame([Row(g="g", v=v) for v in vals], "g string, v long")
+    got = {r.q: r.est for r in quantile_sketch(df, "v", ["g"]).collect()}
+    assert got == quantile_sketch_py(vals)
+
+
+def test_quantiles_relative_error_bound(spark):
+    vals = sorted(_values())
+    df = spark.createDataFrame([Row(v=v) for v in vals], "v long")
+    got = {r.q: r.est for r in quantile_sketch(df, "v").collect()}
+    import math
+
+    for q in (0.5, 0.9, 0.99):
+        exact = vals[math.ceil(q * len(vals)) - 1]
+        # est is the bin lower bound containing the true quantile:
+        # est <= exact < est * (1 + 2^-4) (+1 for the exact region)
+        assert got[q] <= exact, (q, got[q], exact)
+        assert exact <= got[q] * (1 + 1 / 16) + 1, (q, got[q], exact)
+
+
+def test_histogram_merge_equals_union(spark):
+    vals = _values()
+    df = spark.createDataFrame([Row(v=v) for v in vals], "v long")
+    h1 = log_histogram(df.filter("v % 2 = 0"), "v")
+    h2 = log_histogram(df.filter("v % 2 = 1"), "v")
+    merged = {(r.bin): r.cnt for r in histogram_merge(h1, h2).collect()}
+    whole = {(r.bin): r.cnt for r in log_histogram(df, "v").collect()}
+    assert merged == whole
+
+
+def test_histogram_bounded_state(spark):
+    # 1500 distinct-ish values collapse into a bounded bin set, and the
+    # aggregation is map-side partial (the scale claim)
+    df = spark.createDataFrame([Row(v=v) for v in _values()], "v long")
+    hist = log_histogram(df, "v")
+    assert hist.count() < 200
+    plan = _plan(hist)
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan, plan
 
 
 def test_cms_plan_shapes(spark):
