@@ -1581,6 +1581,22 @@ def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(stream, "tok", threshold=400, depth=4, width=1024)
 
 
+def q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup CUT (operators/dedup.remove_duplicated_spans —
+    the removal half of Lee et al. substring dedup; duplicated_spans is
+    the detection half): every token covered by an 8-token span
+    occurring in ≥2 distinct documents is deleted and the text rebuilt.
+    Span production row-local; flagged positions shuffle as ONE int
+    array per affected doc (token arrays never shuffle); rebuild is a
+    nested HOF (filter-with-index × exists), zero Python."""
+    from kg_microbe_merge_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(d, n=8, min_df=2)
+
+
 def q_quantile_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language approximate doc-length quantiles via the mergeable
     log-binned histogram (operators/sketches.py): exact quantiles need
@@ -2019,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_tokens": q_cms_heavy_tokens,
         "bloom_prune_decisions": q_bloom_prune_decisions,
         "quantile_doc_lengths": q_quantile_doc_lengths,
+        "substring_dedup_cut": q_substring_dedup_cut,
         "bigram_lm_perplexity": q_bigram_lm,
         "random_projection": q_random_projection,
         "sq8_adc_topk": q_sq8_adc_topk,
@@ -2053,7 +2070,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "asof_enrich": q_asof_enrich,
         "s2_union_align": q_s2_union_align,
-        "fuzzy_levenshtein": q_fuzzy_levenshtein,
         "bgp_filter_optional": q_bgp_filter_optional,
         "graph_stats_report": q_graph_stats,
         "cc_components": q_cc_components,
@@ -2261,12 +2277,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stays gated via text_quality and the repetition operator keeps its
     value-level pytest (test_split::test_repetition_ratio_values) plus
     the full oracle here.
+    fuzzy_levenshtein had green round-1 AND round-2 driver rows and
+    ceded its slot to substring_dedup_cut: approximate text matching
+    stays gated via ngram_jaccard / minhash_lsh, and the guarded
+    Levenshtein band join keeps its full oracle here.
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "a2_count_distinct": q_a2_count_distinct,
         "embedding_near_dups": q_embedding_near_dups,
         "topk_per_group": q_topk_per_group,
         "repetition_ratio": q_repetition_ratio,
+        "fuzzy_levenshtein": q_fuzzy_levenshtein,
         "temperature_mix": q_temperature_mix,
         "cap_per_source": q_cap_per_source,
         "negative_samples": q_negative_samples,
@@ -3243,6 +3264,45 @@ def _all_oracle_sql() -> dict[str, str]:
         depth=4,
         width=1024,
     )
+
+    # Twin of q_substring_dedup_cut (operators/dedup.py
+    # remove_duplicated_spans): positional span postings, distinct-doc
+    # frequency, flagged-position semi join, list-comprehension rebuild
+    # with the identical coverage rule. coalesce('') because DuckDB's
+    # array_to_string of an empty list is NULL where Spark's
+    # array_join is ''.
+    _cn = 8
+    _cgram = f"array_to_string(t[i:i+{_cn - 1}], ' ')"
+    sql["substring_dedup_cut"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        p0 AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= {_cn}
+                       THEN [{{'pos': i - 1, 'span': {_h60(_cgram)}}}
+                             for i in range(1, len(t) - {_cn - 2})]
+                       ELSE [{{'pos': 0,
+                               'span': {_h60("array_to_string(t, ' ')")}}}]
+                   END) AS u
+            FROM toks),
+        pos AS (SELECT doc_id, u.pos AS pos, u.span AS span FROM p0),
+        dfq AS (SELECT span FROM (
+                    SELECT span, count(DISTINCT doc_id) AS c
+                    FROM pos GROUP BY span) WHERE c >= 2),
+        fl AS (SELECT pos.doc_id, list_sort(list(DISTINCT pos.pos)) AS fl
+               FROM pos JOIN dfq USING (span) GROUP BY pos.doc_id),
+        base AS (SELECT toks.doc_id, t, coalesce(fl.fl, []) AS fl
+                 FROM toks LEFT JOIN fl USING (doc_id)),
+        reb AS (SELECT doc_id, t,
+                [t[i] for i in range(1, len(t) + 1)
+                 if len(list_filter(fl,
+                        q -> q <= i - 1 AND i - 1 < q + {_cn})) = 0] AS kept
+                FROM base)
+        SELECT doc_id,
+               coalesce(array_to_string(kept, ' '), '') AS clean_text,
+               len(t)::BIGINT AS n_tokens,
+               (len(t) - len(kept))::BIGINT AS n_removed
+        FROM reb
+    """
 
     # Twin of q_quantile_doc_lengths (operators/sketches.py): histogram
     # + rank extraction re-derived entirely in SQL by the same module.

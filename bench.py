@@ -108,6 +108,7 @@ HEADLINE = [
     "cms_heavy_tokens",
     "bloom_prune_decisions",
     "quantile_doc_lengths",
+    "substring_dedup_cut",
 ]
 
 

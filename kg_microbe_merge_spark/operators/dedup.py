@@ -588,3 +588,123 @@ def duplicated_span_stats(
             ),
         )
     )
+
+
+def positional_span_postings(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ALL word-``n``-gram window starts per document:
+    ``(doc_id, pos INT, span BIGINT)`` with ``pos`` the 0-based token
+    index of the window start (documents shorter than ``n`` tokens
+    contribute one whole-document span at pos 0). Unlike
+    :func:`shingle_postings` this keeps positions and within-doc
+    repeats — the relation substring CUTTING needs. Production is
+    row-local (the ``shingle_array`` staged-projection barrier), zero
+    exchange."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    t = F.col("_toks")
+    k = F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - F.lit(1)),
+        lambda i: hash60(F.concat_ws(" ", F.slice(t, i + 1, n))),
+    )
+    whole = F.array(hash60(F.concat_ws(" ", t)))
+    arr = F.when(F.size(t) >= n, grams).otherwise(whole)
+    s2 = toks.select("doc_id", arr.alias("_g"))
+    return s2.select(
+        "doc_id", F.posexplode_outer("_g").alias("pos", "span")
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring deduplication CUT (the removal half of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better" —
+    :func:`duplicated_span_stats` is the detection half): delete every
+    token covered by a word-``n``-gram span that occurs in ≥ ``min_df``
+    DISTINCT documents, and return the rebuilt text.
+
+    Returns ``(doc_id, clean_text STRING, n_tokens BIGINT,
+    n_removed BIGINT)`` — ``clean_text`` is over NORMALIZED tokens
+    (lowercased, whitespace-collapsed; the same normalization every
+    dedup operator here uses), with flagged windows removed and the
+    survivors re-joined by single spaces. A document that is entirely
+    boilerplate comes back with ``clean_text = ''`` — consumers drop
+    or keep by ``n_removed / n_tokens``. Re-joining survivors can form
+    NEW n-grams across a cut boundary, so one pass removes the input's
+    duplicated spans but is not a fixpoint (measured at sf0.01:
+    2101 duplicated spans → 23 boundary-formed ones); iterate for a
+    fixpoint if the consumer needs it.
+
+    100 TB shape: span production is row-local; document frequency is
+    a partial-aggregated count over DISTINCT (doc, span) pairs; the
+    flagged-span set (boilerplate is a small fraction of distinct
+    spans) semi-join-prunes the positional postings — AQE broadcasts
+    it when small; flagged positions aggregate to ONE int array per
+    affected document, and the rebuild joins that array back to the
+    documents table and re-tokenizes row-locally — token arrays never
+    shuffle, only (doc_id, positions). Coverage testing is a nested
+    higher-order expression (filter-with-index × exists), zero Python.
+    """
+    pos = positional_span_postings(df, n, text_col, id_col)
+    # doc frequency over DISTINCT (doc, span): within-doc repeats must
+    # not fake cross-document duplication
+    span_df = (
+        pos.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count("*").alias("_df"))
+    )
+    flagged_spans = span_df.filter(F.col("_df") >= min_df).select("span")
+    flagged = (
+        pos.join(flagged_spans, "span", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("_flagged"))
+    )
+    joined = df.join(
+        flagged, df[id_col] == flagged["doc_id"], "left"
+    ).select(
+        df[id_col].alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.coalesce(
+            F.col("_flagged"), F.expr("CAST(array() AS ARRAY<INT>)")
+        ).alias("_fl"),
+    )
+    # STAGED projections (the shingle_array barrier pattern): the token
+    # array and the kept array each materialize in their own Project
+    # and are referenced as attributes downstream — inlining them would
+    # re-run split + the nested coverage HOF once per referencing
+    # expression per row
+    s1 = joined.select(
+        "doc_id",
+        F.split(normalized_text(F.col("_text")), " ").alias("_t"),
+        "_fl",
+    )
+    t = F.col("_t")
+    p = F.col("_fl")
+    kept = F.filter(
+        t,
+        lambda tok, i: ~F.exists(
+            p, lambda q: (q <= i) & (i < q + F.lit(n))
+        ),
+    )
+    s2 = s1.select("doc_id", "_t", kept.alias("_kept"))
+    return s2.select(
+        "doc_id",
+        F.array_join(F.col("_kept"), " ").alias("clean_text"),
+        F.size(F.col("_t")).cast("long").alias("n_tokens"),
+        (F.size(F.col("_t")) - F.size(F.col("_kept")))
+        .cast("long")
+        .alias("n_removed"),
+    )

@@ -313,3 +313,84 @@ def test_duplicated_span_within_doc_repeat_not_counted(spark):
     }
     assert got["d1"] == 0
     assert got["d2"] == 0
+
+
+def test_remove_duplicated_spans_cuts_shared_run(spark):
+    # docs 1 and 2 share a 9-token run; with n=5 every window inside it
+    # is flagged and the whole run disappears from BOTH documents,
+    # while the unique doc is untouched and identical short docs (one
+    # whole-doc span each) vanish entirely
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog and runs away fast today"),
+            (2, "Some intro text then the quick brown fox jumps over the lazy dog here"),
+            (3, "totally unique content with no shared spans at all in this one row"),
+            (4, "short doc"),
+            (5, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    from kg_microbe_merge_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(docs, n=5, min_df=2).collect()
+    }
+    assert out[1].clean_text == "and runs away fast today"
+    assert out[2].clean_text == "some intro text then here"
+    assert (out[1].n_tokens, out[1].n_removed) == (14, 9)
+    assert "quick brown fox" not in out[2].clean_text
+    assert out[3].clean_text.startswith("totally unique")
+    assert out[3].n_removed == 0
+    assert out[4].clean_text == "" and out[4].n_removed == 2
+    assert out[5].clean_text == ""
+    # count invariant: kept tokens + removed tokens = all tokens
+    for r in out.values():
+        kept = len(r.clean_text.split()) if r.clean_text else 0
+        assert kept + r.n_removed == r.n_tokens
+
+
+def test_remove_duplicated_spans_unique_corpus_unchanged(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} says alpha{i} beta{i} gamma{i} delta{i} eps{i}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    from kg_microbe_merge_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    out = remove_duplicated_spans(docs, n=5, min_df=2)
+    assert out.filter("n_removed > 0").count() == 0
+    # clean text equals the normalized original
+    bad = out.join(
+        docs.select(
+            "doc_id",
+            F.trim(
+                F.regexp_replace(F.lower("text"), r"\s+", " ")
+            ).alias("norm"),
+        ),
+        "doc_id",
+    ).filter("clean_text != norm")
+    assert bad.count() == 0
+
+
+def test_positional_span_postings_positions(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    from kg_microbe_merge_spark.operators.dedup import (
+        positional_span_postings,
+    )
+
+    rows = positional_span_postings(docs, 4).collect()
+    # 6 tokens, n=4 -> starts 0,1,2
+    assert sorted(r.pos for r in rows) == [0, 1, 2]
+    # spans are the portable hash60 of the joined grams
+    from kg_microbe_merge_spark.functions.hashing import hash60_py
+
+    by_pos = {r.pos: r.span for r in rows}
+    assert by_pos[0] == hash60_py("a b c d")
+    assert by_pos[2] == hash60_py("c d e f")
