@@ -186,19 +186,48 @@ def run_kg_maintenance_stream(
 #   foreachBatch replays reuse the SAME epoch_id, so a batch whose
 #   epoch is <= the snapshot's mark is skipped. At-least-once delivery
 #   + ledger = exactly-once effect.
+#
+# Both folds also persist their sketch PARAMETERS in the sidecar and
+# refuse to fold a batch sketched with different ones — merging
+# registers built at different p (or counters at different depth/
+# width/family) is well-typed and silently garbage.
 
-_EPOCH_FILE = "_EPOCH"
+_META_FILE = "_META"
 
 
-def _last_epoch(base_dir: str) -> int | None:
+def _read_meta(base_dir: str) -> dict | None:
     cur = _current_version(base_dir)
     if cur is None:
         return None
-    path = os.path.join(cur, _EPOCH_FILE)
+    path = os.path.join(cur, _META_FILE)
     if not os.path.exists(path):
         return None
+    import json
+
     with open(path) as f:
-        return int(f.read().strip())
+        return json.load(f)
+
+
+def _meta_marker(meta: dict) -> tuple[str, str]:
+    import json
+
+    return (_META_FILE, json.dumps(meta, sort_keys=True))
+
+
+def _check_params(stored: dict | None, current: dict, what: str) -> None:
+    if stored is None:
+        return
+    mismatched = {
+        k: (stored.get(k), v)
+        for k, v in current.items()
+        if stored.get(k) != v
+    }
+    if mismatched:
+        raise ValueError(
+            f"{what} snapshot was built with different sketch parameters "
+            f"{mismatched} — merging across parameters is silently "
+            f"meaningless; use a fresh sketch_dir"
+        )
 
 
 def fold_hll_batch(
@@ -211,16 +240,20 @@ def fold_hll_batch(
 ) -> None:
     """Fold one micro-batch into the published HLL register snapshot.
     Safe to call again with the same batch — register max is
-    idempotent."""
+    idempotent. Raises if the snapshot was built at a different ``p``
+    or grouping."""
     from ..operators.sketches import HLL_P, hll_merge, hll_registers
 
+    pp = p or HLL_P
+    meta = {"sketch": "hll", "p": pp, "groups": list(group_cols)}
+    _check_params(_read_meta(sketch_dir), meta, "HLL")
     if not batch.take(1):
         return
-    regs = hll_registers(batch, item_col, group_cols, p or HLL_P)
+    regs = hll_registers(batch, item_col, group_cols, pp)
     cur = read_snapshot(spark, sketch_dir)
     if cur is not None:
         regs = hll_merge(cur, regs, group_cols)
-    _publish(regs, sketch_dir)
+    _publish(regs, sketch_dir, marker=_meta_marker(meta))
 
 
 def fold_cms_batch(
@@ -235,7 +268,8 @@ def fold_cms_batch(
 ) -> None:
     """Fold one micro-batch into the published Count-Min counter
     snapshot. Replays of an already-applied epoch are skipped via the
-    epoch ledger (cell-wise sum is not idempotent)."""
+    epoch ledger (cell-wise sum is not idempotent). Raises if the
+    snapshot was built with different depth/width/family."""
     from ..operators.sketches import (
         CMS_DEPTH,
         CMS_WIDTH,
@@ -243,18 +277,26 @@ def fold_cms_batch(
         cms_merge,
     )
 
-    last = _last_epoch(sketch_dir)
+    d, w = depth or CMS_DEPTH, width or CMS_WIDTH
+    params = {"sketch": "cms", "depth": d, "width": w, "family": family}
+    stored = _read_meta(sketch_dir)
+    _check_params(
+        stored,
+        params,
+        "Count-Min",
+    )
+    last = stored.get("epoch") if stored else None
     if last is not None and epoch_id <= last:
         return
     if not batch.take(1):
         return
-    c = cms_counters(
-        batch, item_col, depth or CMS_DEPTH, width or CMS_WIDTH, family
-    )
+    c = cms_counters(batch, item_col, d, w, family)
     cur = read_snapshot(spark, sketch_dir)
     if cur is not None:
         c = cms_merge(cur, c)
-    _publish(c, sketch_dir, marker=(_EPOCH_FILE, str(epoch_id)))
+    _publish(
+        c, sketch_dir, marker=_meta_marker({**params, "epoch": epoch_id})
+    )
 
 
 def run_sketch_stream(

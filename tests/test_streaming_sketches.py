@@ -93,6 +93,20 @@ def test_hll_fold_replay_idempotent(spark, tmp_path):
     assert _regs(spark, hll_dir) == once
 
 
+def test_fold_param_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    hll_dir = str(tmp_path / "hll")
+    cms_dir = str(tmp_path / "cms")
+    b = spark.createDataFrame(_rows("x", 10), SCHEMA)
+    fold_hll_batch(spark, b, hll_dir, "item", p=9)
+    with pytest.raises(ValueError, match="different sketch parameters"):
+        fold_hll_batch(spark, b, hll_dir, "item", p=10)
+    fold_cms_batch(spark, b, cms_dir, "item", epoch_id=0, width=512)
+    with pytest.raises(ValueError, match="different sketch parameters"):
+        fold_cms_batch(spark, b, cms_dir, "item", epoch_id=1, width=1024)
+
+
 def test_cms_fold_epoch_ledger_exactly_once(spark, tmp_path):
     cms_dir = str(tmp_path / "cms")
     b1 = spark.createDataFrame(_rows("x", 30), SCHEMA)
