@@ -708,3 +708,60 @@ def remove_duplicated_spans(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def remove_duplicated_spans_to_fixpoint(
+    df: DataFrame,
+    n: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iters: int = 5,
+) -> DataFrame:
+    """Iterate :func:`remove_duplicated_spans` until NO span occurs in
+    ≥ ``min_df`` distinct documents (or ``max_iters``): cutting can
+    form new n-grams where survivors re-join across a cut, and when two
+    documents shrink onto the same residue they become duplicates of
+    each other — the fixpoint clears both effects.
+
+    Returns ``(doc_id, clean_text, n_tokens BIGINT, n_removed BIGINT)``
+    with ``n_tokens`` the ORIGINAL token count and ``n_removed`` the
+    total across rounds (derived as original − surviving, no per-round
+    accumulation state).
+
+    Iterative-operator shape (the CC / k-core pattern): each round is
+    one full operator pass over the current (already-shrunk) text with
+    an eager ``localCheckpoint`` truncating lineage, plus one cheap
+    driver-side ``sum(n_removed)`` convergence check; rounds after the
+    first run on strictly smaller input. Convergence is typically 2-3
+    rounds — removed token mass shrinks geometrically (on a real
+    cluster swap ``localCheckpoint`` for reliable ``checkpoint``, as
+    with connected components)."""
+    cur = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    n_tokens_first = None
+    for _ in range(max_iters):
+        out = remove_duplicated_spans(
+            cur, n, min_df, "text", "doc_id"
+        ).localCheckpoint(eager=True)
+        if n_tokens_first is None:
+            n_tokens_first = out.select("doc_id", "n_tokens")
+        removed = out.agg(F.sum("n_removed")).first()[0] or 0
+        cur = out.select("doc_id", F.col("clean_text").alias("text"))
+        if removed == 0:
+            break
+    kept = F.when(F.col("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("text"), " "))
+    )
+    final = cur.select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        kept.cast("long").alias("_kept"),
+    )
+    return final.join(n_tokens_first, "doc_id").select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens"),
+        (F.col("n_tokens") - F.col("_kept")).cast("long").alias("n_removed"),
+    )

@@ -394,3 +394,45 @@ def test_positional_span_postings_positions(spark):
     by_pos = {r.pos: r.span for r in rows}
     assert by_pos[0] == hash60_py("a b c d")
     assert by_pos[2] == hash60_py("c d e f")
+
+
+def test_remove_duplicated_spans_fixpoint(spark):
+    # single pass leaves residual duplication: d1/d2 shrink onto the
+    # SAME residue ("alpha beta gamma delta") and d3/d4 onto "x y" —
+    # new duplicates formed BY the cut; the fixpoint clears them
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta GONE1 GONE2 GONE3 gamma delta"),
+            (2, "alpha beta GONE4 GONE5 GONE6 gamma delta"),
+            (3, "x GONE1 GONE2 GONE3 y"),
+            (4, "x GONE4 GONE5 GONE6 y"),
+        ],
+        "doc_id long, text string",
+    )
+    from kg_microbe_merge_spark.operators.dedup import (
+        remove_duplicated_spans,
+        remove_duplicated_spans_to_fixpoint,
+    )
+
+    single = {
+        r.doc_id: r for r in remove_duplicated_spans(docs, n=3).collect()
+    }
+    assert single[1].clean_text == "alpha beta gamma delta"  # new dup!
+    assert single[2].clean_text == "alpha beta gamma delta"
+    fixed = {
+        r.doc_id: r
+        for r in remove_duplicated_spans_to_fixpoint(docs, n=3).collect()
+    }
+    # every doc collapsed to duplicated residue -> everything removed
+    for i in (1, 2, 3, 4):
+        assert fixed[i].clean_text == "", fixed[i]
+        assert fixed[i].n_removed == fixed[i].n_tokens
+    # n_tokens reports ORIGINAL counts
+    assert fixed[1].n_tokens == 7 and fixed[3].n_tokens == 5
+    # a corpus with no duplication is a fixpoint after one round
+    uniq = spark.createDataFrame(
+        [(i, f"only{i} ever{i} here{i} now{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = remove_duplicated_spans_to_fixpoint(uniq, n=3)
+    assert out.filter("n_removed > 0").count() == 0
