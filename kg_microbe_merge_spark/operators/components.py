@@ -141,6 +141,107 @@ def connected_components(
     return roots.unionByName(missing_roots).distinct()
 
 
+def connected_components_incremental(
+    assignment: DataFrame,
+    delta_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Fold a batch of NEW ``same_as`` edges into an existing
+    ``(node, component)`` assignment without recomputing over the full
+    edge set — the connected-components half of incremental KG
+    maintenance (``operators/upsert.py`` folds the node/edge tables;
+    this folds the canonicalization mapping).
+
+    Equivalence invariant (tested in ``tests/test_components.py`` and
+    driver-gated as ``kg_incremental_cc``)::
+
+        connected_components_incremental(connected_components(E0), E1)
+          ≡ connected_components(E0 ∪ E1)
+
+    Preconditions: ``assignment`` uses min-id representatives and has a
+    row for every node of E0 — exactly what :func:`connected_components`
+    returns. Nodes in ``delta_edges`` never seen before are admitted and
+    rooted correctly (they appear in the quotient graph as themselves).
+
+    Scale design (the reason this exists): at 10^12 nodes a daily
+    same-as delta is ~10^6 edges. The full assignment is touched by
+    exactly TWO broadcast-hash joins (always the streamed side, never
+    shuffled): (1) look up the old roots of the delta endpoints,
+    (2) remap the components that merged. Everything else — the
+    quotient graph (old roots of delta endpoints + brand-new ids) and
+    the large-star/small-star run over it — is proportional to the
+    DELTA, not the graph. Correctness of min-id composition: each old
+    root is the minimum of its old component, so the quotient minimum
+    equals the global minimum of the merged component.
+    """
+    raw = (
+        delta_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+    endpoints = (
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # Broadcast join #1: old roots of the delta endpoints. `assignment`
+    # is the stream side; only the (small) endpoint set is broadcast.
+    seen = assignment.join(F.broadcast(endpoints), "node").select(
+        "node", "component"
+    )
+    # The remaining joins are all delta-sized on BOTH sides; explicit
+    # broadcast hints keep the static plan sort-merge-free.
+    root_of = (
+        endpoints.join(F.broadcast(seen), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("root"),
+        )
+    )
+    # Quotient graph over old roots + brand-new ids. Self-loops are kept
+    # (connected_components admits their nodes via its raw node universe).
+    qe = (
+        raw.join(
+            F.broadcast(
+                root_of.select(
+                    F.col("node").alias("src"), F.col("root").alias("_sr")
+                )
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                root_of.select(
+                    F.col("node").alias("dst"), F.col("root").alias("_dr")
+                )
+            ),
+            "dst",
+        )
+        .select(F.col("_sr").alias("src"), F.col("_dr").alias("dst"))
+    )
+    # Delta-sized and consumed by two branches (remap + new rows):
+    # materialize once and truncate the quotient-run lineage.
+    qcc = connected_components(qe, max_iterations=max_iterations).localCheckpoint(
+        eager=True
+    )
+    # Broadcast join #2: remap merged components across the full
+    # assignment. `moved` is at most one row per quotient node.
+    moved = qcc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("component"), F.col("component").alias("_new")
+    )
+    updated = assignment.join(F.broadcast(moved), "component", "left").select(
+        "node", F.coalesce(F.col("_new"), F.col("component")).alias("component")
+    )
+    # Brand-new nodes: quotient nodes with no prior assignment row.
+    new_rows = (
+        endpoints.join(F.broadcast(seen.select("node")), "node", "left_anti")
+        .join(F.broadcast(qcc), "node")
+        .select("node", "component")
+    )
+    return updated.unionByName(new_rows)
+
+
 def canonicalize_ids(
     nodes: DataFrame,
     same_as_edges: DataFrame,

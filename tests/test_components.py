@@ -13,6 +13,7 @@ import pytest
 from kg_microbe_merge_spark.operators.components import (
     canonicalize_ids,
     connected_components,
+    connected_components_incremental,
 )
 
 
@@ -61,6 +62,74 @@ def test_cc_random_graphs(spark, seed):
     ]
     edges = [e for e in edges if e[0] != e[1]]
     _check(spark, edges)
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+def _inc_check(spark, old_edges, delta_edges):
+    """Invariant: incremental(cc(E0), E1) == cc(E0 ∪ E1)."""
+    assignment = connected_components(_edges_df(spark, old_edges))
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_incremental(
+            assignment, _edges_df(spark, delta_edges)
+        ).collect()
+    }
+    assert got == _oracle(old_edges + delta_edges)
+    # and exactly one row per node
+    assert len(got) == len(_oracle(old_edges + delta_edges))
+
+
+def test_cc_incremental_merges_components(spark):
+    # two chains merged by one delta edge; min-id root must win globally
+    old = [("a1", "a2"), ("a2", "a3"), ("b1", "b2"), ("b2", "b3")]
+    _inc_check(spark, old, [("a3", "b1")])
+
+
+def test_cc_incremental_new_nodes_and_self_loops(spark):
+    old = [("a1", "a2")]
+    # brand-new chain, a new node attaching to an old component, and a
+    # self-loop-only brand-new node
+    delta = [("x1", "x2"), ("x2", "a2"), ("z9", "z9"), ("q1", "q2")]
+    _inc_check(spark, old, delta)
+
+
+def test_cc_incremental_noop_delta(spark):
+    # delta re-stating an existing edge must not change anything
+    old = [("a1", "a2"), ("b1", "b2")]
+    _inc_check(spark, old, [("a1", "a2")])
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_cc_incremental_random_split(spark, seed):
+    rng = random.Random(seed)
+    nodes = [f"v{i:04d}" for i in range(200)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(180)]
+    edges = [e for e in edges if e[0] != e[1]]
+    cut = len(edges) * 3 // 4
+    _inc_check(spark, edges[:cut], edges[cut:])
+
+
+def test_cc_incremental_assignment_never_shuffled(spark):
+    """The full assignment must only ever be the stream side of
+    broadcast-hash joins — no sort-merge join of the big side."""
+    old = [(f"c{i:03d}", f"n{i % 5}") for i in range(100)]
+    # materialize the prior assignment as real use would read it from a
+    # parquet snapshot — the assertion targets the incremental operator's
+    # joins, not the lineage of however the assignment was first built
+    assignment = connected_components(_edges_df(spark, old)).localCheckpoint(
+        eager=True
+    )
+    out = connected_components_incremental(
+        assignment, _edges_df(spark, [("c001", "n4"), ("NEW", "c002")])
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
 
 
 def test_canonicalize_ids(spark):
