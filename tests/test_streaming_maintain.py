@@ -148,6 +148,85 @@ def test_edge_fold_equals_batch_and_idempotent(spark, tmp_path):
     assert sorted(map(tuple, rs(spark, snap_dir).collect())) == want
 
 
+def test_cc_stream_folds_equal_batch_cc_and_resume(spark, tmp_path):
+    from kg_microbe_merge_spark.operators.components import (
+        connected_components,
+    )
+    from kg_microbe_merge_spark.streaming.maintain import run_cc_stream
+
+    schema = StructType(
+        [StructField("src", StringType()), StructField("dst", StringType())]
+    )
+    delta_dir = str(tmp_path / "edges")
+    snap_dir = str(tmp_path / "ccsnap")
+    ckpt = str(tmp_path / "ccckpt")
+    os.makedirs(delta_dir)
+
+    # two chains, then a delta that fuses them and attaches new nodes
+    d1 = [(f"a{i}", f"a{i + 1}") for i in range(8)]
+    d2 = [(f"b{i}", f"b{i + 1}") for i in range(8)]
+    d3 = [("a8", "b0"), ("new1", "a0"), ("solo", "solo")]
+    spark.createDataFrame(d1, schema).write.parquet(delta_dir + "/d1")
+    spark.createDataFrame(d2, schema).write.parquet(delta_dir + "/d2")
+    spark.createDataFrame(d3, schema).write.parquet(delta_dir + "/d3")
+
+    q = run_cc_stream(
+        spark, delta_dir + "/*", snap_dir, ckpt, schema,
+        available_now=True, max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(180)
+
+    def _cc_snap():
+        return {
+            r["node"]: r["component"]
+            for r in read_snapshot(spark, snap_dir).collect()
+        }
+
+    def _batch_cc(edges):
+        df = spark.createDataFrame(edges, schema)
+        return {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+
+    assert _cc_snap() == _batch_cc(d1 + d2 + d3)
+
+    # resume: a fourth delta merges 'solo' in; only it is folded
+    d4 = [("solo", "b3")]
+    spark.createDataFrame(d4, schema).write.parquet(delta_dir + "/d4")
+    q2 = run_cc_stream(
+        spark, delta_dir + "/*", snap_dir, ckpt, schema,
+        available_now=True, max_files_per_trigger=1,
+    )
+    assert q2.awaitTermination(180)
+    assert _cc_snap() == _batch_cc(d1 + d2 + d3 + d4)
+
+
+def test_cc_fold_replay_is_idempotent(spark, tmp_path):
+    from kg_microbe_merge_spark.streaming.maintain import fold_cc_batch
+
+    snap_dir = str(tmp_path / "ccsnap")
+    schema = "src string, dst string"
+    base = spark.createDataFrame([("x1", "x2"), ("y1", "y2")], schema)
+    delta = spark.createDataFrame([("x2", "y1"), ("z9", "x1")], schema)
+
+    fold_cc_batch(spark, base, snap_dir)
+    fold_cc_batch(spark, delta, snap_dir)
+
+    def _cc_snap():
+        return {
+            r["node"]: r["component"]
+            for r in read_snapshot(spark, snap_dir).collect()
+        }
+
+    once = _cc_snap()
+    fold_cc_batch(spark, delta, snap_dir)  # simulated replay
+    assert _cc_snap() == once
+    # empty batch is a no-op too
+    fold_cc_batch(spark, spark.createDataFrame([], schema), snap_dir)
+    assert _cc_snap() == once
+
+
 def test_half_written_version_never_breaks_readers(spark, tmp_path):
     # crash between version write and pointer flip leaves a stray
     # version dir: readers must keep resolving the old CURRENT, and the
