@@ -109,6 +109,7 @@ HEADLINE = [
     "bloom_prune_decisions",
     "quantile_doc_lengths",
     "substring_dedup_cut",
+    "kg_incremental_cc",
 ]
 
 

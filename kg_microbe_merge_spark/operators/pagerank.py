@@ -50,6 +50,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     round_to: int | None = 6,
+    weight: str | None = None,
 ) -> DataFrame:
     """Return ``(node, rank)`` after ``iterations`` power-iteration
     rounds over the directed edge list.
@@ -59,14 +60,26 @@ def pagerank(
     ``src`` or ``dst``. ``round_to`` rounds the final rank (6 decimals
     by default — the cross-engine float convention used throughout the
     oracle gate); pass ``None`` for raw doubles.
+
+    ``weight`` names an edge-multiplicity column: a weighted edge is
+    mathematically the parallel-edge expansion (out-share = w/sum(w))
+    without materializing the expansion — the scale path for rolled-up
+    relations like the host link graph (functions/links.py), where one
+    (src, dst, n_links) row stands for n_links anchors. Unweighted
+    (default) is the exact w = 1 special case.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    w = (
+        F.col(weight).cast("double") if weight is not None else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     # One-time shuffle of the big relation: edges+degree, partitioned by
     # the join key every iteration reuses. MEMORY_AND_DISK: at 100 TB the
     # edge relation spills rather than evicting mid-iteration.
@@ -82,7 +95,9 @@ def pagerank(
             linked.join(ranks, linked["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("outdeg")).alias("contrib"),
+                (F.col("rank") * F.col("w") / F.col("outdeg")).alias(
+                    "contrib"
+                ),
             )
             .groupBy("node")
             .agg(F.sum("contrib").alias("contrib"))

@@ -89,6 +89,23 @@ def gen_doc(seed: int, doc_id: int) -> dict:
     else:
         sentences = ["Dieses Dokument ist ein Platzhalter ohne Aussagen."]
     body = "".join(f"<p>{s}</p>\n" for s in sentences)
+    # Outlinks (functions/links.py extracts these into the host link
+    # graph). Drawn AFTER every existing rng draw so the text content of
+    # any (seed, doc_id) is byte-identical to the link-free corpus; they
+    # live in the <footer>, a boilerplate container the extractor drops,
+    # so extracted text bytes are untouched too. Targets are Zipf-ish
+    # over hosts (hub sites get most in-links), web-realistically
+    # including dangling targets that no crawled doc answers to.
+    anchors = ""
+    for _ in range(rng.randint(1, 3)):
+        if rng.random() < 0.6:
+            target = f"https://hub{rng.randrange(10):02d}.example/"
+        else:
+            target = (
+                f"https://site{rng.randrange(10, 400):03d}.example/"
+                f"p/{rng.randrange(1 << 20)}"
+            )
+        anchors += f'<a href="{target}">more</a> '
     html = (
         "<html><head><title>Doc {d}</title>"
         "<script>var x = 'boilerplate';</script>"
@@ -96,8 +113,8 @@ def gen_doc(seed: int, doc_id: int) -> dict:
         "<body><nav><li>Home</li><li>About</li></nav>"
         "<header>Synthetic Crawl</header>"
         "<article>\n{body}</article>"
-        "<footer>Copyright — crawl fixture</footer></body></html>"
-    ).format(d=doc_id, body=body)
+        "<footer>Copyright — crawl fixture {anchors}</footer></body></html>"
+    ).format(d=doc_id, body=body, anchors=anchors)
     return {
         "url": f"https://synthetic.example/{seed}/{doc_id:09d}",
         "warc_ts": BASE_EPOCH + doc_id,
