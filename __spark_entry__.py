@@ -1222,6 +1222,23 @@ def q_kg_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/chunking.py): window=24,
+    stride=16 token windows over the en documents — the LLM-sequence
+    segmentation op (chunking cuts long docs down to sequence length;
+    its dual, sequence_packing, bins short ones up). Row-local:
+    tokenize-once barrier + transform over a sequence of starts +
+    explode, ZERO exchange and zero Python; emission stops with the
+    first window that reaches the document end (no chunk is a subset
+    of its predecessor). Oracle: DuckDB
+    range(0, greatest(n-window,0)+stride, stride) unnest + 1-based
+    inclusive list slicing."""
+    from kg_microbe_merge_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return chunk_documents(d, window=24, stride=16)
+
+
 def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source k-hop BFS (operators/bfs.py) over the same
     customer–order–nation KG as ``cc_components``, undirected, from two
@@ -2322,8 +2339,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     guarded correctness baseline of the still-gated lsh_cosine_topk /
     ivf_cosine_topk / sq8_adc_topk family and keeps its full oracle
     here.
+    New round-3 operator queued for the round-4 gate rotation (full
+    oracle + pytest now): chunk_sliding (sliding-window LLM-sequence
+    chunking, operators/chunking.py).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "chunk_sliding": q_chunk_sliding,
         "a2_count_distinct": q_a2_count_distinct,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_topk": q_embedding_topk,
@@ -2843,6 +2864,28 @@ def _all_oracle_sql() -> dict[str, str]:
             UNION
             SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node)
         SELECT node, min(comp) AS component FROM walk GROUP BY node
+    """
+
+    sql["chunk_sliding"] = r"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               t -> t <> '') AS toks
+            FROM documents
+            WHERE lang = 'en'),
+        nz AS (
+            SELECT doc_id, toks, len(toks) AS n
+            FROM base WHERE len(toks) > 0),
+        s AS (
+            SELECT doc_id, toks, n,
+                   unnest(range(0, greatest(n - 24, 0) + 16, 16)) AS start
+            FROM nz)
+        SELECT doc_id,
+               cast(start // 16 AS INTEGER) AS chunk_idx,
+               array_to_string(toks[start + 1 : start + 24], ' ')
+                   AS chunk_text,
+               cast(least(24, n - start) AS INTEGER) AS n_tok
+        FROM s
     """
 
     sql["kg_incremental_cc"] = """
