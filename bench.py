@@ -110,6 +110,7 @@ HEADLINE = [
     "quantile_doc_lengths",
     "substring_dedup_cut",
     "kg_incremental_cc",
+    "chunk_sliding",
 ]
 
 
