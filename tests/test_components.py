@@ -69,17 +69,24 @@ def _edges_df(spark, edges):
 
 
 def _inc_check(spark, old_edges, delta_edges):
-    """Invariant: incremental(cc(E0), E1) == cc(E0 ∪ E1)."""
+    """Invariant: incremental(cc(E0), E1) == cc(E0 ∪ E1) — checked on
+    BOTH quotient solvers (driver-side union-find, the default at delta
+    size, and the distributed star-contraction fallback forced with
+    driver_threshold=0)."""
     assignment = connected_components(_edges_df(spark, old_edges))
-    got = {
-        r["node"]: r["component"]
-        for r in connected_components_incremental(
-            assignment, _edges_df(spark, delta_edges)
-        ).collect()
-    }
-    assert got == _oracle(old_edges + delta_edges)
-    # and exactly one row per node
-    assert len(got) == len(_oracle(old_edges + delta_edges))
+    want = _oracle(old_edges + delta_edges)
+    for threshold in (2_000_000, 0):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_incremental(
+                assignment,
+                _edges_df(spark, delta_edges),
+                driver_threshold=threshold,
+            ).collect()
+        }
+        assert got == want, f"driver_threshold={threshold}"
+        # and exactly one row per node
+        assert len(got) == len(want)
 
 
 def test_cc_incremental_merges_components(spark):
@@ -139,3 +146,41 @@ def test_canonicalize_ids(spark):
     same_as = spark.createDataFrame([("A:1", "B:1")], "src string, dst string")
     out = {r["id"]: r["canonical_id"] for r in canonicalize_ids(nodes, same_as).collect()}
     assert out == {"A:1": "A:1", "B:1": "A:1", "C:9": "C:9"}
+
+
+def test_incremental_cc_gate_assignment(spark):
+    """The kg_incremental_cc gate query constructs the prior assignment
+    directly (one groupBy over the customer-nation star) instead of
+    re-running the full CC as setup; the two must be byte-identical,
+    else the incremental fold starts from wrong labels."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    customer = spark.read.parquet(f"{sf}/customer.parquet")
+    base = customer.select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    full = {
+        (r["node"], r["component"])
+        for r in connected_components(base).collect()
+    }
+    per_nation = customer.groupBy("c_nationkey").agg(
+        F.min(F.concat(F.lit("C"), F.col("c_custkey"))).alias("_min_c")
+    )
+    comp = F.least(
+        F.col("_min_c"), F.concat(F.lit("N"), F.col("c_nationkey"))
+    ).alias("component")
+    direct = {
+        (r["node"], r["component"])
+        for r in customer.join(F.broadcast(per_nation), "c_nationkey")
+        .select(F.concat(F.lit("C"), F.col("c_custkey")).alias("node"), comp)
+        .unionByName(
+            per_nation.select(
+                F.concat(F.lit("N"), F.col("c_nationkey")).alias("node"), comp
+            )
+        )
+        .collect()
+    }
+    assert direct == full
