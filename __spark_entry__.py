@@ -41,6 +41,7 @@ from kg_microbe_merge_spark.functions.text import (
     token_count_bpe_ish,
     token_count_ws,
 )
+from kg_microbe_merge_spark.functions.gopher import gopher_keep, gopher_signals
 from kg_microbe_merge_spark.functions.triples import extract_triples_regexp
 from kg_microbe_merge_spark.operators.components import (
     connected_components,
@@ -1377,6 +1378,31 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality battery (functions/gopher.py,
+    Rae et al. 2021 A1.1): repetition (top-2/3-gram + duplicated-5-gram
+    character fractions via ONE sorted-array fold per n), shape (mean
+    word length, symbol-to-word ratio, alphabetic-word fraction) and
+    the composite keep decision — all row-local JVM codegen over a
+    single tokenize-once barrier, zero Exchange (plan-asserted in
+    tests/test_gopher.py). Fractions pinned with the repo's
+    floor(x·1e6+0.5) protocol; the oracle recomputes every statistic
+    relationally (unnest + GROUP BY + deterministic (count desc, gram
+    asc) top-1)."""
+    d = _t(spark, sf_dir, "documents")
+    return gopher_keep(gopher_signals(d)).select(
+        "doc_id",
+        "n_tok",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "alpha_word_frac",
+        "top_2gram_frac",
+        "top_3gram_frac",
+        "dup_5gram_frac",
+        "keep",
+    )
+
+
 def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (functions/quality_model.py): a
     hashed-feature linear classifier (fastText/CCNet-style filter-model
@@ -2106,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # least-proven first so they always get a verdict: the newest
         # round-3 operators, then the five the round-2 driver gate
         # truncated before reaching
+        "gopher_quality": q_gopher_quality,
         "kg_incremental_cc": q_kg_incremental_cc,
         "hll_distinct_spans": q_hll_distinct_spans,
         "cms_heavy_tokens": q_cms_heavy_tokens,
@@ -2150,7 +2177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats_report": q_graph_stats,
         "cc_components": q_cc_components,
         "triples_extract": q_triples_extract,
-        "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "ngram_jaccard": q_ngram_jaccard,
         "pivot_events": q_pivot_events,
@@ -2364,8 +2390,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     New round-3 operator queued for the round-4 gate rotation (full
     oracle + pytest now): chunk_sliding (sliding-window LLM-sequence
     chunking, operators/chunking.py).
+    dedup_exact had green round-1 AND round-2 driver rows and ceded its
+    slot to the new gopher_quality rule battery: whole-row/content-hash
+    dedup stays gated via near_dup_dedup and substring_dedup_cut (both
+    strictly harder members of the same family), and the operator keeps
+    its full oracle here plus test_dedup coverage.
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "dedup_exact": q_dedup_exact,
         "chunk_sliding": q_chunk_sliding,
         "a2_count_distinct": q_a2_count_distinct,
         "embedding_near_dups": q_embedding_near_dups,
@@ -2988,6 +3020,83 @@ def _all_oracle_sql() -> dict[str, str]:
                             THEN cast(stop_hits AS DOUBLE) / cast(n_tok AS DOUBLE)
                             ELSE 0.0 END) * 5.0), 6) AS quality
         FROM base
+    """
+
+    # Gopher rule battery: same statistics relationally — unnest n-grams,
+    # GROUP BY, deterministic (count DESC, gram ASC) top-1; every fraction
+    # pinned with the floor(x*1e6+0.5) micro protocol like the engine.
+    _gtoks = f"list_filter(regexp_split_to_array({_NORM_TEXT_SQL}, ' '), t -> t <> '')"
+
+    def _gram_cte(n: int) -> str:
+        return (
+            f"SELECT doc_id, unnest(list_transform(range(1, len(toks) - {n} + 2), "
+            f"i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' '))) AS g "
+            "FROM tok"
+        )
+
+    def _micro(x: str) -> str:
+        return f"CAST(floor(({x}) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0"
+
+    def _top_cte(src: str) -> str:
+        return (
+            f"SELECT doc_id, c * length(g) AS covered FROM ("
+            f"SELECT doc_id, g, count(*) AS c, "
+            f"row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rn "
+            f"FROM {src} GROUP BY doc_id, g) WHERE rn = 1"
+        )
+
+    sql["gopher_quality"] = f"""
+        WITH tok AS (
+            SELECT doc_id, text,
+                   length({_NORM_TEXT_SQL}) AS nlen,
+                   {_gtoks} AS toks
+            FROM documents),
+        base AS (SELECT doc_id, text, nlen, toks, len(toks) AS n_tok FROM tok),
+        g2 AS ({_gram_cte(2)}),
+        g3 AS ({_gram_cte(3)}),
+        g5 AS ({_gram_cte(5)}),
+        t2 AS ({_top_cte('g2')}),
+        t3 AS ({_top_cte('g3')}),
+        d5 AS (
+            SELECT doc_id, sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS mass
+            FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g)
+            GROUP BY doc_id),
+        sig AS (
+            SELECT b.doc_id,
+                   cast(b.n_tok AS INTEGER) AS n_tok,
+                   CASE WHEN b.n_tok > 0
+                        THEN {_micro('cast(b.nlen - (b.n_tok - 1) AS DOUBLE) / b.n_tok')}
+                        ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN b.n_tok > 0
+                        THEN {_micro(
+                            "((length(b.text) - length(replace(b.text, '#', '')))"
+                            " + (length(b.text) - length(replace(b.text, '...', ''))) / 3)"
+                            " / b.n_tok")}
+                        ELSE 0.0 END AS symbol_word_ratio,
+                   CASE WHEN b.n_tok > 0
+                        THEN {_micro(
+                            "cast(len(list_filter(b.toks, t -> regexp_matches(t, '[a-z]')))"
+                            " AS DOUBLE) / b.n_tok")}
+                        ELSE 0.0 END AS alpha_word_frac,
+                   CASE WHEN b.nlen > 0 AND t2.covered IS NOT NULL
+                        THEN {_micro('cast(t2.covered AS DOUBLE) / b.nlen')}
+                        ELSE 0.0 END AS top_2gram_frac,
+                   CASE WHEN b.nlen > 0 AND t3.covered IS NOT NULL
+                        THEN {_micro('cast(t3.covered AS DOUBLE) / b.nlen')}
+                        ELSE 0.0 END AS top_3gram_frac,
+                   CASE WHEN b.nlen > 0 AND d5.mass IS NOT NULL
+                        THEN least(1.0, {_micro('cast(d5.mass AS DOUBLE) / b.nlen')})
+                        ELSE 0.0 END AS dup_5gram_frac
+            FROM base b
+            LEFT JOIN t2 ON b.doc_id = t2.doc_id
+            LEFT JOIN t3 ON b.doc_id = t3.doc_id
+            LEFT JOIN d5 ON b.doc_id = d5.doc_id)
+        SELECT *,
+               (n_tok >= 5 AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+                AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8
+                AND top_2gram_frac <= 0.5 AND top_3gram_frac <= 0.4
+                AND dup_5gram_frac <= 0.6) AS keep
+        FROM sig
     """
 
     sql["corpus_curation"] = f"""
