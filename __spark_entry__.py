@@ -447,6 +447,47 @@ def _pagerank_sql(iterations: int, damping: float) -> str:
 
 # DuckDB twin of operators.merge.pipe_agg (NULL-skipping sorted-distinct
 # pipe join; NULL when the group has no non-null values).
+def _labelprop_sql(iterations: int) -> str:
+    """DuckDB twin of q_label_propagation: the synchronous mode-vote
+    recurrence unrolled as chained CTEs over the same symmetrized
+    customer/order graph. The per-node argmax is row_number() ORDER BY
+    (count DESC, label ASC) — identical to the engine's
+    min(struct(-count, label)) tie-break."""
+    ctes = [
+        """
+        e0 AS (
+            SELECT 'C' || o_custkey AS a, 'O' || o_orderkey AS b FROM orders
+            UNION ALL
+            SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer),
+        e AS (
+            SELECT a AS src, b AS dst FROM e0 WHERE a <> b
+            UNION
+            SELECT b, a FROM e0 WHERE a <> b),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        l0 AS (SELECT node, node AS community FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""
+        c{i} AS (
+            SELECT e.src AS node, l.community, count(*) AS c
+            FROM e JOIN l{i - 1} l ON e.dst = l.node
+            GROUP BY 1, 2),
+        b{i} AS (
+            SELECT node, community FROM (
+                SELECT node, community,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, community ASC) AS rn
+                FROM c{i}) WHERE rn = 1),
+        l{i} AS (
+            SELECT p.node, coalesce(b.community, p.community) AS community
+            FROM l{i - 1} p LEFT JOIN b{i} b ON p.node = b.node)""")
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"\n        SELECT node, community FROM l{iterations}"
+    )
+
+
 def _pipe_agg_sql(col: str) -> str:
     return (
         f"CASE WHEN count({col}) > 0 THEN "
@@ -1378,6 +1419,27 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities
+    (operators/labelprop.py) over the undirected customer/order/nation
+    graph (the same relation family as pagerank_kg): 4 deterministic
+    rounds, min-tie-break mode voting — edges shuffled once and
+    persisted, two map-side-combinable exchanges per round, O(1)
+    lineage via eager checkpoints. The oracle unrolls the identical
+    recurrence as chained CTEs."""
+    from kg_microbe_merge_spark.operators.labelprop import label_propagation
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("dst"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    return label_propagation(o.unionByName(c), iterations=4)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-based quality battery (functions/gopher.py,
     Rae et al. 2021 A1.1): repetition (top-2/3-gram + duplicated-5-gram
@@ -2132,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # least-proven first so they always get a verdict: the newest
         # round-3 operators, then the five the round-2 driver gate
         # truncated before reaching
+        "label_propagation": q_label_propagation,
         "gopher_quality": q_gopher_quality,
         "kg_incremental_cc": q_kg_incremental_cc,
         "hll_distinct_spans": q_hll_distinct_spans,
@@ -2164,7 +2227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "corpus_curation": q_corpus_curation,
         "a3_nodes_group_merge": q_a3_nodes_group_merge,
-        "a4_edges_distinct": q_a4_edges_distinct,
         "a4_edges_provenance": q_a4_edges_provenance,
         "w1_priority_dedup": q_w1_priority_dedup,
         "j2_coverage_anti": q_j2_coverage_anti,
@@ -2395,8 +2457,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup stays gated via near_dup_dedup and substring_dedup_cut (both
     strictly harder members of the same family), and the operator keeps
     its full oracle here plus test_dedup coverage.
+    a4_edges_distinct had green round-1 AND round-2 driver rows and
+    ceded its slot to the new label_propagation community query: the
+    distinct-triple capability stays gated via a4_edges_provenance
+    (the same 3-column group key plus provenance pipe-joins) and the
+    golden-port pytests, with the full oracle kept here.
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "a4_edges_distinct": q_a4_edges_distinct,
         "dedup_exact": q_dedup_exact,
         "chunk_sliding": q_chunk_sliding,
         "a2_count_distinct": q_a2_count_distinct,
@@ -3393,6 +3461,7 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM walk GROUP BY node
     """
     sql["pagerank_kg"] = _pagerank_sql(iterations=5, damping=0.85)
+    sql["label_propagation"] = _labelprop_sql(iterations=4)
     sql["kmeans_clusters"] = _kmeans_sql(k=4, iterations=2, dim=64)
     sql["simhash_near_dups"] = _simhash_sql(max_hamming=6, n=2)
     sql["lsh_cosine_topk"] = _lsh_topk_sql(
