@@ -58,20 +58,56 @@ def _current_version(base_dir: str) -> str | None:
     return path if name and os.path.exists(path) else None
 
 
-def read_snapshot(spark: SparkSession, base_dir: str) -> DataFrame | None:
-    """Resolve the CURRENT pointer and read that snapshot version
-    (None when no version has been published yet)."""
+def list_versions(base_dir: str) -> list[int]:
+    """Retained snapshot version numbers, ascending (``v<n>`` dirs on
+    disk — how many survive is the publisher's ``keep_versions``)."""
+    if not os.path.isdir(base_dir):
+        return []
+    out = []
+    for entry in os.listdir(base_dir):
+        if entry.startswith("v") and entry[1:].isdigit():
+            out.append(int(entry[1:]))
+    return sorted(out)
+
+
+def read_snapshot(
+    spark: SparkSession, base_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """Read a snapshot version: the CURRENT pointer by default, or an
+    explicit retained ``version`` number (time travel — the Iceberg
+    ``VERSION AS OF`` analogue over the versioned-dir commit protocol;
+    see ``plans/pipeline.py`` for why parquet dirs + atomic rename
+    stand in for Iceberg in this sandbox). Returns None when nothing
+    has been published yet; raises for a version that has been
+    garbage-collected or never existed."""
+    if version is not None:
+        path = os.path.join(base_dir, f"v{version}")
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"snapshot v{version} not retained in {base_dir}; "
+                f"available: {list_versions(base_dir)}"
+            )
+        return spark.read.parquet(path)
     cur = _current_version(base_dir)
     return spark.read.parquet(cur) if cur else None
 
 
 def _publish(
-    df: DataFrame, base_dir: str, marker: tuple[str, str] | None = None
+    df: DataFrame,
+    base_dir: str,
+    marker: tuple[str, str] | None = None,
+    keep_versions: int = 1,
 ) -> None:
     """Write ``df`` as the next immutable version, flip CURRENT
-    atomically, then garbage-collect older versions. A crash at any
-    point leaves a readable snapshot: before the flip the old version
-    is untouched; the flip itself is a single-file ``os.replace``.
+    atomically, then garbage-collect versions beyond the newest
+    ``keep_versions``. A crash at any point leaves a readable snapshot:
+    before the flip the old version is untouched; the flip itself is a
+    single-file ``os.replace``.
+
+    ``keep_versions > 1`` retains older immutable versions for time
+    travel (:func:`read_snapshot` with ``version=``) and snapshot
+    diff/audit (``operators/diff.py``) — the retention knob of the
+    Iceberg-style commit protocol.
 
     ``marker=(filename, contents)`` writes a sidecar file INTO the
     version dir before the flip (filename must start with ``_`` so
@@ -91,8 +127,14 @@ def _publish(
     with open(tmp, "w") as f:
         f.write(name)
     os.replace(tmp, ptr)
+    # GC: retain the newest keep_versions PUBLISHED versions (number <=
+    # the one just flipped to); anything above it is a crash-orphaned
+    # partial write and is always removed.
+    published = [v for v in list_versions(base_dir) if v <= n + 1]
+    keep = {f"v{v}" for v in published[-max(keep_versions, 1):]}
+    keep.add(name)
     for entry in os.listdir(base_dir):
-        if entry.startswith("v") and entry != name:
+        if entry.startswith("v") and entry[1:].isdigit() and entry not in keep:
             shutil.rmtree(os.path.join(base_dir, entry), ignore_errors=True)
 
 
@@ -101,9 +143,11 @@ def fold_batch(
     batch: DataFrame,
     snapshot_dir: str,
     priority_sources: list[str],
+    keep_versions: int = 1,
 ) -> None:
     """Fold one node-delta batch into the versioned snapshot. Safe to
-    call again with the same batch — the fold is idempotent."""
+    call again with the same batch — the fold is idempotent.
+    ``keep_versions`` retains older versions for time travel."""
     if not batch.take(1):
         return
     snapshot = read_snapshot(spark, snapshot_dir)
@@ -115,13 +159,14 @@ def fold_batch(
         new_snap = nodes_merge_with_state(
             batch, priority_sources, sort_output=False
         )
-    _publish(new_snap, snapshot_dir)
+    _publish(new_snap, snapshot_dir, keep_versions=keep_versions)
 
 
 def fold_edges_batch(
     spark: SparkSession,
     batch: DataFrame,
     snapshot_dir: str,
+    keep_versions: int = 1,
 ) -> None:
     """Edge twin of :func:`fold_batch`: fold one raw edge delta into the
     provenance-merged (s,p,o) snapshot. Same guarantees — idempotent
@@ -134,7 +179,7 @@ def fold_edges_batch(
         new_snap = edges_merge_incremental(snapshot, batch, sort_output=False)
     else:
         new_snap = edges_merge_provenance(batch, sort_output=False)
-    _publish(new_snap, snapshot_dir)
+    _publish(new_snap, snapshot_dir, keep_versions=keep_versions)
 
 
 def run_kg_maintenance_stream(
@@ -146,19 +191,24 @@ def run_kg_maintenance_stream(
     priority_sources: list[str],
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    keep_versions: int = 1,
 ):
     """Launch the delta-stream → snapshot maintenance query.
 
     ``available_now=True`` drains what is currently in ``delta_dir``
     and stops (the incremental-batch mode); resuming later from
-    ``checkpoint_dir`` folds only files added since."""
+    ``checkpoint_dir`` folds only files added since. ``keep_versions``
+    retains that many snapshot versions for time-travel reads."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     deltas = reader.parquet(delta_dir)
 
     def _fold(batch: DataFrame, epoch_id: int) -> None:
-        fold_batch(spark, batch, snapshot_dir, priority_sources)
+        fold_batch(
+            spark, batch, snapshot_dir, priority_sources,
+            keep_versions=keep_versions,
+        )
 
     writer = (
         deltas.writeStream.foreachBatch(_fold)

@@ -241,3 +241,48 @@ def test_half_written_version_never_breaks_readers(spark, tmp_path):
         spark, _rows("a", 10) + _rows("b", 5, start=3)
     )
     assert not os.path.exists(os.path.join(snap_dir, "v99"))
+
+
+def test_time_travel_retention_and_audit(spark, tmp_path):
+    from kg_microbe_merge_spark.operators.diff import snapshot_diff
+    from kg_microbe_merge_spark.streaming.maintain import list_versions
+
+    snap_dir = str(tmp_path / "snapshot")
+    b1 = spark.createDataFrame(_rows("a", 8), SCHEMA)
+    b2 = spark.createDataFrame(_rows("b", 6, start=4), SCHEMA)
+    b3 = spark.createDataFrame(_rows("c", 3, start=12), SCHEMA)
+
+    fold_batch(spark, b1, snap_dir, PRIO, keep_versions=2)
+    fold_batch(spark, b2, snap_dir, PRIO, keep_versions=2)
+    fold_batch(spark, b3, snap_dir, PRIO, keep_versions=2)
+
+    # only the newest two versions retained; CURRENT == the latest
+    assert list_versions(snap_dir) == [1, 2]
+    cur = _snap(spark, snap_dir)
+    v2 = {
+        r["id"]: (r["name"], r["category"], r[NAME_STATE_COLUMN])
+        for r in read_snapshot(spark, snap_dir, version=2).collect()
+    }
+    assert cur == v2
+
+    # time travel to v1 == the state after folding b1+b2
+    want_v1 = _batch_expected(spark, _rows("a", 8) + _rows("b", 6, start=4))
+    v1 = {
+        r["id"]: (r["name"], r["category"], r[NAME_STATE_COLUMN])
+        for r in read_snapshot(spark, snap_dir, version=1).collect()
+    }
+    assert v1 == want_v1
+
+    # audit between retained versions: exactly b3's new ids appear
+    d = snapshot_diff(
+        read_snapshot(spark, snap_dir, version=1),
+        read_snapshot(spark, snap_dir, version=2),
+    )
+    added = {r["id"] for r in d.filter("change = 'added'").collect()}
+    assert added == {"X:12", "X:13", "X:14"}  # exactly b3's new ids
+
+    # GC'd version raises with the retained list
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, snap_dir, version=0)
