@@ -1467,6 +1467,24 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed suffix-array construction (operators/suffix.py,
+    prefix doubling — the Lee et al. exact-substring machinery) over
+    the hash-ordered token stream of a bounded document slice. Each
+    round is one position-key equi-join + a range-sorted dense-id mint
+    (two-level zipWithIndex prefix sum, never a global window); the
+    oracle materializes every suffix as a space-joined string and
+    sorts (valid because ' ' sorts below every token char)."""
+    from kg_microbe_merge_spark.operators.suffix import (
+        corpus_token_stream,
+        suffix_ranks,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    stream = corpus_token_stream(d, text_col="text", id_col="doc_id")
+    return suffix_ranks(stream).select("pos", "rank")
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (operators/semdedup.py, Abbas et al.
     2023): k-means clusters (literal-centroid zero-shuffle assignment)
@@ -2255,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # least-proven first so they always get a verdict: the newest
         # round-3 operators, then the five the round-2 driver gate
         # truncated before reaching
+        "suffix_ranks": q_suffix_ranks,
         "semdedup": q_semdedup,
         "label_propagation": q_label_propagation,
         "gopher_quality": q_gopher_quality,
@@ -2303,7 +2322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_extract": q_triples_extract,
         "text_quality": q_text_quality,
         "pivot_events": q_pivot_events,
-        "holdout_split": q_holdout_split,
         "deterministic_sample": q_deterministic_sample,
     }
 
@@ -2523,6 +2541,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     distinct-triple capability stays gated via a4_edges_provenance
     (the same 3-column group key plus provenance pipe-joins) and the
     golden-port pytests, with the full oracle kept here.
+    holdout_split had green round-1 AND round-2 driver rows and ceded
+    its slot to the new suffix_ranks query: the hash-bucket split
+    family stays gated via deterministic_sample (the same portable
+    hash-threshold core) and keeps test_split's proportion/determinism
+    coverage plus the full oracle here.
     ngram_jaccard had green round-1 AND round-2 driver rows and ceded
     its slot to the new semdedup query: the shingle/inverted-index
     similarity family stays gated via minhash_lsh, duplicated_spans and
@@ -2531,6 +2554,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks.
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "holdout_split": q_holdout_split,
         "ngram_jaccard": q_ngram_jaccard,
         "a4_edges_distinct": q_a4_edges_distinct,
         "dedup_exact": q_dedup_exact,
@@ -3532,6 +3556,37 @@ def _all_oracle_sql() -> dict[str, str]:
     sql["label_propagation"] = _labelprop_sql(iterations=4)
     sql["kmeans_clusters"] = _kmeans_sql(k=4, iterations=2, dim=64)
     sql["semdedup"] = _semdedup_sql(k=4, iterations=2, dim=64, threshold=0.4)
+
+    # Suffix-array twin: materialize every suffix as a space-joined
+    # string and rank by plain binary sort — valid because ' ' sorts
+    # below every token character, so joined-string order == token-
+    # sequence order. The engine never materializes a suffix.
+    _sfx_h = _h60("doc_id::VARCHAR || ':sfx'")
+    sql["suffix_ranks"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               t -> t <> '') AS toks,
+                   ({_sfx_h}) AS h
+            FROM documents WHERE doc_id < 5),
+        offs AS (
+            SELECT doc_id, toks,
+                   coalesce(sum(len(toks)) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS base
+            FROM d),
+        tok AS (
+            SELECT cast(base + generate_subscripts(toks, 1) - 1 AS BIGINT)
+                       AS pos,
+                   unnest(toks) AS token
+            FROM offs),
+        fl AS (SELECT list(token ORDER BY pos) AS l FROM tok),
+        sfx AS (
+            SELECT t.pos, array_to_string(f.l[t.pos + 1:], ' ') AS s
+            FROM tok t CROSS JOIN fl f)
+        SELECT pos, row_number() OVER (ORDER BY s) - 1 AS rank FROM sfx
+    """
     sql["simhash_near_dups"] = _simhash_sql(max_hamming=6, n=2)
     sql["lsh_cosine_topk"] = _lsh_topk_sql(
         k=10, dim=64, bits=8, tables=8, n_queries=5

@@ -111,6 +111,10 @@ HEADLINE = [
     "substring_dedup_cut",
     "kg_incremental_cc",
     "chunk_sliding",
+    "gopher_quality",
+    "label_propagation",
+    "semdedup",
+    "suffix_ranks",
 ]
 
 

@@ -1,0 +1,200 @@
+"""Distributed suffix-array construction by prefix doubling — the
+exact-substring machinery behind suffix-array deduplication (Lee et
+al. 2022, "Deduplicating Training Data Makes Language Models Better").
+
+The shingle-postings substring family in :mod:`.dedup` detects/removes
+duplicated FIXED-LENGTH spans; a suffix array ranks EVERY suffix of the
+corpus token stream, which is what exact longest-match substring
+analytics (arbitrary-length duplicate runs, longest repeated
+substring, cross-doc containment) need. This module builds the rank
+permutation with the textbook prefix-doubling recurrence, expressed as
+DataFrame ops:
+
+    rank_0(i)     = dense id of token[i]
+    rank_{k+1}(i) = dense id of (rank_k(i), rank_k(i + 2^k) or -1)
+
+after ⌈log₂ n⌉ rounds ``rank`` is the lexicographic rank of the suffix
+starting at each position (all suffixes are distinct, so the final
+ranks are a permutation of 0..n-1). Convergence is detected early:
+when the number of distinct (rank, rank2) pairs equals n, every rank
+is unique and the recurrence is a fixed point.
+
+Scale design (10^11-token corpus):
+
+* Each round is bounded, uniform shuffle work: ONE equi-join on
+  ``pos + 2^k`` (hash join on a BIGINT key — no skew: positions are
+  unique), one DISTINCT over (rank, rank2) pairs, one range-sort of
+  the distinct pairs to mint dense ids, one join back. O(log n)
+  rounds total — the same asymptotics as the MPI/Flume suffix-array
+  builders used for this at corpus scale.
+* Dense-id minting (:func:`_dense_ids`) is the two-level global
+  prefix-sum shape: ``repartitionByRange`` + in-partition sort, then
+  Spark's ``zipWithIndex`` (per-partition counts, then offsets — no
+  single global window). This is the repo's one use of an RDD
+  primitive, and it is exactly the per-partition-imperative case the
+  DataFrame API cannot express (contiguous global ids in a total
+  order); indices depend only on the total order, not on partition
+  boundaries, so the result is deterministic.
+* Per-round state (pos, rank) is eagerly ``localCheckpoint``-ed: O(1)
+  lineage across rounds (reliable ``checkpoint`` on a real cluster,
+  as in :mod:`.components`).
+
+Cross-engine note (the oracle in ``__spark_entry__``): tokens never
+contain spaces and ``' '`` sorts below every token character, so
+token-sequence order ≡ the order of space-joined suffix strings — the
+DuckDB twin sorts materialized suffix strings, the engine never
+materializes any suffix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import hash60
+
+
+def corpus_token_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    salt: str = "sfx",
+) -> DataFrame:
+    """Flatten a document table into one global token sequence:
+    ``(pos, doc_id, doc_pos, token)`` with contiguous BIGINT ``pos``.
+
+    Corpus order is the deterministic hash order ``(hash60(id:salt),
+    id)`` (the sharding/packing convention) — any fixed order defines a
+    valid corpus string, and hash order lets the doc-offset prefix sum
+    run as the two-level bucket pattern (per-bucket totals → broadcast
+    offsets → per-bucket windows of ~rows/n_buckets docs) instead of
+    one global window. Buckets are RANGES of the hash space (``h div
+    width``), not ``h % n``, so ascending (bucket, h, id) IS ascending
+    (h, id) — the bucket decomposition never perturbs the global order
+    (hash60 is uniform, so range buckets stay balanced). Tokens are the
+    whitespace split with empties dropped; empty documents contribute
+    nothing."""
+    norm_toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    h = hash60(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    width = ((1 << 60) + n_buckets - 1) // n_buckets
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        norm_toks.alias("_toks"),
+        h.alias("_h"),
+    ).withColumn("_bucket", F.expr(f"_h div {width}"))
+    withn = base.withColumn("_n", F.size("_toks").cast("long"))
+
+    totals = (
+        withn.groupBy("_bucket").agg(F.sum("_n").alias("_total")).collect()
+    )
+    per_bucket = {r["_bucket"]: r["_total"] for r in totals}
+    offsets, acc = [], 0
+    for b in sorted(per_bucket):
+        offsets.append((b, acc))
+        acc += per_bucket[b]
+    spark = docs.sparkSession
+    if not offsets:
+        return spark.createDataFrame(
+            [], "pos long, doc_id string, doc_pos int, token string"
+        )
+    off_df = spark.createDataFrame(offsets, "_bucket LONG, _offset LONG")
+
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    based = (
+        withn.join(F.broadcast(off_df), "_bucket")
+        .withColumn(
+            "_base", F.col("_offset") + F.sum("_n").over(w) - F.col("_n")
+        )
+        .select("doc_id", "_base", "_toks")
+    )
+    return based.select(
+        "doc_id",
+        F.col("_base"),
+        F.posexplode("_toks").alias("doc_pos", "token"),
+    ).select(
+        (F.col("_base") + F.col("doc_pos")).alias("pos"),
+        "doc_id",
+        "doc_pos",
+        "token",
+    )
+
+
+def _dense_ids(df: DataFrame, cols: list[str], out: str) -> DataFrame:
+    """Contiguous 0-based dense ids for the DISTINCT ``cols`` tuples in
+    their ascending total order — range-partitioned sort + Spark's
+    two-level ``zipWithIndex`` (see module docstring)."""
+    d = (
+        df.select(*cols)
+        .distinct()
+        .repartitionByRange(*[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+    )
+    schema = d.schema.add(out, "long")
+    rdd = d.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    return df.sparkSession.createDataFrame(rdd, schema)
+
+
+def suffix_ranks(
+    tokens: DataFrame,
+    pos_col: str = "pos",
+    token_col: str = "token",
+    max_rounds: int = 48,
+) -> DataFrame:
+    """``(pos, rank)`` — the lexicographic rank (0-based, a permutation
+    of 0..n-1) of the suffix starting at each position of the token
+    sequence. ``tokens`` must carry contiguous positions 0..n-1
+    (:func:`corpus_token_stream` produces them)."""
+    t = tokens.select(
+        F.col(pos_col).cast("long").alias("pos"),
+        F.col(token_col).alias("token"),
+    )
+    n = t.count()
+    if n == 0:
+        return t.sparkSession.createDataFrame([], "pos long, rank long")
+
+    ids0 = _dense_ids(t, ["token"], "rank")
+    state = t.join(ids0, "token").select("pos", "rank").localCheckpoint()
+
+    k = 1
+    for _ in range(max_rounds):
+        shifted = state.select(
+            (F.col("pos") - k).alias("pos"), F.col("rank").alias("rank2")
+        )
+        paired = (
+            state.join(shifted, "pos", "left")
+            .select(
+                "pos",
+                "rank",
+                F.coalesce(F.col("rank2"), F.lit(-1)).alias("rank2"),
+            )
+        )
+        ids = _dense_ids(paired, ["rank", "rank2"], "new_rank")
+        m = ids.count()
+        state = (
+            paired.join(ids, ["rank", "rank2"])
+            .select("pos", F.col("new_rank").alias("rank"))
+            .localCheckpoint()
+        )
+        if m == n or k >= n:
+            break
+        k *= 2
+    return state
+
+
+def suffix_array(
+    tokens: DataFrame, pos_col: str = "pos", token_col: str = "token"
+) -> DataFrame:
+    """``(rank, pos)`` — the suffix array itself: row ``r`` holds the
+    start position of the rank-``r`` suffix (inverse of
+    :func:`suffix_ranks`)."""
+    return suffix_ranks(tokens, pos_col, token_col).select(
+        F.col("rank"), F.col("pos")
+    )

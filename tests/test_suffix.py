@@ -1,0 +1,109 @@
+"""Suffix arrays by prefix doubling (operators/suffix.py): ranks match
+the brute-force sorted-suffixes twin on crafted and random sequences,
+the corpus token stream assigns contiguous hash-order positions, and
+the end-to-end corpus suffix array is a valid permutation."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from kg_microbe_merge_spark.functions.hashing import hash60_py
+from kg_microbe_merge_spark.operators.suffix import (
+    corpus_token_stream,
+    suffix_array,
+    suffix_ranks,
+)
+
+
+def py_suffix_ranks(toks: list[str]) -> dict[int, int]:
+    order = sorted(range(len(toks)), key=lambda i: toks[i:])
+    return {pos: r for r, pos in enumerate(order)}
+
+
+def _ranks(spark, toks):
+    df = spark.createDataFrame(
+        list(enumerate(toks)), "pos long, token string"
+    )
+    return {
+        r["pos"]: r["rank"] for r in suffix_ranks(df).collect()
+    }
+
+
+def test_known_sequences(spark):
+    for toks in (
+        ["b", "a", "n", "a", "n", "a"],
+        ["a"],
+        ["a", "a", "a", "a", "a"],
+        ["the", "cat", "the", "cat", "the", "dog"],
+        ["ab", "b", "a", "ab"],
+    ):
+        assert _ranks(spark, toks) == py_suffix_ranks(toks), toks
+
+
+def test_random_sequences(spark):
+    rng = random.Random(31)
+    vocab = ["a", "b", "ab", "ba", "x", "yz"]
+    for n in (2, 17, 64, 130):
+        toks = [rng.choice(vocab) for _ in range(n)]
+        assert _ranks(spark, toks) == py_suffix_ranks(toks), n
+
+
+def test_corpus_token_stream_positions(spark):
+    docs = [
+        ("d1", "alpha beta gamma"),
+        ("d2", ""),
+        ("d3", "delta   epsilon"),
+        ("d4", "zeta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = corpus_token_stream(df, n_buckets=3).collect()
+    # contiguous positions 0..n-1
+    assert sorted(r["pos"] for r in out) == list(range(6))
+    # within-doc order and tokens preserved; empty doc absent
+    by_doc = {}
+    for r in sorted(out, key=lambda r: r["pos"]):
+        by_doc.setdefault(r["doc_id"], []).append(r["token"])
+    assert by_doc.keys() == {"d1", "d3", "d4"}
+    assert by_doc["d1"] == ["alpha", "beta", "gamma"]
+    assert by_doc["d3"] == ["delta", "epsilon"]
+    # doc blocks follow the deterministic hash order
+    order = sorted(
+        ("d1", "d3", "d4"), key=lambda d: (hash60_py(f"{d}:sfx"), d)
+    )
+    first_pos = {
+        d: min(r["pos"] for r in out if r["doc_id"] == d)
+        for d in ("d1", "d3", "d4")
+    }
+    assert sorted(first_pos, key=first_pos.get) == order
+
+
+def test_corpus_suffix_array_end_to_end(spark):
+    rng = random.Random(9)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog"]
+    docs = [
+        (f"d{i}", " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    stream = corpus_token_stream(df)
+    toks = [
+        r["token"]
+        for r in stream.orderBy("pos").select("token").collect()
+    ]
+    sa = {r["rank"]: r["pos"] for r in suffix_array(stream).collect()}
+    want = {
+        r: p for p, r in py_suffix_ranks(toks).items()
+    }
+    assert sa == want
+    # a permutation of 0..n-1 on both axes
+    n = len(toks)
+    assert sorted(sa) == list(range(n)) and sorted(sa.values()) == list(
+        range(n)
+    )
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "pos long, token string")
+    assert suffix_ranks(df).count() == 0
