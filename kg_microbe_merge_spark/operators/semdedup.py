@@ -50,20 +50,16 @@ from .kmeans import kmeans_assignments
 from .similarity import dot_expr, normalized_vectors
 
 
-def semantic_dedup_pairs(
+def _pairs_from_assignment(
     vectors: DataFrame,
-    k: int = 4,
-    iterations: int = 2,
-    threshold: float = 0.9,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Within-cluster cosine near-dup pairs:
-    ``(id_a, id_b, cluster, cosine)`` with ``id_a < id_b`` and
-    ``cosine ≥ threshold`` (rounded to 6 decimals first)."""
-    assigned = kmeans_assignments(
-        vectors, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
-    )
+    """Within-cluster pair join against a precomputed (vec_id, cluster)
+    assignment — shared by :func:`semantic_dedup_pairs` and
+    :func:`semantic_dedup` so clustering runs exactly once."""
     normed = normalized_vectors(vectors, id_col, vec_col, "vec_id", "_v")
     clustered = normed.join(assigned, "vec_id")
     a = clustered.select(
@@ -87,6 +83,25 @@ def semantic_dedup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster cosine near-dup pairs:
+    ``(id_a, id_b, cluster, cosine)`` with ``id_a < id_b`` and
+    ``cosine ≥ threshold`` (rounded to 6 decimals first)."""
+    assigned = kmeans_assignments(
+        vectors, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    return _pairs_from_assignment(
+        vectors, assigned, threshold, id_col, vec_col
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     k: int = 4,
@@ -101,11 +116,13 @@ def semantic_dedup(
     in-cluster near-dup), ``kept`` marks the survivor."""
     from .components import connected_components
 
+    # cluster ONCE and checkpoint: the assignment feeds both the pair
+    # join and the final output, and kmeans itself is iterative
     assigned = kmeans_assignments(
         vectors, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
-    )
-    pairs = semantic_dedup_pairs(
-        vectors, k, iterations, threshold, id_col, vec_col
+    ).localCheckpoint(eager=False)
+    pairs = _pairs_from_assignment(
+        vectors, assigned, threshold, id_col, vec_col
     )
     # materialize the (tiny) pair graph once: CC consumes it from two
     # lineages and would otherwise replay clustering + pairing twice
