@@ -1485,6 +1485,27 @@ def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_ranks(stream).select("pos", "rank")
 
 
+def q_exact_dup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-length EXACT duplicated-run detection
+    (operators/suffix.duplicated_runs — the suffix-array half of Lee
+    et al. substring dedup): LCP array via the doubling-LCP walk over
+    the prefix-doubling rank ladder (O(log n) bounded joins, no suffix
+    ever materialized, no Kasai sequential scan), filtered to adjacent
+    suffix pairs sharing ≥ min_len leading tokens. The oracle computes
+    each adjacent pair's token-level LCP as the first-mismatch index
+    over the materialized corpus list."""
+    from kg_microbe_merge_spark.operators.suffix import (
+        corpus_token_stream,
+        duplicated_runs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    stream = corpus_token_stream(d, text_col="text", id_col="doc_id")
+    return duplicated_runs(stream, min_len=2).select(
+        "rank", "pos", "prev_pos", "lcp"
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (operators/semdedup.py, Abbas et al.
     2023): k-means clusters (literal-centroid zero-shuffle assignment)
@@ -2273,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # least-proven first so they always get a verdict: the newest
         # round-3 operators, then the five the round-2 driver gate
         # truncated before reaching
+        "exact_dup_runs": q_exact_dup_runs,
         "suffix_ranks": q_suffix_ranks,
         "semdedup": q_semdedup,
         "label_propagation": q_label_propagation,
@@ -2313,7 +2335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_coverage_anti": q_j2_coverage_anti,
         "u1_endpoint_union": q_u1_endpoint_union,
         "q1_pricing_summary": q_q1_pricing_summary,
-        "sessionization": q_sessionization,
         "asof_enrich": q_asof_enrich,
         "s2_union_align": q_s2_union_align,
         "bgp_filter_optional": q_bgp_filter_optional,
@@ -2541,6 +2562,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     distinct-triple capability stays gated via a4_edges_provenance
     (the same 3-column group key plus provenance pipe-joins) and the
     golden-port pytests, with the full oracle kept here.
+    sessionization had green round-1 AND round-2 driver rows and ceded
+    its slot to the new exact_dup_runs query: the window-function
+    family stays gated via w1_priority_dedup (ranked windows) and
+    asof_enrich (the union-window pattern), the gap-session capability
+    keeps the full oracle here plus test_sessions, and its streaming
+    face gained its own coverage in test_streaming_sessions.
     holdout_split had green round-1 AND round-2 driver rows and ceded
     its slot to the new suffix_ranks query: the hash-bucket split
     family stays gated via deterministic_sample (the same portable
@@ -2554,6 +2581,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks.
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "sessionization": q_sessionization,
         "holdout_split": q_holdout_split,
         "ngram_jaccard": q_ngram_jaccard,
         "a4_edges_distinct": q_a4_edges_distinct,
@@ -3586,6 +3614,52 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT t.pos, array_to_string(f.l[t.pos + 1:], ' ') AS s
             FROM tok t CROSS JOIN fl f)
         SELECT pos, row_number() OVER (ORDER BY s) - 1 AS rank FROM sfx
+    """
+
+    # LCP twin: token-level longest common prefix of adjacent SA pairs
+    # = first-mismatch offset over the materialized corpus list; the
+    # engine walks the doubling rank ladder instead.
+    sql["exact_dup_runs"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               t -> t <> '') AS toks,
+                   ({_sfx_h}) AS h
+            FROM documents WHERE doc_id < 5),
+        offs AS (
+            SELECT doc_id, toks,
+                   coalesce(sum(len(toks)) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS base
+            FROM d),
+        tok AS (
+            SELECT cast(base + generate_subscripts(toks, 1) - 1 AS BIGINT)
+                       AS pos,
+                   unnest(toks) AS token
+            FROM offs),
+        fl AS (SELECT list(token ORDER BY pos) AS l, count(*) AS n FROM tok),
+        sfx AS (
+            SELECT t.pos, array_to_string(f.l[t.pos + 1:], ' ') AS s
+            FROM tok t CROSS JOIN fl f),
+        sa AS (
+            SELECT pos, row_number() OVER (ORDER BY s) - 1 AS rank
+            FROM sfx),
+        adj AS (
+            SELECT a.rank, a.pos, b.pos AS prev_pos
+            FROM sa a JOIN sa b ON a.rank = b.rank + 1),
+        lcp AS (
+            SELECT adj.rank, adj.pos, adj.prev_pos,
+                   cast(coalesce(
+                       list_filter(
+                           range(1, cast(least(f.n - adj.pos,
+                                               f.n - adj.prev_pos) AS BIGINT) + 1),
+                           m -> f.l[adj.pos + m] IS DISTINCT FROM
+                                f.l[adj.prev_pos + m])[1],
+                       least(f.n - adj.pos, f.n - adj.prev_pos) + 1) - 1
+                       AS BIGINT) AS lcp
+            FROM adj CROSS JOIN fl f)
+        SELECT rank, pos, prev_pos, lcp FROM lcp WHERE lcp >= 2
     """
     sql["simhash_near_dups"] = _simhash_sql(max_hamming=6, n=2)
     sql["lsh_cosine_topk"] = _lsh_topk_sql(

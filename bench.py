@@ -115,6 +115,7 @@ HEADLINE = [
     "label_propagation",
     "semdedup",
     "suffix_ranks",
+    "exact_dup_runs",
 ]
 
 

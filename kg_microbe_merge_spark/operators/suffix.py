@@ -152,19 +152,40 @@ def suffix_ranks(
     of 0..n-1) of the suffix starting at each position of the token
     sequence. ``tokens`` must carry contiguous positions 0..n-1
     (:func:`corpus_token_stream` produces them)."""
+    n, levels = _rank_levels(tokens, pos_col, token_col, max_rounds)
+    if n == 0:
+        return tokens.sparkSession.createDataFrame([], "pos long, rank long")
+    return levels[-1][1]
+
+
+def _rank_levels(
+    tokens: DataFrame,
+    pos_col: str = "pos",
+    token_col: str = "token",
+    max_rounds: int = 48,
+) -> tuple[int, list[tuple[int, DataFrame]]]:
+    """(n, [(prefix_length, (pos, rank) DataFrame), ...]) — the full
+    prefix-doubling ladder: level ℓ ranks suffixes by their first
+    ``prefix_length`` tokens. The last level's ranks are all distinct
+    (the suffix order); the ladder is what the doubling-LCP walk in
+    :func:`lcp_adjacent` consumes (all LCP values are < the final
+    level's length, so the retained levels decompose any of them)."""
     t = tokens.select(
         F.col(pos_col).cast("long").alias("pos"),
         F.col(token_col).alias("token"),
     )
     n = t.count()
     if n == 0:
-        return t.sparkSession.createDataFrame([], "pos long, rank long")
+        return 0, []
 
     ids0 = _dense_ids(t, ["token"], "rank")
     state = t.join(ids0, "token").select("pos", "rank").localCheckpoint()
+    levels = [(1, state)]
 
     k = 1
     for _ in range(max_rounds):
+        if k >= n:
+            break
         shifted = state.select(
             (F.col("pos") - k).alias("pos"), F.col("rank").alias("rank2")
         )
@@ -183,10 +204,11 @@ def suffix_ranks(
             .select("pos", F.col("new_rank").alias("rank"))
             .localCheckpoint()
         )
-        if m == n or k >= n:
+        levels.append((2 * k, state))
+        if m == n:
             break
         k *= 2
-    return state
+    return n, levels
 
 
 def suffix_array(
@@ -197,4 +219,100 @@ def suffix_array(
     :func:`suffix_ranks`)."""
     return suffix_ranks(tokens, pos_col, token_col).select(
         F.col("rank"), F.col("pos")
+    )
+
+
+def lcp_adjacent(
+    tokens: DataFrame,
+    pos_col: str = "pos",
+    token_col: str = "token",
+) -> DataFrame:
+    """``(rank, pos, prev_pos, lcp)`` for every adjacent suffix-array
+    pair (rank ≥ 1): the token-level longest common prefix between the
+    rank-``r`` and rank-``r-1`` suffixes — the LCP array.
+
+    Computed with the doubling-LCP walk over the rank ladder the
+    prefix-doubling construction already produced (no suffix is ever
+    materialized): from the largest level down, if the two cursors'
+    level-ℓ ranks agree, the suffixes share their next ``2^ℓ`` tokens —
+    add the length and advance both cursors. Every level is two
+    LEFT joins of the O(n) pair table against that level's (pos, rank)
+    table (missing pos = exhausted suffix = mismatch), so the whole
+    LCP array costs O(log n) bounded joins — the distributed stand-in
+    for Kasai's inherently sequential scan. Per-level checkpoints keep
+    lineage O(1).
+
+    Since any substring occurring twice in the corpus makes two
+    suffixes agree on its length, ``max(lcp)`` is the longest repeated
+    substring, and :func:`duplicated_runs` filters ``lcp ≥ min_len``
+    to detect EXACT duplicated runs of arbitrary length (the
+    suffix-array half of Lee et al. substring dedup; the fixed-length
+    shingle detector is ``dedup.duplicated_span_stats``)."""
+    n, levels = _rank_levels(tokens, pos_col, token_col)
+    spark = tokens.sparkSession
+    if n < 2:
+        return spark.createDataFrame(
+            [], "rank long, pos long, prev_pos long, lcp long"
+        )
+    final = levels[-1][1]
+    nxt = final.select(
+        (F.col("rank") + 1).alias("rank"), F.col("pos").alias("prev_pos")
+    )
+    state = (
+        final.join(nxt, "rank")
+        .select(
+            "rank",
+            "pos",
+            "prev_pos",
+            F.col("pos").alias("_i"),
+            F.col("prev_pos").alias("_j"),
+            F.lit(0).cast("long").alias("lcp"),
+        )
+        .localCheckpoint()
+    )
+    for length, lvl in reversed(levels):
+        ra = lvl.select(F.col("pos").alias("_i"), F.col("rank").alias("_ra"))
+        rb = lvl.select(F.col("pos").alias("_j"), F.col("rank").alias("_rb"))
+        eq = (
+            F.col("_ra").isNotNull()
+            & F.col("_rb").isNotNull()
+            & (F.col("_ra") == F.col("_rb"))
+        )
+        state = (
+            state.join(ra, "_i", "left")
+            .join(rb, "_j", "left")
+            .select(
+                "rank",
+                "pos",
+                "prev_pos",
+                F.when(eq, F.col("_i") + length)
+                .otherwise(F.col("_i"))
+                .alias("_i"),
+                F.when(eq, F.col("_j") + length)
+                .otherwise(F.col("_j"))
+                .alias("_j"),
+                F.when(eq, F.col("lcp") + length)
+                .otherwise(F.col("lcp"))
+                .alias("lcp"),
+            )
+            .localCheckpoint()
+        )
+    return state.select("rank", "pos", "prev_pos", "lcp")
+
+
+def duplicated_runs(
+    tokens: DataFrame,
+    min_len: int,
+    pos_col: str = "pos",
+    token_col: str = "token",
+) -> DataFrame:
+    """``(rank, pos, prev_pos, lcp)`` for every adjacent suffix pair
+    sharing at least ``min_len`` leading tokens — each row witnesses an
+    exact duplicated token run of length ``lcp`` starting at BOTH
+    positions. The arbitrary-length exact-substring duplicate detector
+    (Lee et al. use min_len = 50 BPE tokens for C4/RealNews)."""
+    if min_len < 1:
+        raise ValueError("min_len must be >= 1")
+    return lcp_adjacent(tokens, pos_col, token_col).filter(
+        F.col("lcp") >= min_len
     )

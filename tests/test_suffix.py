@@ -107,3 +107,70 @@ def test_corpus_suffix_array_end_to_end(spark):
 def test_empty_input(spark):
     df = spark.createDataFrame([], "pos long, token string")
     assert suffix_ranks(df).count() == 0
+
+
+def py_lcp_adjacent(toks):
+    ranks = py_suffix_ranks(toks)
+    sa = {r: p for p, r in ranks.items()}
+    out = {}
+    for r in range(1, len(toks)):
+        i, j = sa[r], sa[r - 1]
+        l = 0
+        while i + l < len(toks) and j + l < len(toks) and toks[i + l] == toks[j + l]:
+            l += 1
+        out[r] = (sa[r], sa[r - 1], l)
+    return out
+
+
+def _lcp(spark, toks):
+    from kg_microbe_merge_spark.operators.suffix import lcp_adjacent
+
+    df = spark.createDataFrame(
+        list(enumerate(toks)), "pos long, token string"
+    )
+    return {
+        r["rank"]: (r["pos"], r["prev_pos"], r["lcp"])
+        for r in lcp_adjacent(df).collect()
+    }
+
+
+def test_lcp_known_and_random(spark):
+    cases = [
+        ["b", "a", "n", "a", "n", "a"],
+        ["a", "a", "a", "a", "a"],
+        ["x", "y", "x", "y", "x", "y", "z"],
+        ["q"],
+        ["a", "b"],
+    ]
+    rng = random.Random(77)
+    vocab = ["a", "b", "c"]
+    cases += [
+        [rng.choice(vocab) for _ in range(n)] for n in (20, 65)
+    ]
+    for toks in cases:
+        assert _lcp(spark, toks) == py_lcp_adjacent(toks), toks
+
+
+def test_duplicated_runs_detects_planted_run(spark):
+    from kg_microbe_merge_spark.operators.suffix import duplicated_runs
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(50)]  # big vocab: no accidental runs
+    run = ["the", "exact", "same", "eight", "token", "run", "appears", "twice"]
+    toks = (
+        [rng.choice(vocab) for _ in range(30)]
+        + run
+        + [rng.choice(vocab) for _ in range(25)]
+        + run
+        + [rng.choice(vocab) for _ in range(20)]
+    )
+    df = spark.createDataFrame(list(enumerate(toks)), "pos long, token string")
+    hits = duplicated_runs(df, min_len=8).collect()
+    assert len(hits) == 1
+    (h,) = hits
+    starts = {h["pos"], h["prev_pos"]}
+    assert starts == {30, 30 + 8 + 25} and h["lcp"] == 8
+    # python twin agrees everywhere
+    assert _lcp(spark, toks) == py_lcp_adjacent(toks)
+    # below-threshold: nothing at min_len=9
+    assert duplicated_runs(df, min_len=9).count() == 0
