@@ -1485,6 +1485,28 @@ def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_ranks(stream).select("pos", "rank")
 
 
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key computation (operators/layout.py): equi-width
+    bucketize user_id and value, Morton-interleave the bucket bits into
+    one BIGINT — a static shift/mask/OR codegen tree, zero shuffle,
+    zero Python. This is the sort key `write_zordered` range-clusters
+    files by, giving parquet min/max pruning on EVERY interleaved
+    dimension (footer-stat evidence in tests/test_layout.py); the
+    oracle evaluates the identical expression generated for SQL by the
+    same module."""
+    from kg_microbe_merge_spark.operators.layout import bucketize, z_value
+
+    ev = _t(spark, sf_dir, "events")
+    bu = bucketize(F.col("user_id"), 0.0, 256.0, 8)
+    bv = bucketize(F.col("value"), 0.0, 512.0, 8)
+    return ev.select(
+        "event_id",
+        bu.alias("bucket_user"),
+        bv.alias("bucket_value"),
+        z_value([bu, bv], bits=8).alias("z"),
+    )
+
+
 def q_exact_dup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-length EXACT duplicated-run detection
     (operators/suffix.duplicated_runs — the suffix-array half of Lee
@@ -2294,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # least-proven first so they always get a verdict: the newest
         # round-3 operators, then the five the round-2 driver gate
         # truncated before reaching
+        "zorder_values": q_zorder_values,
         "exact_dup_runs": q_exact_dup_runs,
         "suffix_ranks": q_suffix_ranks,
         "semdedup": q_semdedup,
@@ -2333,7 +2356,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_edges_provenance": q_a4_edges_provenance,
         "w1_priority_dedup": q_w1_priority_dedup,
         "j2_coverage_anti": q_j2_coverage_anti,
-        "u1_endpoint_union": q_u1_endpoint_union,
         "q1_pricing_summary": q_q1_pricing_summary,
         "asof_enrich": q_asof_enrich,
         "s2_union_align": q_s2_union_align,
@@ -2562,6 +2584,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     distinct-triple capability stays gated via a4_edges_provenance
     (the same 3-column group key plus provenance pipe-joins) and the
     golden-port pytests, with the full oracle kept here.
+    u1_endpoint_union had green round-1 AND round-2 driver rows and
+    ceded its slot to the new zorder_values layout query: the
+    endpoint distinct-union capability stays gated inside
+    j2_coverage_anti (which unions both endpoint id sets before its
+    anti join) and graph_stats_report (distinct endpoint counts),
+    with the full oracle kept here.
     sessionization had green round-1 AND round-2 driver rows and ceded
     its slot to the new exact_dup_runs query: the window-function
     family stays gated via w1_priority_dedup (ranked windows) and
@@ -2581,6 +2609,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks.
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "u1_endpoint_union": q_u1_endpoint_union,
         "sessionization": q_sessionization,
         "holdout_split": q_holdout_split,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3660,6 +3689,28 @@ def _all_oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS lcp
             FROM adj CROSS JOIN fl f)
         SELECT rank, pos, prev_pos, lcp FROM lcp WHERE lcp >= 2
+    """
+
+    # Z-order twin: the identical bucketize + interleave expression,
+    # generated for SQL by the same module.
+    from kg_microbe_merge_spark.operators.layout import z_value_sql
+
+    def _bucket_sql(expr: str, lo: float, hi: float, bits: int) -> str:
+        width = (hi - lo) / (1 << bits)
+        return (
+            f"greatest(0, least({(1 << bits) - 1}, "
+            f"cast(floor((cast({expr} AS DOUBLE) - {lo!r}) / {width!r}) "
+            f"AS BIGINT)))"
+        )
+
+    _bu = _bucket_sql("user_id", 0.0, 256.0, 8)
+    _bv = _bucket_sql("value", 0.0, 512.0, 8)
+    sql["zorder_values"] = f"""
+        SELECT event_id,
+               {_bu} AS bucket_user,
+               {_bv} AS bucket_value,
+               ({z_value_sql([_bu, _bv], bits=8)}) AS z
+        FROM events
     """
     sql["simhash_near_dups"] = _simhash_sql(max_hamming=6, n=2)
     sql["lsh_cosine_topk"] = _lsh_topk_sql(

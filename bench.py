@@ -116,6 +116,7 @@ HEADLINE = [
     "semdedup",
     "suffix_ranks",
     "exact_dup_runs",
+    "zorder_values",
 ]
 
 
