@@ -1485,6 +1485,19 @@ def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_ranks(stream).select("pos", "rank")
 
 
+def q_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-duplication coverage
+    (operators/suffix.duplicated_coverage): the doc-level rollup of
+    exact_dup_runs — both endpoints of every qualifying adjacent pair
+    become a clipped interval, unioned per doc with ONE row-local
+    sorted-interval fold. The oracle unions relationally
+    (gaps-and-islands)."""
+    from kg_microbe_merge_spark.operators.suffix import duplicated_coverage
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    return duplicated_coverage(d, min_len=2)
+
+
 def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key computation (operators/layout.py): equi-width
     bucketize user_id and value, Morton-interleave the bucket bits into
@@ -2571,9 +2584,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     guarded correctness baseline of the still-gated lsh_cosine_topk /
     ivf_cosine_topk / sq8_adc_topk family and keeps its full oracle
     here.
-    New round-3 operator queued for the round-4 gate rotation (full
-    oracle + pytest now): chunk_sliding (sliding-window LLM-sequence
-    chunking, operators/chunking.py).
+    New round-3 operators queued for the round-4 gate rotation (full
+    oracles + pytest now): chunk_sliding (sliding-window LLM-sequence
+    chunking, operators/chunking.py) and dup_coverage (per-document
+    exact-duplication coverage, the doc-level rollup of the gated
+    exact_dup_runs — operators/suffix.duplicated_coverage).
     dedup_exact had green round-1 AND round-2 driver rows and ceded its
     slot to the new gopher_quality rule battery: whole-row/content-hash
     dedup stays gated via near_dup_dedup and substring_dedup_cut (both
@@ -2609,6 +2624,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks.
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "dup_coverage": q_dup_coverage,
         "u1_endpoint_union": q_u1_endpoint_union,
         "sessionization": q_sessionization,
         "holdout_split": q_holdout_split,
@@ -3647,9 +3663,10 @@ def _all_oracle_sql() -> dict[str, str]:
 
     # LCP twin: token-level longest common prefix of adjacent SA pairs
     # = first-mismatch offset over the materialized corpus list; the
-    # engine walks the doubling rank ladder instead.
-    sql["exact_dup_runs"] = f"""
-        WITH d AS (
+    # engine walks the doubling rank ladder instead. The CTE chain is
+    # shared with the dup_coverage rollup twin.
+    _sfx_ctes = f"""
+        d AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(text, '\\s+'),
                                t -> t <> '') AS toks,
@@ -3663,8 +3680,11 @@ def _all_oracle_sql() -> dict[str, str]:
                        0) AS base
             FROM d),
         tok AS (
-            SELECT cast(base + generate_subscripts(toks, 1) - 1 AS BIGINT)
+            SELECT doc_id,
+                   cast(base + generate_subscripts(toks, 1) - 1 AS BIGINT)
                        AS pos,
+                   cast(generate_subscripts(toks, 1) - 1 AS BIGINT)
+                       AS doc_pos,
                    unnest(toks) AS token
             FROM offs),
         fl AS (SELECT list(token ORDER BY pos) AS l, count(*) AS n FROM tok),
@@ -3687,8 +3707,56 @@ def _all_oracle_sql() -> dict[str, str]:
                                 f.l[adj.prev_pos + m])[1],
                        least(f.n - adj.pos, f.n - adj.prev_pos) + 1) - 1
                        AS BIGINT) AS lcp
-            FROM adj CROSS JOIN fl f)
+            FROM adj CROSS JOIN fl f)"""
+    sql["exact_dup_runs"] = f"""
+        WITH {_sfx_ctes}
         SELECT rank, pos, prev_pos, lcp FROM lcp WHERE lcp >= 2
+    """
+
+    # dup_coverage twin: both endpoints of every qualifying pair become
+    # a clipped per-doc interval; the union is gaps-and-islands (an
+    # island's union is contiguous, max(e) - min(s)), mirroring the
+    # engine's row-local sorted-interval fold.
+    sql["dup_coverage"] = f"""
+        WITH {_sfx_ctes},
+        hits AS (
+            SELECT pos AS p, lcp FROM lcp WHERE lcp >= 2
+            UNION ALL
+            SELECT prev_pos, lcp FROM lcp WHERE lcp >= 2),
+        nt AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+        iv AS (
+            SELECT t.doc_id, t.doc_pos AS s,
+                   least(t.doc_pos + h.lcp, nt.n_tok) AS e
+            FROM hits h
+            JOIN tok t ON h.p = t.pos
+            JOIN nt ON t.doc_id = nt.doc_id),
+        isl AS (
+            SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+            FROM iv),
+        isl2 AS (
+            SELECT doc_id, s, e,
+                   sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS gid
+            FROM isl),
+        cov AS (
+            SELECT doc_id, sum(covered) AS dup_tokens FROM (
+                SELECT doc_id, gid, max(e) - min(s) AS covered
+                FROM isl2 GROUP BY doc_id, gid)
+            GROUP BY doc_id)
+        SELECT nt.doc_id,
+               cast(nt.n_tok AS BIGINT) AS n_tok,
+               cast(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CASE WHEN nt.n_tok > 0
+                    THEN cast(floor(cast(coalesce(cov.dup_tokens, 0) AS DOUBLE)
+                                    / nt.n_tok * 1000000.0 + 0.5) AS BIGINT)
+                         / 1000000.0
+                    ELSE 0.0 END AS dup_frac
+        FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id
     """
 
     # Z-order twin: the identical bucketize + interleave expression,

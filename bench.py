@@ -117,6 +117,7 @@ HEADLINE = [
     "suffix_ranks",
     "exact_dup_runs",
     "zorder_values",
+    "dup_coverage",
 ]
 
 

@@ -316,3 +316,95 @@ def duplicated_runs(
     return lcp_adjacent(tokens, pos_col, token_col).filter(
         F.col("lcp") >= min_len
     )
+
+
+def duplicated_coverage(
+    docs: DataFrame,
+    min_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document EXACT duplication coverage:
+    ``(doc_id, n_tok, dup_tokens, dup_frac)`` where ``dup_tokens``
+    counts tokens lying inside any corpus-duplicated run of ≥
+    ``min_len`` tokens — the document-level rollup of
+    :func:`duplicated_runs` and the arbitrary-length exact counterpart
+    of ``dedup.duplicated_span_stats`` (fixed-length shingles). Lee et
+    al. drop or trim documents with high ``dup_frac``.
+
+    Pipeline: token stream → duplicated runs (both endpoints of every
+    adjacent pair explode to a covered interval, clipped to the
+    document) → per-doc interval UNION via one sorted-array fold (the
+    runs at successive offsets of one long duplicate overlap heavily;
+    the union de-overlaps them exactly). The only corpus-sized
+    shuffles are the suffix construction itself plus one (pos-keyed)
+    mapping join and one per-doc aggregation; the interval merge is
+    row-local."""
+    stream = corpus_token_stream(docs, text_col=text_col, id_col=id_col)
+    stream = stream.localCheckpoint(eager=False)
+    runs = duplicated_runs(stream, min_len)
+    hits = runs.select(
+        F.explode(F.array(F.col("pos"), F.col("prev_pos"))).alias("pos"),
+        "lcp",
+    )
+    located = hits.join(
+        stream.select("pos", "doc_id", "doc_pos"), "pos"
+    ).select(
+        "doc_id",
+        F.col("doc_pos").alias("start"),
+        (F.col("doc_pos") + F.col("lcp")).alias("end"),
+    )
+    ntok = stream.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    ivals = located.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("start"), F.col("end")))
+        ).alias("_ivals")
+    )
+    # row-local union of sorted intervals, clipped to [0, n_tok)
+    merged = ntok.join(ivals, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce(
+            F.aggregate(
+                F.col("_ivals"),
+                F.struct(
+                    F.lit(0).cast("long").alias("prev_end"),
+                    F.lit(0).cast("long").alias("acc"),
+                ),
+                lambda s, iv: F.struct(
+                    F.greatest(
+                        s["prev_end"], F.least(iv["end"], F.col("n_tok"))
+                    ).alias("prev_end"),
+                    (
+                        s["acc"]
+                        + F.greatest(
+                            F.lit(0).cast("long"),
+                            F.least(iv["end"], F.col("n_tok"))
+                            - F.greatest(iv["start"], s["prev_end"]),
+                        )
+                    ).alias("acc"),
+                ),
+                lambda s: s["acc"],
+            ),
+            F.lit(0).cast("long"),
+        ).alias("dup_tokens"),
+    )
+    return merged.select(
+        "doc_id",
+        "n_tok",
+        "dup_tokens",
+        F.when(
+            F.col("n_tok") > 0,
+            F.floor(
+                F.col("dup_tokens").cast("double")
+                / F.col("n_tok").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint")
+            / F.lit(1000000.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

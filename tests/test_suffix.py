@@ -5,6 +5,7 @@ the end-to-end corpus suffix array is a valid permutation."""
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import functions as F
@@ -174,3 +175,59 @@ def test_duplicated_runs_detects_planted_run(spark):
     assert _lcp(spark, toks) == py_lcp_adjacent(toks)
     # below-threshold: nothing at min_len=9
     assert duplicated_runs(df, min_len=9).count() == 0
+
+
+def py_duplicated_coverage(docs, min_len):
+    """docs: [(doc_id, text)] -> {doc_id: (n_tok, dup_tokens)}."""
+    ordered = sorted(
+        ((d, t.split()) for d, t in docs if t.split()),
+        key=lambda x: (hash60_py(f"{x[0]}:sfx"), x[0]),
+    )
+    toks, owner = [], []  # owner[i] = (doc_id, doc_pos)
+    for d, ts in ordered:
+        for i, t in enumerate(ts):
+            toks.append(t)
+            owner.append((d, i))
+    lcp = py_lcp_adjacent(toks)
+    ivals = {}
+    for _, (a, b, l) in lcp.items():
+        if l >= min_len:
+            for p in (a, b):
+                d, dp = owner[p]
+                ivals.setdefault(d, []).append((dp, dp + l))
+    out = {}
+    ntok = {d: len(ts) for d, ts in ordered}
+    for d, n in ntok.items():
+        acc, prev = 0, 0
+        for s, e in sorted(ivals.get(d, [])):
+            e = min(e, n)
+            acc += max(0, e - max(s, prev))
+            prev = max(prev, e)
+        out[d] = (n, acc)
+    return out
+
+
+def test_duplicated_coverage(spark):
+    from kg_microbe_merge_spark.operators.suffix import duplicated_coverage
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(60)]
+    shared = "copy of this exact boilerplate sentence run".split()
+    docs = [
+        ("a", " ".join([rng.choice(vocab) for _ in range(15)] + shared)),
+        ("b", " ".join(shared + [rng.choice(vocab) for _ in range(10)])),
+        ("c", " ".join(rng.choice(vocab) for _ in range(12))),
+        ("d", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["dup_tokens"], r["dup_frac"])
+        for r in duplicated_coverage(df, min_len=4).collect()
+    }
+    want = py_duplicated_coverage(docs, min_len=4)
+    assert set(got) == set(want)
+    for d, (n, dup) in want.items():
+        frac = math.floor(dup / n * 1e6 + 0.5) / 1e6 if n else 0.0
+        assert got[d] == (n, dup, frac), d
+    # the shared 7-token run is fully covered in both docs, absent in c
+    assert got["a"][1] == 7 and got["b"][1] == 7 and got["c"][1] == 0
