@@ -1403,6 +1403,37 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(e1.unionByName(e2).unionByName(e3))
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients
+    (operators/triangles.clustering_coefficients) over the same
+    supplier–nation–region graph as triangle_counts: degree partial-agg
+    + degree-oriented triangle counts + one left join; ratio pinned
+    with the micro protocol. Oracle re-derives degrees and the generic
+    a<b<c triangle enumeration relationally."""
+    from kg_microbe_merge_spark.operators.triangles import (
+        clustering_coefficients,
+    )
+
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    e1 = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("subject"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("object"),
+    )
+    e2 = supplier.select(
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("subject"),
+        F.concat(F.lit("N"), F.col("s_nationkey")).alias("object"),
+    )
+    e3 = (
+        supplier.join(nation, supplier["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("subject"),
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("object"),
+        )
+    )
+    return clustering_coefficients(e1.unionByName(e2).unionByName(e3))
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (2 assignment passes, k=4) over the embeddings
     table — deterministic hash60 init, all cross-engine floats rounded
@@ -2624,6 +2655,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks.
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "clustering_coeff": q_clustering_coeff,
         "dup_coverage": q_dup_coverage,
         "u1_endpoint_union": q_u1_endpoint_union,
         "sessionization": q_sessionization,
@@ -3060,6 +3092,44 @@ def _all_oracle_sql() -> dict[str, str]:
             UNION ALL SELECT w FROM tri)
         SELECT id, CAST(count(*) AS BIGINT) AS triangles
         FROM corners GROUP BY id
+    """
+
+    sql["clustering_coeff"] = """
+        WITH raw AS (
+            SELECT 'N' || n_nationkey AS s, 'R' || n_regionkey AS d
+            FROM nation
+            UNION ALL
+            SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'S' || s_suppkey, 'R' || n_regionkey
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        und AS (
+            SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+            FROM raw WHERE s <> d),
+        deg AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+            GROUP BY id),
+        tri AS (
+            SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        cnt AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+                SELECT u AS id FROM tri
+                UNION ALL SELECT v FROM tri
+                UNION ALL SELECT w FROM tri)
+            GROUP BY id)
+        SELECT deg.id, deg.degree,
+               coalesce(cnt.triangles, 0) AS triangles,
+               CASE WHEN deg.degree >= 2
+                    THEN cast(floor(2.0 * coalesce(cnt.triangles, 0)
+                                    / (deg.degree * (deg.degree - 1))
+                                    * 1000000.0 + 0.5) AS BIGINT)
+                         / 1000000.0
+                    ELSE 0.0 END AS coeff
+        FROM deg LEFT JOIN cnt ON deg.id = cnt.id
     """
 
     sql["bgp_two_hop"] = """

@@ -118,6 +118,7 @@ HEADLINE = [
     "exact_dup_runs",
     "zorder_values",
     "dup_coverage",
+    "clustering_coeff",
 ]
 
 

@@ -91,3 +91,55 @@ def triangle_counts(
     return corners.groupBy("id").agg(
         F.count("*").cast("long").alias("triangles")
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "subject", dst: str = "object"
+) -> DataFrame:
+    """Local clustering coefficient per node:
+    ``(id, degree, triangles, coeff)`` where
+    ``coeff = 2·triangles / (degree·(degree-1))`` on the undirected
+    simple graph (0.0 for degree < 2) — the standard motif-density
+    signal for over-merged entity clusters (a bad same-as fuse shows
+    up as a dense high-coefficient burst around the merged id).
+
+    Composite of the verified pieces: degrees come from one partial
+    aggregation over the deduped undirected edges, triangle counts
+    from the degree-oriented wedge join; one left join (triangle-free
+    nodes get 0). The ratio is pinned with the floor(x·1e6+0.5)
+    cross-engine protocol.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    tri = triangle_counts(edges, src, dst)
+    joined = deg.join(tri, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias(
+            "triangles"
+        ),
+    )
+    denom = F.col("degree") * (F.col("degree") - 1)
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.floor(
+            (F.lit(2.0) * F.col("triangles").cast("double"))
+            / denom.cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("bigint")
+        / F.lit(1000000.0),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("coeff", coeff)

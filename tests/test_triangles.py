@@ -48,3 +48,37 @@ def test_random_graph_matches_networkx(spark):
     assert got == want
     total = triangles(_edges(spark, pairs)).count()
     assert total == sum(want.values()) // 3
+
+
+def test_clustering_coefficients_networkx(spark):
+    import math
+    import random
+
+    import networkx as nx
+
+    from kg_microbe_merge_spark.operators.triangles import (
+        clustering_coefficients,
+    )
+
+    rng = random.Random(21)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    edges = list(
+        {
+            tuple(sorted((rng.choice(nodes), rng.choice(nodes))))
+            for _ in range(70)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "subject string, object string")
+    got = {
+        r["id"]: (r["degree"], r["triangles"], r["coeff"])
+        for r in clustering_coefficients(df).collect()
+    }
+    g = nx.Graph(edges)
+    nxc = nx.clustering(g)
+    nxt = nx.triangles(g)
+    assert set(got) == set(g.nodes)
+    for n in g.nodes:
+        dd, tt, cc = got[n]
+        assert dd == g.degree[n] and tt == nxt[n], n
+        assert cc == math.floor(nxc[n] * 1e6 + 0.5) / 1e6, n
