@@ -1144,6 +1144,57 @@ def q_bgp_filter_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-subset UNION (plans/bgp.py): alternative pattern groups
+    unioned by variable name (NULL for branch-unbound vars) and joined
+    back on the shared variable — per nation, rows from EITHER the
+    located_in branch (binds ?c) or the part-supplied branch (binds
+    ?s), rolled up so both branch cardinalities are hash-checked."""
+    from kg_microbe_merge_spark.plans.bgp import bgp_query
+
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    edges = (
+        customer.select(
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("subject"),
+            F.lit("located_in").alias("predicate"),
+            F.concat(F.lit("N"), F.col("c_nationkey")).alias("object"),
+        )
+        .unionByName(
+            supplier.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("subject"),
+                F.lit("based_in").alias("predicate"),
+                F.concat(F.lit("N"), F.col("s_nationkey")).alias("object"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("N"), F.col("n_nationkey")).alias("subject"),
+                F.lit("part_of").alias("predicate"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("object"),
+            )
+        )
+    )
+    m = bgp_query(
+        edges,
+        [("?n", "part_of", "?r")],
+        union=[
+            [("?c", "located_in", "?n")],
+            [("?s", "based_in", "?n")],
+        ],
+        select=["?r", "?n", "?c", "?s"],
+    )
+    return (
+        m.groupBy("r", "n")
+        .agg(
+            F.count("c").alias("n_customers"),
+            F.count("s").alias("n_suppliers"),
+        )
+        .orderBy("r", "n")
+    )
+
+
 def q_cypher_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cypher-subset passthrough (plans/cypher.py — the local analogue
     of the reference's kg-chat Neo4j backend, reference
@@ -2655,6 +2706,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks.
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "bgp_union": q_bgp_union,
         "clustering_coeff": q_clustering_coeff,
         "dup_coverage": q_dup_coverage,
         "u1_endpoint_union": q_u1_endpoint_union,
@@ -3092,6 +3144,21 @@ def _all_oracle_sql() -> dict[str, str]:
             UNION ALL SELECT w FROM tri)
         SELECT id, CAST(count(*) AS BIGINT) AS triangles
         FROM corners GROUP BY id
+    """
+
+    sql["bgp_union"] = """
+        WITH u AS (
+            SELECT 'N' || c_nationkey AS n, 'C' || c_custkey AS c,
+                   CAST(NULL AS VARCHAR) AS s
+            FROM customer
+            UNION ALL
+            SELECT 'N' || s_nationkey, NULL, 'S' || s_suppkey
+            FROM supplier)
+        SELECT 'R' || n_regionkey AS r, u.n,
+               CAST(count(u.c) AS BIGINT) AS n_customers,
+               CAST(count(u.s) AS BIGINT) AS n_suppliers
+        FROM nation JOIN u ON u.n = 'N' || n_nationkey
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
 
     sql["clustering_coeff"] = """

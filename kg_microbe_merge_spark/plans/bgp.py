@@ -98,6 +98,7 @@ def bgp_query(
     select: list[str] | None = None,
     filters: list[str] | None = None,
     optional: list[list[tuple[str, str, str]]] | None = None,
+    union: list[list[tuple[str, str, str]]] | None = None,
 ) -> DataFrame:
     """Evaluate a basic-graph-pattern query (SPARQL subset).
 
@@ -108,13 +109,28 @@ def bgp_query(
     groups (subset semantics: one top-level FILTER scope). ``optional``:
     pattern groups LEFT-joined on their shared variables — unmatched
     rows keep NULL bindings for variables bound only inside the
-    optional group, exactly SPARQL's OPTIONAL. Output columns are the
+    optional group, exactly SPARQL's OPTIONAL. ``union``: ALTERNATIVE
+    pattern groups — their solution sets are unioned by variable name
+    (bag semantics, variables unbound in a branch become NULL, exactly
+    SPARQL's ``{A} UNION {B}``) and the combined set joins the
+    mandatory patterns on shared variables. Output columns are the
     variable names without the ``?``.
     """
     if not patterns:
         raise ValueError("at least one triple pattern required")
     var_order: list[str] = []
     out = _compile_group(edges, patterns, var_order)
+    if union:
+        if len(union) < 2:
+            raise ValueError("UNION needs at least two alternative groups")
+        u: DataFrame | None = None
+        for group in union:
+            t = _compile_group(edges, group, var_order)
+            u = t if u is None else u.unionByName(
+                t, allowMissingColumns=True
+            )
+        shared = [c for c in u.columns if c in out.columns]
+        out = out.join(u, on=shared) if shared else out.crossJoin(u)
     for group in optional or []:
         t = _compile_group(edges, group, var_order)
         shared = [c for c in t.columns if c in out.columns]

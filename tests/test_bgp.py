@@ -114,3 +114,40 @@ def test_optional_requires_shared_variable(spark):
     g = _graph(spark)
     with pytest.raises(ValueError):
         bgp_query(g, [("?x", "knows", "?y")], optional=[[("?u", "likes", "?v")]])
+
+
+def test_union_branches(spark):
+    g = _graph(spark)
+    # ?x knows ?y, and additionally ?x (likes UNION knows) ?w
+    out = bgp_query(
+        g,
+        [("?x", "knows", "?y")],
+        union=[[("?x", "likes", "?w")], [("?w", "likes", "?x")]],
+    )
+    got = {(r["x"], r["y"], r["w"]) for r in out.collect()}
+    # branch 1: a likes c, b likes a; branch 2: x liked-by w
+    assert got == {
+        ("a", "b", "c"),   # a knows b, a likes c
+        ("b", "c", "a"),   # b knows c, b likes a
+        ("a", "b", "b"),   # a knows b, b likes a (branch 2)
+        ("c", "c", "a"),   # c knows c, a likes c (branch 2)
+    }
+
+
+def test_union_unbound_vars_are_null(spark):
+    g = _graph(spark)
+    # branches bind DIFFERENT variables: ?p only in branch 1, ?q only
+    # in branch 2 -> NULL in the other branch's rows (SPARQL UNION)
+    out = bgp_query(
+        g,
+        [("a", "knows", "?y")],
+        union=[[("?y", "knows", "?p")], [("?y", "likes", "?q")]],
+    )
+    got = {(r["y"], r["p"], r["q"]) for r in out.collect()}
+    assert got == {("b", "c", None), ("b", None, "a")}
+
+
+def test_union_requires_two_groups(spark):
+    g = _graph(spark)
+    with pytest.raises(ValueError):
+        bgp_query(g, [("?x", "knows", "?y")], union=[[("?x", "likes", "?w")]])
