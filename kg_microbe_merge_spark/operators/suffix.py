@@ -318,6 +318,24 @@ def duplicated_runs(
     )
 
 
+def longest_repeated_substring(
+    tokens: DataFrame,
+    pos_col: str = "pos",
+    token_col: str = "token",
+) -> DataFrame:
+    """One row ``(pos, prev_pos, lcp)`` — the longest token run
+    occurring at least twice in the sequence (max over the LCP array;
+    deterministic tie-break by rank order). Empty for sequences with
+    no repeat."""
+    lcp = lcp_adjacent(tokens, pos_col, token_col)
+    return (
+        lcp.filter(F.col("lcp") >= 1)
+        .orderBy(F.col("lcp").desc(), F.col("rank"))
+        .limit(1)
+        .select("pos", "prev_pos", "lcp")
+    )
+
+
 def duplicated_coverage(
     docs: DataFrame,
     min_len: int,

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.extract import with_extracted_text
+from ..functions.gopher import gopher_filter
 from ..functions.text import quality_score
 from ..operators.chunking import chunk_documents
 from .ingest import read_corpus_stream
@@ -34,16 +35,22 @@ def curated_chunk_stream(
     stride: int = 96,
     min_quality: float = 0.5,
     lang: str = "en",
+    gopher: bool = False,
 ) -> DataFrame:
     """corpus stream → (url, chunk_idx, chunk_text, n_tok) stream.
 
     Works identically on a batch DataFrame (one definition, two
     execution modes — the module convention, streaming/ingest.py).
-    """
+    ``gopher=True`` adds the Gopher rule battery
+    (functions/gopher.py) as a second quality tier after the composite
+    score — still a stateless row-local map, so the streaming plan
+    stays state-store-free."""
     extracted = with_extracted_text(corpus_stream).select("url", "text", "lang")
     good = extracted.filter(
         (F.col("lang") == lang) & (quality_score(F.col("text")) >= min_quality)
     )
+    if gopher:
+        good = gopher_filter(good, text_col="text", id_col="url")
     return chunk_documents(
         good, window=window, stride=stride, text_col="text", id_col="url"
     )
@@ -58,6 +65,7 @@ def run_curation_stream(
     stride: int = 96,
     min_quality: float = 0.5,
     available_now: bool = True,
+    gopher: bool = False,
 ):
     """Launch the crawl→chunks feed writing parquet with exactly-once
     file-sink semantics. ``available_now=True`` drains what is currently
@@ -68,6 +76,7 @@ def run_curation_stream(
         window=window,
         stride=stride,
         min_quality=min_quality,
+        gopher=gopher,
     )
     writer = (
         stream.writeStream.format("parquet")

@@ -74,3 +74,24 @@ def test_curation_quality_gate_filters(spark):
     out = chunk_documents(good, window=4, stride=4, text_col="text", id_col="url")
     urls = {r["url"] for r in out.collect()}
     assert "u1" in urls and "u2" not in urls and "u4" not in urls
+
+
+def test_gopher_tier_stream_matches_batch(spark, tmp_path):
+    corpus_dir = str(tmp_path / "corpus_g")
+    out_dir = str(tmp_path / "chunks_g")
+    ckpt = str(tmp_path / "ckpt_g")
+    generate_corpus(spark, N, seed=5).write.parquet(corpus_dir)
+    q = run_curation_stream(
+        spark, corpus_dir, out_dir, ckpt, gopher=True, **PARAMS
+    )
+    q.awaitTermination(120)
+    got = _rows(spark.read.parquet(out_dir))
+    want = _rows(
+        curated_chunk_stream(
+            spark.read.parquet(corpus_dir), gopher=True, **PARAMS
+        )
+    )
+    assert got == want and len(got) > 0
+    # the extra tier only ever removes documents
+    loose = _rows(curated_chunk_stream(spark.read.parquet(corpus_dir), **PARAMS))
+    assert set(u for u, *_ in got) <= set(u for u, *_ in loose)

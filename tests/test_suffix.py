@@ -231,3 +231,20 @@ def test_duplicated_coverage(spark):
         assert got[d] == (n, dup, frac), d
     # the shared 7-token run is fully covered in both docs, absent in c
     assert got["a"][1] == 7 and got["b"][1] == 7 and got["c"][1] == 0
+
+
+def test_longest_repeated_substring(spark):
+    from kg_microbe_merge_spark.operators.suffix import (
+        longest_repeated_substring,
+    )
+
+    toks = ["x", "a", "b", "c", "y", "a", "b", "c", "z"]
+    df = spark.createDataFrame(list(enumerate(toks)), "pos long, token string")
+    rows = longest_repeated_substring(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["lcp"] == 3 and {rows[0]["pos"], rows[0]["prev_pos"]} == {1, 5}
+    # no repeats at all -> empty
+    uniq = spark.createDataFrame(
+        list(enumerate(["a", "b", "c"])), "pos long, token string"
+    )
+    assert longest_repeated_substring(uniq).count() == 0
