@@ -1144,6 +1144,33 @@ def q_bgp_filter_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-overlap link prediction (operators/linkpred.py):
+    common-neighbors / Adamic-Adar / Jaccard for non-adjacent 2-hop
+    pairs of the customer–order–nation graph. The wedge join through
+    shared neighbors is the triangle-join shape; Adamic-Adar terms
+    cross the shuffle as exact micro-integers so per-pair sums are
+    order-independent and the oracle matches bit-for-bit."""
+    from kg_microbe_merge_spark.operators.linkpred import (
+        link_prediction_scores,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    edges = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("subject"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("object"),
+    ).unionByName(
+        customer.select(
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("subject"),
+            F.concat(F.lit("N"), F.col("c_nationkey")).alias("object"),
+        )
+    )
+    return link_prediction_scores(
+        edges, max_center_degree=100, min_common=1
+    )
+
+
 def q_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-subset UNION (plans/bgp.py): alternative pattern groups
     unioned by variable name (NULL for branch-unbound vars) and joined
@@ -2706,6 +2733,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks.
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "link_prediction": q_link_prediction,
         "bgp_union": q_bgp_union,
         "clustering_coeff": q_clustering_coeff,
         "dup_coverage": q_dup_coverage,
@@ -3144,6 +3172,47 @@ def _all_oracle_sql() -> dict[str, str]:
             UNION ALL SELECT w FROM tri)
         SELECT id, CAST(count(*) AS BIGINT) AS triangles
         FROM corners GROUP BY id
+    """
+
+    sql["link_prediction"] = """
+        WITH raw AS (
+            SELECT 'C' || o_custkey AS s, 'O' || o_orderkey AS d FROM orders
+            UNION ALL
+            SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer),
+        und AS (
+            SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+            FROM raw WHERE s <> d),
+        nbr AS (
+            SELECT a AS z, b AS x FROM und
+            UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM nbr GROUP BY z),
+        cent AS (
+            SELECT nbr.z, nbr.x, deg.deg,
+                   CASE WHEN deg.deg >= 2
+                        THEN CAST(floor(1000000.0 / ln(deg.deg) + 0.5)
+                                  AS BIGINT)
+                        ELSE 0 END AS aa_micro
+            FROM nbr JOIN deg ON nbr.z = deg.z
+            WHERE deg.deg <= 100),
+        p AS (
+            SELECT l.x AS node_a, r.x AS node_b,
+                   CAST(count(*) AS BIGINT) AS common,
+                   sum(l.aa_micro) AS aa_sum
+            FROM cent l JOIN cent r ON l.z = r.z AND l.x < r.x
+            GROUP BY 1, 2
+            HAVING count(*) >= 1),
+        np AS (
+            SELECT p.* FROM p
+            ANTI JOIN und ON p.node_a = und.a AND p.node_b = und.b)
+        SELECT np.node_a, np.node_b, np.common,
+               cast(np.aa_sum AS DOUBLE) / 1000000.0 AS adamic_adar,
+               CAST(floor(cast(np.common AS DOUBLE)
+                          / (da.deg + db.deg - np.common)
+                          * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+                   AS jaccard
+        FROM np
+        JOIN deg da ON np.node_a = da.z
+        JOIN deg db ON np.node_b = db.z
     """
 
     sql["bgp_union"] = """
