@@ -1171,6 +1171,32 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal
+    (operators/dedup.remove_boilerplate_lines): lines whose trimmed text
+    appears in >= 2 distinct documents are cut and the text rebuilt.
+    The documents table is single-line, so the gate first rewrites each
+    doc as 8-token lines (deterministic in both engines) — near-dup
+    docs then share whole lines, which is exactly the boilerplate
+    shape. Shuffle key is the 60-bit line hash; rebuild is a row-local
+    indexed-filter HOF."""
+    from kg_microbe_merge_spark.operators.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = docs.select("doc_id", F.split(F.col("text"), " ").alias("_t"))
+    nl = F.ceil(F.size("_t") / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(F.col("_t"), i * F.lit(8) + F.lit(1), F.lit(8)), " "
+        ),
+    )
+    docs2 = s1.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return remove_boilerplate_lines(docs2, min_df=2, min_line_chars=5)
+
+
 def q_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-subset UNION (plans/bgp.py): alternative pattern groups
     unioned by variable name (NULL for branch-unbound vars) and joined
@@ -2734,6 +2760,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "link_prediction": q_link_prediction,
+        "line_dedup": q_line_dedup,
         "bgp_union": q_bgp_union,
         "clustering_coeff": q_clustering_coeff,
         "dup_coverage": q_dup_coverage,
@@ -3213,6 +3240,43 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM np
         JOIN deg da ON np.node_a = da.z
         JOIN deg db ON np.node_b = db.z
+    """
+
+    sql["line_dedup"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        docs2 AS (
+            SELECT doc_id, array_to_string(
+                [array_to_string(t[i*8+1 : i*8+8], ' ')
+                 FOR i IN range(CAST(ceil(len(t)/8.0) AS BIGINT))],
+                chr(10)) AS text
+            FROM toks),
+        l AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   unnest(range(len(string_split(text, chr(10))))) AS pos
+            FROM docs2),
+        elig AS (
+            SELECT doc_id, pos, {_h60('trim(line)')} AS h
+            FROM l WHERE length(trim(line)) >= 5),
+        fl AS (
+            SELECT h FROM (
+                SELECT h, count(DISTINCT doc_id) AS dfreq
+                FROM elig GROUP BY h)
+            WHERE dfreq >= 2),
+        fpos AS (
+            SELECT doc_id, list_sort(list(pos)) AS fl
+            FROM elig SEMI JOIN fl ON elig.h = fl.h GROUP BY doc_id)
+        SELECT d.doc_id,
+               array_to_string(
+                   list_filter(string_split(d.text, chr(10)),
+                       (x, i) -> NOT coalesce(
+                           list_contains(f.fl, i - 1), FALSE)),
+                   chr(10)) AS clean_text,
+               CAST(len(string_split(d.text, chr(10))) AS BIGINT)
+                   AS n_lines,
+               CAST(coalesce(len(f.fl), 0) AS BIGINT) AS n_removed
+        FROM docs2 d LEFT JOIN fpos f ON d.doc_id = f.doc_id
     """
 
     sql["bgp_union"] = """

@@ -765,3 +765,84 @@ def remove_duplicated_spans_to_fixpoint(
         F.col("n_tokens"),
         (F.col("n_tokens") - F.col("_kept")).cast("long").alias("n_removed"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_df: int = 2,
+    min_line_chars: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet / RefinedWeb curation
+    stage): delete every LINE whose trimmed text occurs in ≥ ``min_df``
+    DISTINCT documents — navigation bars, cookie banners, footers — and
+    return the rebuilt text. The line-granular sibling of
+    :func:`remove_duplicated_spans` (token-window granularity): web
+    boilerplate repeats as whole rendered lines, so line keys catch it
+    without the alignment sensitivity of fixed token windows.
+
+    Lines are ``\\n`` splits; a line participates in frequency analysis
+    only when its trimmed form has ≥ ``min_line_chars`` characters
+    (short/empty lines are document structure — never counted, never
+    removed). Kept lines are emitted VERBATIM (original whitespace),
+    re-joined by ``\\n``.
+
+    Returns ``(doc_id, clean_text STRING, n_lines BIGINT,
+    n_removed BIGINT)``.
+
+    100 TB shape: line production is row-local (split + posexplode);
+    the shuffle key is the 60-bit line hash (never line text) — document
+    frequency partial-aggregates over DISTINCT (hash, doc) pairs; the
+    flagged-hash set (boilerplate is a tiny fraction of distinct lines)
+    semi-join-prunes the positional postings and AQE broadcasts it when
+    small; flagged positions collapse to ONE int array per affected
+    document and the rebuild is a row-local indexed-filter HOF over the
+    re-split original text — line arrays never shuffle, only (doc_id,
+    positions). Hash semantics (md5-derived, :mod:`..functions.hashing`)
+    are part of the spec so the DuckDB oracle verifies value-for-value.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_line"),
+    )
+    elig = lines.filter(
+        F.length(F.trim(F.col("_line"))) >= min_line_chars
+    ).select("doc_id", "pos", hash60(F.trim(F.col("_line"))).alias("_h"))
+    freq = (
+        elig.select("_h", "doc_id")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count("*").alias("_df"))
+    )
+    flagged_h = freq.filter(F.col("_df") >= min_df).select("_h")
+    flagged = (
+        elig.join(flagged_h, "_h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("_fl"))
+    )
+    joined = df.join(
+        flagged, df[id_col] == flagged["doc_id"], "left"
+    ).select(
+        df[id_col].alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.coalesce(
+            F.col("_fl"), F.expr("CAST(array() AS ARRAY<INT>)")
+        ).alias("_fl"),
+    )
+    # staged projection (the remove_duplicated_spans barrier pattern):
+    # materialize the line array once, then filter it by index
+    s1 = joined.select(
+        "doc_id", F.split(F.col("_text"), "\n").alias("_l"), "_fl"
+    )
+    p = F.col("_fl")
+    kept = F.filter(
+        F.col("_l"), lambda ln, i: ~F.exists(p, lambda q: q == i)
+    )
+    s2 = s1.select("doc_id", "_l", "_fl", kept.alias("_kept"))
+    return s2.select(
+        "doc_id",
+        F.array_join(F.col("_kept"), "\n").alias("clean_text"),
+        F.size("_l").cast("long").alias("n_lines"),
+        F.size("_fl").cast("long").alias("n_removed"),
+    )
