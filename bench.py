@@ -119,6 +119,8 @@ HEADLINE = [
     "zorder_values",
     "dup_coverage",
     "clustering_coeff",
+    "link_prediction",
+    "line_dedup",
 ]
 
 
