@@ -493,6 +493,56 @@ def _pagerank_sql(iterations: int, damping: float) -> str:
     )
 
 
+def _hits_sql(iterations: int) -> str:
+    """DuckDB twin of q_hits_kg: the max-normalized HITS recurrence
+    unrolled as chained half-step CTEs over the deduped customer/order
+    graph. ``max`` is summation-order independent, so the only float
+    reconciliation needed is the final round(,6) (the _pagerank_sql
+    convention). Every CTE is MATERIALIZED: DuckDB otherwise inlines
+    the chained half-steps, re-evaluating the parquet scan per
+    reference (exponential file handles at 8 half-steps)."""
+    ctes = [
+        """
+        e AS MATERIALIZED (
+            SELECT 'C' || o_custkey AS src, 'O' || o_orderkey AS dst
+            FROM orders
+            UNION
+            SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer),
+        nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS MATERIALIZED (SELECT node, cast(1.0 AS DOUBLE) AS s FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""
+        a{i}raw AS MATERIALIZED (
+            SELECT n.node, coalesce(t.c, 0.0) AS s
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(h.s) AS c
+                FROM e JOIN h{i - 1} h ON e.src = h.node
+                GROUP BY e.dst) t ON n.node = t.node),
+        a{i} AS MATERIALIZED (
+            SELECT node, CASE WHEN (SELECT max(s) FROM a{i}raw) > 0
+                 THEN s / (SELECT max(s) FROM a{i}raw)
+                 ELSE 0.0 END AS s FROM a{i}raw),
+        h{i}raw AS MATERIALIZED (
+            SELECT n.node, coalesce(t.c, 0.0) AS s
+            FROM nodes n LEFT JOIN (
+                SELECT e.src AS node, sum(a.s) AS c
+                FROM e JOIN a{i} a ON e.dst = a.node
+                GROUP BY e.src) t ON n.node = t.node),
+        h{i} AS MATERIALIZED (
+            SELECT node, CASE WHEN (SELECT max(s) FROM h{i}raw) > 0
+                 THEN s / (SELECT max(s) FROM h{i}raw)
+                 ELSE 0.0 END AS s FROM h{i}raw)""")
+    n = iterations
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+        SELECT h.node, round(h.s, 6) AS hub, round(a.s, 6) AS authority
+        FROM h{n} h JOIN a{n} a ON h.node = a.node"""
+    )
+
+
 # DuckDB twin of operators.merge.pipe_agg (NULL-skipping sorted-distinct
 # pipe join; NULL when the group has no non-null values).
 def _labelprop_sql(iterations: int) -> str:
@@ -1169,6 +1219,28 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_scores(
         edges, max_center_degree=100, min_common=1
     )
+
+
+def q_hits_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/hits.py): 4 max-normalized
+    power-iteration rounds over the customer→order / customer→nation
+    KG — customers are pure hubs, orders/nations pure authorities.
+    DuckDB twin unrolls the identical recurrence (8 chained half-step
+    CTEs); max-normalization is summation-order independent, so only
+    the final round(6) does float reconciliation."""
+    from kg_microbe_merge_spark.operators.hits import hits
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    e1 = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("dst"),
+    )
+    e2 = customer.select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    return hits(e1.unionByName(e2), iterations=4)
 
 
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2761,6 +2833,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "link_prediction": q_link_prediction,
         "line_dedup": q_line_dedup,
+        "hits_kg": q_hits_kg,
         "bgp_union": q_bgp_union,
         "clustering_coeff": q_clustering_coeff,
         "dup_coverage": q_dup_coverage,
@@ -3241,6 +3314,8 @@ def _all_oracle_sql() -> dict[str, str]:
         JOIN deg da ON np.node_a = da.z
         JOIN deg db ON np.node_b = db.z
     """
+
+    sql["hits_kg"] = _hits_sql(iterations=4)
 
     sql["line_dedup"] = f"""
         WITH toks AS (
