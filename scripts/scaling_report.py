@@ -45,8 +45,10 @@ def _windows_section(windows: list[dict]) -> str:
         walls = ", ".join(
             f"[{c}]={lv['wall_sec']}s" for c, lv in w.get("levels", {}).items()
         )
+        nd = w.get("n_docs", "—")
         win_rows.append(
-            f"| {i + 1} | {w.get('measured_at', '—')} | {cells} | {walls} |"
+            f"| {i + 1} | {w.get('measured_at', '—')} | {nd} | {cells} "
+            f"| {walls} |"
         )
     win_hdr = " | ".join(f"{k} eff" for k in all_pair_keys)
     range_rows = []
@@ -74,10 +76,14 @@ def _windows_section(windows: list[dict]) -> str:
 The pair efficiencies swing with sandbox co-tenancy that core pinning
 and canary rejection cannot fully control (shared memory bandwidth —
 the canary is pure-JVM compute and does not bound the Arrow→Python
-feed). Every archived window (`BENCH/scaling_windows.jsonl`):
+feed). Every archived window (`BENCH/scaling_windows.jsonl`); the
+`docs` column is the corpus size — short small-corpus windows
+under-measure top-pair scaling because their 32-core wall approaches
+the fixed per-job cost floor (compare the [32] wall against the ~4 s
+JVM control), so same-size windows are the comparable population:
 
-| window | measured | {win_hdr} | level walls |
-|{"---|" * (3 + len(all_pair_keys))}
+| window | measured | docs | {win_hdr} | level walls |
+|{"---|" * (4 + len(all_pair_keys))}
 {nl.join(win_rows)}
 
 Per-pair range over all windows (raw and control-normalized):
