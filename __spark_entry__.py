@@ -2529,13 +2529,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-gated registry, capped at 50 entries (the driver truncates
-    there). Ordered least-proven-first: the five queries that missed a
-    round-2 driver verdict lead; redundant variants live in
-    :func:`extra_queries` (still fully oracle-checked locally)."""
+    there). Ordered least-proven-first: the newest round-3 operators
+    lead; rotated-out entries (r2-driver-green, code unchanged since)
+    live in :func:`extra_queries` (still fully oracle-checked locally
+    by scripts/check_correctness.py and pytest)."""
     return {
         # least-proven first so they always get a verdict: the newest
         # round-3 operators, then the five the round-2 driver gate
         # truncated before reaching
+        "link_prediction": q_link_prediction,
+        "line_dedup": q_line_dedup,
+        "hits_kg": q_hits_kg,
         "zorder_values": q_zorder_values,
         "exact_dup_runs": q_exact_dup_runs,
         "suffix_ranks": q_suffix_ranks,
@@ -2577,13 +2581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_priority_dedup": q_w1_priority_dedup,
         "j2_coverage_anti": q_j2_coverage_anti,
         "q1_pricing_summary": q_q1_pricing_summary,
-        "asof_enrich": q_asof_enrich,
         "s2_union_align": q_s2_union_align,
         "bgp_filter_optional": q_bgp_filter_optional,
-        "graph_stats_report": q_graph_stats,
         "cc_components": q_cc_components,
         "triples_extract": q_triples_extract,
-        "text_quality": q_text_quality,
         "pivot_events": q_pivot_events,
         "deterministic_sample": q_deterministic_sample,
     }
@@ -2831,9 +2832,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks.
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
-        "link_prediction": q_link_prediction,
-        "line_dedup": q_line_dedup,
-        "hits_kg": q_hits_kg,
+        "asof_enrich": q_asof_enrich,
+        "graph_stats_report": q_graph_stats,
+        "text_quality": q_text_quality,
         "bgp_union": q_bgp_union,
         "clustering_coeff": q_clustering_coeff,
         "dup_coverage": q_dup_coverage,

@@ -121,6 +121,7 @@ HEADLINE = [
     "clustering_coeff",
     "link_prediction",
     "line_dedup",
+    "hits_kg",
 ]
 
 

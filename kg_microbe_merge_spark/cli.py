@@ -8,6 +8,7 @@ pipeline, QC coverage checks, ad-hoc SQL.
     python -m kg_microbe_merge_spark coverage --nodes merged_nodes.tsv \\
         --edges merged_edges.tsv --output missing.tsv
     python -m kg_microbe_merge_spark sql --kg-dir out/ "SELECT count(*) FROM nodes"
+    python -m kg_microbe_merge_spark export-rdf --kg-dir out/ --output out/kg_nt
 
 The reference's SPARQL federation command (query.py) and the declared-
 but-unimplemented ML holdout split (run.py:273 raises NotImplementedError)
@@ -179,6 +180,31 @@ def _cmd_cypher(args: argparse.Namespace) -> None:
     cypher_query(nodes, edges, args.query).show(args.limit, truncate=False)
 
 
+def _cmd_export_rdf(args: argparse.Namespace) -> None:
+    """Export a merged KG as RDF N-Triples (sources/rdf.py) — the
+    interchange format of the SPARQL world the reference queries
+    (reference query.py:9-23)."""
+    from .sources.kgx import read_kgx_tsv
+    from .sources.rdf import (
+        edges_to_ntriples,
+        nodes_to_ntriples,
+        write_ntriples,
+    )
+
+    spark = get_spark(app_name="kg-export-rdf")
+    nodes_tsv = os.path.join(args.kg_dir, "merged_kg_nodes.tsv")
+    edges_tsv = os.path.join(args.kg_dir, "merged_kg_edges_full.tsv")
+    if not os.path.exists(edges_tsv):
+        edges_tsv = os.path.join(args.kg_dir, "merged_kg_edges.tsv")
+    triples = edges_to_ntriples(
+        read_kgx_tsv(spark, [edges_tsv]), args.base
+    ).unionByName(
+        nodes_to_ntriples(read_kgx_tsv(spark, [nodes_tsv]), args.base)
+    )
+    write_ntriples(triples, args.output, single_file=args.single_file)
+    print(f"wrote N-Triples to {args.output}")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="kg_microbe_merge_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -229,6 +255,15 @@ def main(argv: list[str] | None = None) -> None:
                          "merged_kg_edges[_full].tsv")
     cy.add_argument("--limit", type=int, default=50)
     cy.set_defaults(fn=_cmd_cypher)
+
+    rdf = sub.add_parser(
+        "export-rdf", help="export a merged KG as RDF N-Triples"
+    )
+    rdf.add_argument("--kg-dir", required=True)
+    rdf.add_argument("--output", required=True)
+    rdf.add_argument("--base", default="https://kg.example/")
+    rdf.add_argument("--single-file", action="store_true")
+    rdf.set_defaults(fn=_cmd_export_rdf)
 
     s = sub.add_parser("sql", help="ad-hoc SQL over a merged KG")
     s.add_argument("query")

@@ -309,3 +309,25 @@ def test_priority_dedup_over_labeled_sources(spark, tmp_path):
     win = priority_dedup(df, keys=["id"], base_table="base", tiebreak_cols=["name"])
     got = {r["id"]: r["name"] for r in win.collect()}
     assert got == {"X:1": "base-name", "X:9": "only-sub"}
+
+
+def test_cli_export_rdf(spark, tmp_path):
+    from kg_microbe_merge_spark.cli import main
+    from kg_microbe_merge_spark.sources.rdf import RDF_TYPE, RDFS_LABEL, read_ntriples
+
+    base = _make_transform_dir(tmp_path)
+    out = str(tmp_path / "merged")
+    main(["merge", "--transform-dir", base, "--output", out,
+          "--single-file"])
+    nt = str(tmp_path / "kg_nt")
+    main(["export-rdf", "--kg-dir", out, "--output", nt, "--single-file"])
+    back = read_ntriples(spark, nt)
+    rows = {
+        (r["subject"], r["predicate"], r["object"]) for r in back.collect()
+    }
+    b = "https://kg.example/"
+    # edge triple survives, priority name exported as rdfs:label,
+    # pipe-joined category exported as rdf:type IRI
+    assert (f"{b}X:1", f"{b}biolink:related_to", f"{b}X:2") in rows
+    assert (f"{b}X:1", RDFS_LABEL, "name-priority") in rows
+    assert any(s == f"{b}X:1" and p == RDF_TYPE for s, p, _ in rows)
