@@ -451,3 +451,53 @@ def run_sketch_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    base_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    keep_versions: int = 1,
+) -> dict:
+    """Small-file compaction — the Iceberg ``rewrite_data_files``
+    maintenance action for the version store: every incremental fold
+    writes one part file per shuffle partition, so a long-running
+    maintenance stream accumulates thousands of KB-sized files and
+    scan planning (file listing, footer reads, task scheduling)
+    eventually dominates the read path. Compaction republishes the
+    CURRENT snapshot as ``ceil(on_disk_bytes / target_file_bytes)``
+    files through the same crash-safe version flip the folds use —
+    readers never see a half-compacted snapshot, retention follows
+    ``keep_versions`` exactly as fold publishes do, and a crash
+    mid-compaction leaves CURRENT on the uncompacted version.
+
+    Sizing uses the snapshot's ACTUAL on-disk parquet bytes (one
+    driver-side directory walk — O(files), no data scan), not an
+    in-memory estimate: compressed+encoded size is what the next
+    version's files will weigh. The rewrite itself is one
+    ``repartition`` round-robin exchange — no keys, no skew.
+
+    Returns ``{files_before, files_after, bytes, partitions}``.
+    """
+    cur = _current_version(base_dir)
+    if cur is None:
+        raise ValueError(f"no published snapshot under {base_dir}")
+    sizes = [
+        os.path.getsize(os.path.join(cur, f))
+        for f in os.listdir(cur)
+        if f.endswith(".parquet")
+    ]
+    total = sum(sizes)
+    n = max(1, -(-total // target_file_bytes))
+    df = read_snapshot(spark, base_dir)
+    _publish(df.repartition(int(n)), base_dir, keep_versions=keep_versions)
+    new_cur = _current_version(base_dir)
+    files_after = sum(
+        1 for f in os.listdir(new_cur) if f.endswith(".parquet")
+    )
+    return {
+        "files_before": len(sizes),
+        "files_after": files_after,
+        "bytes": total,
+        "partitions": int(n),
+    }

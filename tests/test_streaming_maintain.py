@@ -286,3 +286,58 @@ def test_time_travel_retention_and_audit(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, snap_dir, version=0)
+
+
+def test_compact_snapshot_reduces_files_preserves_rows(spark, tmp_path):
+    from kg_microbe_merge_spark.streaming.maintain import (
+        _publish,
+        compact_snapshot,
+        list_versions,
+        read_snapshot,
+    )
+
+    base = str(tmp_path / "snap")
+    rows = [Row(id=f"X:{i}", name=f"n{i}") for i in range(200)]
+    # publish deliberately fragmented: 16 part files for a tiny table
+    _publish(spark.createDataFrame(rows).repartition(16), base)
+    # materialize pre-compaction rows NOW: compaction GCs v0 under the
+    # lazy DataFrame (keep_versions=1), exactly the reader hazard the
+    # version flip protects *new* readers from
+    before_rows = sorted(map(tuple, read_snapshot(spark, base).collect()))
+    n_files_before = sum(
+        1
+        for f in os.listdir(os.path.join(base, "v0"))
+        if f.endswith(".parquet")
+    )
+    assert n_files_before == 16
+
+    stats = compact_snapshot(spark, base, target_file_bytes=10**9)
+    assert stats["files_before"] == 16
+    assert stats["partitions"] == 1 and stats["files_after"] == 1
+    assert stats["bytes"] > 0
+
+    after = read_snapshot(spark, base)
+    assert sorted(map(tuple, after.collect())) == before_rows
+    # compaction is a publish: version advanced, old one GC'd (default
+    # keep_versions=1)
+    assert list_versions(base) == [1]
+
+
+def test_compact_snapshot_respects_target_and_retention(spark, tmp_path):
+    from kg_microbe_merge_spark.streaming.maintain import (
+        _publish,
+        compact_snapshot,
+        list_versions,
+    )
+
+    base = str(tmp_path / "snap2")
+    rows = [Row(id=f"X:{i}", name="y" * 500) for i in range(400)]
+    _publish(spark.createDataFrame(rows).repartition(8), base)
+    # tiny target -> several output files; keep_versions=2 retains the
+    # uncompacted version for time travel
+    stats = compact_snapshot(
+        spark, base, target_file_bytes=8 * 1024, keep_versions=2
+    )
+    assert stats["partitions"] >= 2
+    assert stats["files_after"] == stats["partitions"]
+    assert list_versions(base) == [0, 1]
