@@ -219,6 +219,48 @@ def minhash_signatures(
     )
 
 
+def band_struct_array(
+    num_hashes: int, bands: int, sig_col: str = "sig"
+) -> Column:
+    """``array<struct<band:int, bucket:long>>`` LSH banding of a MinHash
+    signature column — band ``i`` buckets on the :func:`hash60` of its
+    ``r = num_hashes/bands`` comma-joined slots. Shared between the
+    batch pair generator (:func:`minhash_lsh_pairs`) and the
+    incremental index fold (``streaming/dedup_index.py``) so both sides
+    of an index probe band identically."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                hash60(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig_col, bnd * r + j + 1)
+                            for j in range(r)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for bnd in range(bands)
+        ]
+    )
+
+
+def sig_est_jaccard(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    """Signature-estimated Jaccard: fraction of matching MinHash slots,
+    rounded to the 6-decimal gate convention."""
+    return F.round(
+        F.size(
+            F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m)
+        )
+        / F.lit(float(num_hashes)),
+        6,
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.7,
@@ -236,30 +278,11 @@ def minhash_lsh_pairs(
     threshold. Output: (doc_a, doc_b, est_jaccard).
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
     banded = sig.select(
         "doc_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band"),
-                        hash60(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", bnd * r + j + 1)
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bnd in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(band_struct_array(num_hashes, bands)).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.select(
         "band", "bucket", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
@@ -267,12 +290,6 @@ def minhash_lsh_pairs(
     b = banded.select(
         "band", "bucket", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
     )
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda m: m,
-        )
-    ) / F.lit(float(num_hashes))
     # estimate + threshold-filter BEFORE the candidate dedup: the
     # estimate is deterministic per pair, so distinct on (ids, score)
     # equals distinct on ids — and the dedup exchange carries 2 ids + 1
@@ -282,7 +299,10 @@ def minhash_lsh_pairs(
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("est_jaccard", F.round(est, 6))
+        .withColumn(
+            "est_jaccard",
+            sig_est_jaccard(F.col("sig_a"), F.col("sig_b"), num_hashes),
+        )
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
         .distinct()
