@@ -86,6 +86,13 @@ from kg_microbe_merge_spark.functions.urls import (
     registered_domain,
     url_host,
 )
+from kg_microbe_merge_spark.operators.bm25 import bm25_topk
+from kg_microbe_merge_spark.operators.pq import (
+    pq_encode,
+    pq_topk,
+    pq_topk_sql,
+    train_pq_codebooks,
+)
 from kg_microbe_merge_spark.operators.tfidf import tfidf_topk
 from kg_microbe_merge_spark.operators.ngram_lm import bigram_lm_scores
 from kg_microbe_merge_spark.operators.projection import (
@@ -1916,6 +1923,31 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py): per-subspace Lloyd
+    training (one job per round for ALL subspaces, O(partitions·k·dim)
+    shuffle), zero-shuffle encode to m codes, and ADC top-10 for row 0's
+    vector via a driver-inlined m×k lookup table. The oracle
+    (module-generated, the sketches convention) RETRAINS the codebooks
+    itself — a match verifies train + encode + search end to end."""
+    e = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(e, m=4, k=4, iterations=2, dim=64)
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow[0]]
+    return pq_topk(pq_encode(e, books), query, books, k=10)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/bm25.py): two scans, zero
+    joins — pass 1 one partial aggregation for the exact integer corpus
+    stats (N, Σdl, per-term df via row-local array_contains), pass 2
+    row-local scoring with the stats inlined as literals and a bounded
+    TakeOrderedAndProject top-k; floor-micro float protocol, ln on
+    identical exact-integer-derived doubles in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["vector", "hash", "merge"], k=10)
+
+
 def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG snapshot diff (operators/diff.py): ONE full-outer join on the
     key, row-local null-safe column compare, unchanged rows dropped
@@ -2830,8 +2862,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     substring_dedup_cut (all sharing the same shingle machinery), and
     the operator keeps its full oracle here plus test_dedup value
     checks.
+    New round-3 operators queued for the round-4 gate rotation (full
+    oracles + pytest now): bm25_topk (BM25 keyword retrieval,
+    operators/bm25.py — the lexical-ranking complement of the gated
+    tfidf_topk and the vector top-k family) and pq_adc_topk (product
+    quantization train/encode/ADC-search, operators/pq.py — the m-code
+    compression rung above the gated sq8_adc_topk; oracle retrains the
+    codebooks itself via the module-generated CTE chain).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "bm25_topk": q_bm25_topk,
+        "pq_adc_topk": q_pq_adc_topk,
         "asof_enrich": q_asof_enrich,
         "graph_stats_report": q_graph_stats,
         "text_quality": q_text_quality,
@@ -4615,6 +4656,62 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT doc_id, term, tf, df, weight, cast(rank AS INTEGER) AS rank
         FROM r WHERE rank <= 3
     """
+
+    # BM25 retrieval (operators/bm25.py): the expression tree mirrors
+    # the operator token-for-token — exact integer stats (N, Σdl, df),
+    # engine-side ln on identical doubles, left-associated per-term sum,
+    # floor-micro score. Terms/k/k1/b match q_bm25_topk.
+    _bm25_terms = ["vector", "hash", "merge"]
+    _bm25_tf = ",\n".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(_bm25_terms)
+    )
+    _bm25_df = ",\n".join(
+        f"CAST(sum(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS df{i}"
+        for i, t in enumerate(_bm25_terms)
+    )
+    _bm25_score = "0.0" + "".join(
+        f""" + ln(1.0 + (CAST(s.n - s.df{i} AS DOUBLE) + 0.5)
+                        / (CAST(s.df{i} AS DOUBLE) + 0.5))
+               * b.tf{i} * (1.2 + 1.0)
+               / (b.tf{i} + 1.2 * ((1.0 - 0.75)
+                   + 0.75 * CAST(b.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))"""
+        for i in range(len(_bm25_terms))
+    )
+    sql["bm25_topk"] = f"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(
+                regexp_split_to_array({_norm}, ' '),
+                t -> length(t) >= 2) AS t
+            FROM documents),
+        base AS (
+            SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl,
+                   {_bm25_tf}
+            FROM toks),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(dl) AS BIGINT) AS sum_dl,
+                   {_bm25_df}
+            FROM base),
+        scored AS (
+            SELECT b.doc_id, b.dl,
+                   CAST(floor(({_bm25_score}) * 1000000.0 + 0.5) AS BIGINT)
+                       / 1000000.0 AS score
+            FROM base b CROSS JOIN s)
+        SELECT doc_id, dl, score FROM scored
+        WHERE score > 0.0
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 10
+    """
+
+    # product quantization (operators/pq.py): module-generated oracle —
+    # retrains per-subspace codebooks (hash60 init, round-6 Lloyd),
+    # re-encodes, and re-scores row 0's query with floor-micro ADC
+    sql["pq_adc_topk"] = pq_topk_sql(
+        m=4, k_centroids=4, iterations=2, k=10, query_id=0, d=64
+    )
 
     # corpus mixing (operators/mixing.py): tier CASE, per-tier counts,
     # IEEE-exact sqrt micro-weights (2^20 scale, floor(x+0.5)), one

@@ -51,6 +51,7 @@ def pagerank(
     damping: float = 0.85,
     round_to: int | None = 6,
     weight: str | None = None,
+    personalize: list | None = None,
 ) -> DataFrame:
     """Return ``(node, rank)`` after ``iterations`` power-iteration
     rounds over the directed edge list.
@@ -67,6 +68,15 @@ def pagerank(
     relations like the host link graph (functions/links.py), where one
     (src, dst, n_links) row stands for n_links anchors. Unweighted
     (default) is the exact w = 1 special case.
+
+    ``personalize`` lists seed node ids for PERSONALIZED PageRank —
+    entity relatedness from a query set: the teleport term becomes
+    ``(1-d)·p(n)`` with ``p = 1/|seeds|`` on the seeds and 0 elsewhere
+    (``rank_0 = p`` likewise), so rank mass only ever enters at the
+    seeds and diffuses outward; nodes unreachable from the seed set
+    converge to exactly 0. The seed set is a handful of ids — the
+    indicator compiles to a row-local ``isin`` literal, adding ZERO
+    exchanges to the iteration (same plan shape as the global variant).
     """
     w = (
         F.col(weight).cast("double") if weight is not None else F.lit(1.0)
@@ -89,7 +99,17 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    if personalize is not None:
+        if not personalize:
+            raise ValueError("personalize must be a non-empty seed list")
+        p = F.when(
+            F.col("node").isin(list(personalize)),
+            F.lit(1.0) / F.lit(float(len(set(personalize)))),
+        ).otherwise(F.lit(0.0))
+    else:
+        p = F.lit(1.0)
+
+    ranks = nodes.select("node", p.alias("rank"))
     for _ in range(iterations):
         contribs = (
             linked.join(ranks, linked["src"] == ranks["node"])
@@ -102,10 +122,12 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("contrib").alias("contrib"))
         )
+        # (1-d)·p folds to the familiar constant teleport in the global
+        # case (p ≡ 1) and to the seed indicator when personalized
         ranks = nodes.join(contribs, "node", "left").select(
             "node",
             (
-                F.lit(1.0 - damping)
+                F.lit(1.0 - damping) * p
                 + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
             ).alias("rank"),
         )

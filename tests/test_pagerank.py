@@ -91,3 +91,52 @@ def test_lineage_truncated(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert len(out.collect()) == 11
+
+
+def _ppr_oracle(edges, seeds, iterations=5, d=0.85):
+    nodes = {n for e in edges for n in e}
+    outdeg: dict[str, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    p = {n: (1.0 / len(set(seeds)) if n in seeds else 0.0) for n in nodes}
+    ranks = dict(p)
+    for _ in range(iterations):
+        contrib: dict[str, float] = {}
+        for s, t in edges:
+            contrib[t] = contrib.get(t, 0.0) + ranks[s] / outdeg[s]
+        ranks = {
+            n: (1.0 - d) * p[n] + d * contrib.get(n, 0.0) for n in nodes
+        }
+    return ranks
+
+
+def test_personalized_matches_reference_and_unreachable_is_zero(spark):
+    # two components: seeds live in the chain a->b->c; x<->y is
+    # unreachable from the seed set and must converge to exactly 0
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, iterations=4, round_to=None, personalize=["a", "b"]
+        ).collect()
+    }
+    want = _ppr_oracle(edges, {"a", "b"}, iterations=4)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-12, (n, got[n], want[n])
+    assert got["x"] == 0.0 and got["y"] == 0.0
+
+
+def test_personalized_empty_seeds_raises(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(df, personalize=[])
+
+
+def test_global_case_unchanged_by_teleport_refactor(spark):
+    # p ≡ 1 must reproduce the classic recurrence bit-for-bit
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 9}") for i in range(9)]
+    _check(spark, edges, iterations=3)
