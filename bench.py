@@ -122,6 +122,8 @@ HEADLINE = [
     "link_prediction",
     "line_dedup",
     "hits_kg",
+    "bm25_topk",
+    "pq_adc_topk",
 ]
 
 

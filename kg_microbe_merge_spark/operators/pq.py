@@ -222,6 +222,88 @@ def pq_topk(
     )
 
 
+def train_coarse_centroids(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Full-dimension coarse quantizer for IVF — exactly PQ training
+    with one subspace (m=1): k-means over whole vectors, hash60 init,
+    round-6 means."""
+    return train_pq_codebooks(
+        vectors, m=1, k=n_cells, iterations=iterations,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )[0]
+
+
+def write_pq_index(
+    vectors: DataFrame,
+    index_dir: str,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index as parquet PARTITIONED BY the
+    coarse cell: ``index_dir/cell=<c>/`` holds ``(vec_id, codes)`` for
+    that cell's members. Cell assignment and PQ encode are both
+    row-local literal folds — the only exchange is the write itself,
+    and the layout is what makes queries sublinear: a probe reads
+    ``n_probe`` directories and Spark's partition pruning never lists
+    the rest (plan-asserted in tests). This is the IVF-PQ file layout
+    (the :mod:`.layout` Z-order idea applied to vector search)."""
+    dim = len(coarse[0])
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    assert m * sub_dim == dim
+    cell = _code(F.col("_v"), 0, dim, coarse)
+    enc = v.select(
+        "vec_id",
+        F.array(
+            *[_code(F.col("_v"), j, sub_dim, codebooks[j]) for j in range(m)]
+        ).alias("codes"),
+        cell.alias("cell"),
+    )
+    enc.write.mode("overwrite").partitionBy("cell").parquet(index_dir)
+
+
+def probe_cells(
+    query: list[float], coarse: list[list[float]], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` nearest coarse cells for a query (driver-side —
+    the coarse table is n_cells × dim literals, never data)."""
+    scored = sorted(
+        (( _micro6(_sum_sq_py(query, c)), i) for i, c in enumerate(coarse))
+    )
+    return [i for _, i in scored[:n_probe]]
+
+
+def ivf_pq_topk(
+    spark,
+    index_dir: str,
+    query: list[float],
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-PQ search: read ONLY the ``n_probe`` nearest cell partitions
+    of the :func:`write_pq_index` layout (partition pruning — the scan
+    lists n_probe directories out of n_cells) and ADC-score the codes
+    within. With n_cells ≈ √N cells this touches O(N·n_probe/n_cells)
+    rows per query — the sublinear ANN read path at 10^12 rows."""
+    cells = probe_cells(query, coarse, n_probe)
+    idx = spark.read.parquet(index_dir).filter(F.col("cell").isin(cells))
+    return pq_topk(idx, query, codebooks, k=k)
+
+
 def pq_topk_sql(
     m: int = 4,
     k_centroids: int = 4,

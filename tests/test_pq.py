@@ -130,3 +130,54 @@ def test_encode_and_topk_are_shuffle_free(spark):
     ).executedPlan().toString()
     assert "Join" not in topk_plan
     assert "TakeOrderedAndProject" in topk_plan
+
+
+def test_ivf_pq_partition_pruned_search(spark, tmp_path):
+    from kg_microbe_merge_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_topk,
+        probe_cells,
+        train_coarse_centroids,
+        write_pq_index,
+    )
+
+    data = _vecs(60)
+    df = _df(spark, data)
+    coarse = train_coarse_centroids(df, n_cells=4, iterations=2)
+    books = train_pq_codebooks(df, m=M, k=K, iterations=2)
+    idx = str(tmp_path / "pqidx")
+    write_pq_index(df, idx, coarse, books)
+
+    q = [float((i * 5) % 11) for i in range(DIM)]
+    got = ivf_pq_topk(spark, idx, q, coarse, books, n_probe=2, k=5)
+
+    # plan: the cell predicate became a PARTITION filter (directory
+    # pruning), not a data filter — the scan never lists the other
+    # cells' files. (inputFiles() reflects the pre-pruning relation,
+    # so the plan text is the physical evidence here.)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [cell" in scan and " IN (" in scan
+    assert "DataFilters: []" in scan
+
+    # value twin: brute ADC restricted to the probed cells
+    cells = set(probe_cells(q, coarse, 2))
+    assert len(cells) == 2
+    member = {
+        i: pq_encode_py(v, [coarse])[0] for i, v in data
+    }
+    enc = {i: pq_encode_py(v, books) for i, v in data}
+    want = sorted(
+        (pq_adc_py(enc[i], q, books), i)
+        for i, _ in data
+        if member[i] in cells
+    )[:5]
+    assert [(r.dist2, r.vec_id) for r in got.collect()] == want
+
+    # the index layout actually split the corpus across cells (pruning
+    # has something to skip) and every row lives in exactly one cell dir
+    import os
+
+    cell_dirs = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert len(cell_dirs) >= 3
+    assert spark.read.parquet(idx).count() == len(data)
