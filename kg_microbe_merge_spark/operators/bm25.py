@@ -112,6 +112,11 @@ def bm25_topk(
         )
         score = score + idf * tf * F.lit(k1 + 1.0) / (tf + norm)
 
+    # top-k BEFORE the score>0 filter: non-matching docs (score 0) sort
+    # below every match, so limit-then-filter ≡ filter-then-limit — and
+    # the limit blocks predicate pushdown, which would otherwise
+    # substitute the entire scoring expression into a scan-level Filter
+    # and tokenize+score every row TWICE (plan-audited; PLANS.md)
     out = (
         base.select(
             id_col,
@@ -121,8 +126,8 @@ def bm25_topk(
                 / F.lit(MICRO)
             ).alias("score"),
         )
-        .filter(F.col("score") > 0.0)
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
+        .filter(F.col("score") > 0.0)
     )
     return out
