@@ -1,1 +1,13 @@
-from . import extract, linking, sessions, text, triples  # noqa: F401
+from . import (  # noqa: F401
+    extract,
+    gopher,
+    hashing,
+    linking,
+    links,
+    pii,
+    quality_model,
+    sessions,
+    text,
+    triples,
+    urls,
+)

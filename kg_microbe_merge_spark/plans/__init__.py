@@ -1,1 +1,1 @@
-from . import bgp, materialize, pipeline, sqlapi  # noqa: F401
+from . import bgp, cypher, materialize, pipeline, sqlapi  # noqa: F401

@@ -1,1 +1,1 @@
-from . import corpus, files, kgx  # noqa: F401
+from . import corpus, files, jsonl, kgx, rdf  # noqa: F401

@@ -1,1 +1,9 @@
-from . import ingest, stateful  # noqa: F401
+from . import (  # noqa: F401
+    curation,
+    dedup_index,
+    ingest,
+    joins,
+    maintain,
+    sessions,
+    stateful,
+)
