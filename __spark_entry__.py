@@ -1937,6 +1937,33 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(pq_encode(e, books), query, books, k=10)
 
 
+def _scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic directed graph over doc ids: each 8-id group is a
+    6-cycle (positions 0-5) plus two tail nodes (positions 6-7) that
+    point INTO the cycle with no return — SCCs are the 6-cycles
+    (component = group base), tails are trim-settled singletons."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    base = F.col("doc_id") - F.col("doc_id") % 8
+    pos = F.col("doc_id") % 8
+    return d.select(
+        F.col("doc_id").alias("src"),
+        F.when(pos < 6, base + (pos + 1) % 6).otherwise(base).alias("dst"),
+    )
+
+
+def q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (operators/scc.py — min-label
+    forward-backward with iterated trim): directed mutual-reachability
+    clusters with min-id canonical, the directed complement of
+    cc_components (one-way edges must NOT merge). Oracle: DuckDB
+    recursive-CTE transitive closure → mutual pairs → per-node min."""
+    from kg_microbe_merge_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(_scc_edges(spark, sf_dir))
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (operators/bm25.py): two scans, zero
     joins — pass 1 one partial aggregation for the exact integer corpus
@@ -2868,11 +2895,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tfidf_topk and the vector top-k family) and pq_adc_topk (product
     quantization train/encode/ADC-search, operators/pq.py — the m-code
     compression rung above the gated sq8_adc_topk; oracle retrains the
-    codebooks itself via the module-generated CTE chain).
+    codebooks itself via the module-generated CTE chain); and
+    scc_components (strongly connected components, operators/scc.py —
+    the directed complement of the gated cc_components, solved
+    independently in the oracle by recursive-CTE closure + mutual
+    pairs).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "bm25_topk": q_bm25_topk,
         "pq_adc_topk": q_pq_adc_topk,
+        "scc_components": q_scc_components,
         "asof_enrich": q_asof_enrich,
         "graph_stats_report": q_graph_stats,
         "text_quality": q_text_quality,
@@ -4704,6 +4736,36 @@ def _all_oracle_sql() -> dict[str, str]:
         WHERE score > 0.0
         ORDER BY score DESC, doc_id ASC
         LIMIT 10
+    """
+
+    # strongly connected components (operators/scc.py): the SAME edge
+    # formula as q_scc_components (6-cycles + trim tails per 8-id
+    # group), then an INDEPENDENT solve — recursive-CTE transitive
+    # closure (UNION dedup terminates cycles), mutual-reachability
+    # pairs, per-node min with self fallback
+    sql["scc_components"] = """
+        WITH RECURSIVE
+        d AS (SELECT doc_id FROM documents),
+        e AS (
+            SELECT doc_id AS src,
+                   CASE WHEN doc_id % 8 < 6
+                        THEN (doc_id - doc_id % 8) + (doc_id % 8 + 1) % 6
+                        ELSE doc_id - doc_id % 8 END AS dst
+            FROM d),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        r(a, b) AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src),
+        mutual AS (
+            SELECT r1.a AS v, r1.b AS u
+            FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a),
+        comp AS (
+            SELECT n.node,
+                   least(n.node, coalesce(min(m.u), n.node)) AS component
+            FROM n LEFT JOIN mutual m ON m.v = n.node
+            GROUP BY n.node)
+        SELECT node, component FROM comp
     """
 
     # product quantization (operators/pq.py): module-generated oracle —

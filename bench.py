@@ -124,6 +124,7 @@ HEADLINE = [
     "hits_kg",
     "bm25_topk",
     "pq_adc_topk",
+    "scc_components",
 ]
 
 
