@@ -1964,6 +1964,27 @@ def q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(_scc_edges(spark, sf_dir))
 
 
+def q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path topological layering (operators/scc.py
+    topological_levels — Kahn peeling, one level per round): doc ids in
+    16-id blocks form chains i→i+1 with skip edges i→i+2 every 4th
+    position, so levels = position in chain (skips don't shorten the
+    LONGEST path). Oracle: recursive-CTE all-paths-from-sources →
+    max depth per node — independent of the peeling derivation."""
+    from kg_microbe_merge_spark.operators.scc import topological_levels
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    base = F.col("doc_id") - F.col("doc_id") % 16
+    pos = F.col("doc_id") % 16
+    chain = d.filter(pos < 15).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    skip = d.filter((pos % 4 == 0) & (pos < 14)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 2).alias("dst")
+    )
+    return topological_levels(chain.unionByName(skip))
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (operators/bm25.py): two scans, zero
     joins — pass 1 one partial aggregation for the exact integer corpus
@@ -2905,6 +2926,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "scc_components": q_scc_components,
+        "dag_levels": q_dag_levels,
         "asof_enrich": q_asof_enrich,
         "graph_stats_report": q_graph_stats,
         "text_quality": q_text_quality,
@@ -4736,6 +4758,32 @@ def _all_oracle_sql() -> dict[str, str]:
         WHERE score > 0.0
         ORDER BY score DESC, doc_id ASC
         LIMIT 10
+    """
+
+    # DAG longest-path levels (operators/scc.py topological_levels):
+    # same edge formula (16-id chains + skip edges), then an
+    # INDEPENDENT solve — recursive CTE enumerating (node, depth) from
+    # the sources, level = max depth
+    sql["dag_levels"] = """
+        WITH RECURSIVE
+        d AS (SELECT doc_id FROM documents),
+        e AS (
+            SELECT doc_id AS src, doc_id + 1 AS dst
+            FROM d WHERE doc_id % 16 < 15
+            UNION ALL
+            SELECT doc_id AS src, doc_id + 2 AS dst
+            FROM d WHERE doc_id % 16 % 4 = 0 AND doc_id % 16 < 14),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        srcs AS (
+            SELECT node FROM n
+            WHERE node NOT IN (SELECT dst FROM e)),
+        walk(node, depth) AS (
+            SELECT node, 0 FROM srcs
+            UNION
+            SELECT e.dst, walk.depth + 1
+            FROM walk JOIN e ON walk.node = e.src)
+        SELECT node, CAST(max(depth) AS INT) AS level
+        FROM walk GROUP BY node
     """
 
     # strongly connected components (operators/scc.py): the SAME edge

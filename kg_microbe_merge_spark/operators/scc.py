@@ -165,3 +165,86 @@ def strongly_connected_components(
         f"SCC did not settle within max_phases={max_phases} "
         "(pathological peeling depth); raise max_phases"
     )
+
+
+def condensation(
+    edges: DataFrame,
+    assignment: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The condensation DAG: map both endpoints through the SCC
+    ``(node, component)`` assignment, drop intra-SCC edges, dedup.
+    Always acyclic — the precondition for every order-sensitive rollup.
+    Two broadcast-or-shuffle joins against the (small, O(nodes))
+    assignment; the edge table is touched once."""
+    a_src = assignment.select(
+        F.col("node").alias(src), F.col("component").alias("_cs")
+    )
+    a_dst = assignment.select(
+        F.col("node").alias(dst), F.col("component").alias("_cd")
+    )
+    return (
+        edges.select(src, dst)
+        .join(a_src, src)
+        .join(a_dst, dst)
+        .filter(F.col("_cs") != F.col("_cd"))
+        .select(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))
+        .distinct()
+    )
+
+
+def topological_levels(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_levels: int = 1000,
+) -> DataFrame:
+    """Longest-path layering of a DAG: ``(node, level)`` where level 0
+    nodes have no in-edges and ``level(v) = 1 + max(level(u))`` over
+    in-neighbors — the taxonomy-depth / build-order query, run on the
+    :func:`condensation` output (feeding it a cyclic graph raises).
+
+    Kahn peeling, one level per round: remove current sources, a node
+    becomes a source when ALL in-edges are gone. Each round is one
+    distinct-projection + two anti joins + eager checkpoint — O(level
+    width) driver data, rounds bounded by the DAG depth (for a KG
+    taxonomy: tens, not thousands)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    remaining_nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = remaining_nodes.select(
+        "node", F.lit(0).cast("int").alias("level")
+    ).limit(0)
+    remaining_edges = e
+    for lvl in range(max_levels):
+        if remaining_nodes.isEmpty():
+            return out
+        has_in = remaining_edges.select(F.col("dst").alias("node")).distinct()
+        sources = remaining_nodes.join(has_in, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if sources.isEmpty():
+            raise ValueError(
+                "graph has a cycle (no sources left among remaining "
+                "nodes) — run strongly_connected_components + "
+                "condensation first"
+            )
+        out = out.union(
+            sources.select("node", F.lit(lvl).cast("int").alias("level"))
+        ).localCheckpoint(eager=True)
+        remaining_nodes = remaining_nodes.join(
+            sources, "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        remaining_edges = remaining_edges.join(
+            sources.select(F.col("node").alias("src")), "src", "left_anti"
+        ).localCheckpoint(eager=True)
+    raise RuntimeError(f"DAG deeper than max_levels={max_levels}")

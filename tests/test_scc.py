@@ -89,3 +89,46 @@ def test_random_directed(spark):
     )
     edges = [(a, b) for a, b in edges if a != b] + [("r0", "r0")]
     _check(spark, edges)
+
+
+def test_condensation_and_levels(spark):
+    from kg_microbe_merge_spark.operators.scc import (
+        condensation,
+        topological_levels,
+    )
+
+    # two 2-cycles bridged one-way, plus a tail:
+    # {a,b} -> {c,d} -> e
+    edges = [
+        ("a", "b"), ("b", "a"),
+        ("c", "d"), ("d", "c"),
+        ("b", "c"), ("d", "e"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assign = strongly_connected_components(df)
+    cond = condensation(df, assign)
+    got_edges = {(r.src, r.dst) for r in cond.collect()}
+    assert got_edges == {("a", "c"), ("c", "e")}
+
+    lv = {r.node: r.level for r in topological_levels(cond).collect()}
+    assert lv == {"a": 0, "c": 1, "e": 2}
+
+
+def test_levels_longest_path_semantics(spark):
+    from kg_microbe_merge_spark.operators.scc import topological_levels
+
+    # diamond with a shortcut: level = LONGEST path from a source
+    edges = [("s", "a"), ("s", "b"), ("a", "t"), ("b", "m"), ("m", "t")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    lv = {r.node: r.level for r in topological_levels(df).collect()}
+    assert lv == {"s": 0, "a": 1, "b": 1, "m": 2, "t": 3}
+
+
+def test_levels_cycle_raises(spark):
+    from kg_microbe_merge_spark.operators.scc import topological_levels
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        topological_levels(df)
