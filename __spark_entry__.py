@@ -210,6 +210,48 @@ def _kcore_sql(base_edges: str, k: int, rounds: int) -> str:
     """
 
 
+def _ktruss_sql(base_edges: str, k: int, rounds: int) -> str:
+    """DuckDB twin of operators.truss.ktruss_edges: the support-peel
+    recurrence unrolled as chained CTEs. Per-edge support is derived
+    INDEPENDENTLY of the Spark path (adjacency self-join on the common
+    neighbor, not the degree-oriented wedge enumeration). Peeling is a
+    monotone fixpoint, so any ``rounds`` ≥ the convergence depth yields
+    the exact k-truss; tests/test_truss.py pins the gate graph's depth
+    safely below the unroll count."""
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a, "
+        f"greatest(s, d) AS b FROM ({base_edges}) WHERE s <> d)"
+    ]
+
+    def _support(i: int | str, prev: str) -> list[str]:
+        return [
+            f"adj{i} AS MATERIALIZED (SELECT a AS node, b AS nbr "
+            f"FROM {prev} UNION ALL SELECT b, a FROM {prev})",
+            f"s{i} AS MATERIALIZED (SELECT e.a AS a, e.b AS b, "
+            f"count(*) AS s FROM {prev} e "
+            f"JOIN adj{i} x ON x.node = e.a "
+            f"JOIN adj{i} y ON y.node = e.b AND y.nbr = x.nbr "
+            f"GROUP BY e.a, e.b)",
+        ]
+
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        ctes.extend(_support(i, p))
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.a, e.b FROM {p} e "
+            f"LEFT JOIN s{i} s ON s.a = e.a AND s.b = e.b "
+            f"WHERE coalesce(s.s, 0) >= {k - 2})"
+        )
+    ctes.extend(_support("F", f"e{rounds}"))
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT e.a, e.b, cast(coalesce(s.s, 0) AS BIGINT) AS support
+        FROM e{rounds} e
+        LEFT JOIN sF s ON s.a = e.a AND s.b = e.b
+    """
+
+
 def _minhash_lsh_sql(
     threshold: float, num_hashes: int, bands: int, n: int
 ) -> str:
@@ -2314,6 +2356,58 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_nodes(edges, k=2, src="src", dst="dst")
 
 
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the combined KG (operators/truss.py, support peeling —
+    the edge-granular sibling of kcore_2 over the SAME gate graph):
+    every surviving edge sits in ≥1 triangle, so the customer–order
+    tree dies in round 1 while the supplier–nation–region triangle
+    tissue survives with its per-edge support (S–N and S–R edges carry
+    support 1, N–R edges the nation's supplier count). Oracle: peel
+    rounds unrolled as chained DuckDB CTEs with support derived
+    independently (adjacency self-join on the common neighbor, not the
+    degree-oriented wedge join); monotone fixpoint, so extra unrolled
+    rounds are no-ops (depth pinned in tests/test_truss.py)."""
+    from kg_microbe_merge_spark.operators.truss import ktruss_edges
+
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    edges = (
+        nation.select(
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+        )
+        .unionByName(
+            supplier.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            supplier.join(
+                nation, supplier["s_nationkey"] == nation["n_nationkey"]
+            ).select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("O"), F.col("o_orderkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            customer.select(
+                F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+    )
+    return ktruss_edges(edges, k=3, src="src", dst="dst")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary induction (operators/vocab.py): corpus-wide
     token counts (map-side-combinable wordcount), top-100 by
@@ -2920,9 +3014,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scc_components (strongly connected components, operators/scc.py —
     the directed complement of the gated cc_components, solved
     independently in the oracle by recursive-CTE closure + mutual
-    pairs).
+    pairs); and ktruss_3 (k-truss decomposition, operators/truss.py —
+    the edge-granular cohesion peel over the same gate graph as
+    kcore_2, oracle support derived independently via an adjacency
+    self-join on the common neighbor).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
+        "ktruss_3": q_ktruss,
         "bm25_topk": q_bm25_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "scc_components": q_scc_components,
@@ -4419,6 +4517,11 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer
     """
     sql["kcore_2"] = _kcore_sql(_kcore_base, k=2, rounds=10)
+
+    # Twin of q_ktruss: support peeling unrolled over the same gate
+    # graph (8 rounds safely above the measured convergence depth —
+    # pinned in tests/test_truss.py; monotone, extra rounds no-op).
+    sql["ktruss_3"] = _ktruss_sql(_kcore_base, k=3, rounds=8)
 
     # Twin of q_vocab_topk: same tokenization, (n DESC, token ASC)
     # ordering, ids from 0 — AS MATERIALIZED so the window sees the
