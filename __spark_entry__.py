@@ -2185,6 +2185,35 @@ def q_hll_distinct_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(items, "span", ["lang"], p=9).orderBy("lang")
 
 
+def q_kmv_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k set-INTERSECTION estimate (operators/kmv.py): the
+    distinct-token overlap between the even- and odd-doc_id halves of
+    the corpus — the question HLL structurally cannot answer
+    (inclusion–exclusion over two noisy estimates explodes on small
+    overlaps). Each half's sketch is its k=256 smallest distinct token
+    hashes; the one build exchange per sketch is k-bounded map-side by
+    WindowGroupLimit, and union/intersection/Jaccard are row-local
+    array algebra over the two ≤256-element arrays. Oracle: the
+    module-generated DuckDB twin (row_number bottom-k + list algebra,
+    identical division order, micro protocol)."""
+    from kg_microbe_merge_spark.functions.text import normalized_text
+    from kg_microbe_merge_spark.operators.kmv import (
+        kmv_intersection,
+        kmv_sketch,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("bucket"),
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias(
+            "token"
+        ),
+    ).filter(F.col("token") != "")
+    a = kmv_sketch(toks.filter(F.col("bucket") == 0), "token")
+    b = kmv_sketch(toks.filter(F.col("bucket") == 1), "token")
+    return kmv_intersection(a, b)
+
+
 def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy-hitter tokens (operators/sketches.py): d=4×w=1024
     integer counters; each map partition contributes ≤ d·w cells to the
@@ -3014,13 +3043,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scc_components (strongly connected components, operators/scc.py —
     the directed complement of the gated cc_components, solved
     independently in the oracle by recursive-CTE closure + mutual
-    pairs); and ktruss_3 (k-truss decomposition, operators/truss.py —
+    pairs); ktruss_3 (k-truss decomposition, operators/truss.py —
     the edge-granular cohesion peel over the same gate graph as
     kcore_2, oracle support derived independently via an adjacency
-    self-join on the common neighbor).
+    self-join on the common neighbor); and kmv_token_overlap (KMV
+    bottom-k set-intersection sketches, operators/kmv.py — the
+    overlap estimate the HLL family can't express; module-generated
+    oracle).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "ktruss_3": q_ktruss,
+        "kmv_token_overlap": q_kmv_token_overlap,
         "bm25_topk": q_bm25_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "scc_components": q_scc_components,
@@ -4430,6 +4463,27 @@ def _all_oracle_sql() -> dict[str, str]:
         400,
         depth=4,
         width=1024,
+    )
+
+    # Twin of q_kmv_token_overlap (operators/kmv.py): module-generated
+    # bottom-k sketches per doc_id-parity half + list-algebra overlap.
+    from kg_microbe_merge_spark.operators.kmv import (
+        kmv_intersection_sql,
+        kmv_sketch_cte,
+    )
+
+    def _kmv_items(parity: int) -> str:
+        return (
+            f"SELECT t AS token FROM (SELECT unnest({_TOKS_SQL}) AS t "
+            f"FROM documents WHERE doc_id % 2 = {parity}) WHERE t <> ''"
+        )
+
+    sql["kmv_token_overlap"] = kmv_intersection_sql(
+        kmv_sketch_cte(_kmv_items(0), "token", (), name="ska")
+        + ",\n        "
+        + kmv_sketch_cte(_kmv_items(1), "token", (), name="skb"),
+        "ska",
+        "skb",
     )
 
     # Twin of q_substring_dedup_cut (operators/dedup.py
