@@ -2214,6 +2214,24 @@ def q_kmv_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_intersection(a, b)
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI/NPMI collocation mining (operators/collocations.py): top-50
+    adjacent-pair phrases by normalized pointwise mutual information —
+    the association-scored complement of the raw-frequency bpe_pairs.
+    Pair/unigram counts collapse map-side off one row-local
+    tokenize-once instance relation; min_count prunes the Zipf hapax
+    tail BEFORE the two vocabulary-bounded joins; totals inline as
+    literals; bounded TakeOrdered on the deterministic (npmi desc, w1,
+    w2) order. Oracle: module-generated twin (identical operand order
+    into ln, micro protocol)."""
+    from kg_microbe_merge_spark.operators.collocations import (
+        pmi_collocations,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=4, top_k=50)
+
+
 def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy-hitter tokens (operators/sketches.py): d=4×w=1024
     integer counters; each map partition contributes ≤ d·w cells to the
@@ -3049,11 +3067,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     self-join on the common neighbor); and kmv_token_overlap (KMV
     bottom-k set-intersection sketches, operators/kmv.py — the
     overlap estimate the HLL family can't express; module-generated
-    oracle).
+    oracle); and pmi_collocations (PMI/NPMI phrase mining,
+    operators/collocations.py — the association-scored complement of
+    bpe_pairs; module-generated oracle).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "ktruss_3": q_ktruss,
         "kmv_token_overlap": q_kmv_token_overlap,
+        "pmi_collocations": q_pmi_collocations,
         "bm25_topk": q_bm25_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "scc_components": q_scc_components,
@@ -4484,6 +4505,19 @@ def _all_oracle_sql() -> dict[str, str]:
         + kmv_sketch_cte(_kmv_items(1), "token", (), name="skb"),
         "ska",
         "skb",
+    )
+
+    # Twin of q_pmi_collocations (operators/collocations.py):
+    # module-generated, identical operand order into ln.
+    from kg_microbe_merge_spark.operators.collocations import (
+        pmi_collocations_sql,
+    )
+
+    sql["pmi_collocations"] = pmi_collocations_sql(
+        f"SELECT list_filter({_TOKS_SQL}, t -> length(t) >= 1) AS t "
+        "FROM documents",
+        min_count=4,
+        top_k=50,
     )
 
     # Twin of q_substring_dedup_cut (operators/dedup.py
