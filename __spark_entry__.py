@@ -2214,6 +2214,57 @@ def q_kmv_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_intersection(a, b)
 
 
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall ball-size estimates |B(v, t)| for t = 0..2 over the
+    combined KG (operators/hyperball.py — the kcore/ktruss gate graph):
+    per-node HLL sketches iterated along edges, registers as m=128
+    partially-aggregable max COLUMNS so each round ships one row per
+    edge, never edges × registers. Exact integer estimate protocol
+    (BIGINT 2^(Rmax-rho) sums, one division, micro snap). Oracle: the
+    module-generated ROW-form twin — (node, reg, rho) max-merge rounds
+    unrolled as materialized CTEs, an independent formulation sharing
+    only the hash/estimate constants."""
+    from kg_microbe_merge_spark.operators.hyperball import hyperball
+
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    edges = (
+        nation.select(
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+        )
+        .unionByName(
+            supplier.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            supplier.join(
+                nation, supplier["s_nationkey"] == nation["n_nationkey"]
+            ).select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("O"), F.col("o_orderkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            customer.select(
+                F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+    )
+    return hyperball(edges, max_t=2, src="src", dst="dst")
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI/NPMI collocation mining (operators/collocations.py): top-50
     adjacent-pair phrases by normalized pointwise mutual information —
@@ -3067,14 +3118,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     self-join on the common neighbor); and kmv_token_overlap (KMV
     bottom-k set-intersection sketches, operators/kmv.py — the
     overlap estimate the HLL family can't express; module-generated
-    oracle); and pmi_collocations (PMI/NPMI phrase mining,
+    oracle); pmi_collocations (PMI/NPMI phrase mining,
     operators/collocations.py — the association-scored complement of
-    bpe_pairs; module-generated oracle).
+    bpe_pairs; module-generated oracle); and hyperball_balls
+    (HyperBall neighborhood function, operators/hyperball.py —
+    column-register HLL balls vs an independent row-form oracle).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "ktruss_3": q_ktruss,
         "kmv_token_overlap": q_kmv_token_overlap,
         "pmi_collocations": q_pmi_collocations,
+        "hyperball_balls": q_hyperball,
         "bm25_topk": q_bm25_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "scc_components": q_scc_components,
@@ -4610,6 +4664,12 @@ def _all_oracle_sql() -> dict[str, str]:
     # graph (8 rounds safely above the measured convergence depth —
     # pinned in tests/test_truss.py; monotone, extra rounds no-op).
     sql["ktruss_3"] = _ktruss_sql(_kcore_base, k=3, rounds=8)
+
+    # Twin of q_hyperball: module-generated row-form HLL max-merge
+    # rounds over the same gate graph.
+    from kg_microbe_merge_spark.operators.hyperball import hyperball_sql
+
+    sql["hyperball_balls"] = hyperball_sql(_kcore_base, max_t=2)
 
     # Twin of q_vocab_topk: same tokenization, (n DESC, token ASC)
     # ordering, ids from 0 — AS MATERIALIZED so the window sees the
