@@ -2214,6 +2214,43 @@ def q_kmv_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_intersection(a, b)
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity-interval history (operators/history.py): four
+    part-price delta batches folded with scd2_apply — per fold the
+    history is scanned but never shuffled (broadcast delta carve-outs,
+    the upsert discipline); parts divisible by 5 change price at their
+    second appearance (new version + closed row), everything else
+    re-arrives unchanged (no spurious versions). Oracle: the window
+    formulation over the full change log — per key keep events whose
+    attrs differ from the previous event's (lag), valid_to = next kept
+    batch (lead) — an independent one-pass derivation the chained
+    folds must reproduce exactly (the invariant IS the oracle)."""
+    from kg_microbe_merge_spark.operators.history import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    part = _t(spark, sf_dir, "part")
+
+    def delta(b: int) -> DataFrame:
+        return part.filter(F.col("p_partkey") % 2 == b % 2).select(
+            F.col("p_partkey").alias("id"),
+            F.col("p_name").alias("name"),
+            (
+                F.col("p_retailprice")
+                + F.when(
+                    (F.lit(b) >= 2) & (F.col("p_partkey") % 5 == 0),
+                    F.lit(1.0),
+                ).otherwise(F.lit(0.0))
+            ).alias("price"),
+        )
+
+    h = scd2_init(delta(0), "id", ["name", "price"], 0)
+    for b in range(1, 4):
+        h = scd2_apply(h, delta(b), "id", ["name", "price"], b)
+    return h
+
+
 def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall ball-size estimates |B(v, t)| for t = 0..2 over the
     combined KG (operators/hyperball.py — the kcore/ktruss gate graph):
@@ -3122,13 +3159,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operators/collocations.py — the association-scored complement of
     bpe_pairs; module-generated oracle); and hyperball_balls
     (HyperBall neighborhood function, operators/hyperball.py —
-    column-register HLL balls vs an independent row-form oracle).
+    column-register HLL balls vs an independent row-form oracle); and
+    scd2_history (SCD2 validity-interval history, operators/history.py
+    — chained folds vs the independent window-derivation oracle).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "ktruss_3": q_ktruss,
         "kmv_token_overlap": q_kmv_token_overlap,
         "pmi_collocations": q_pmi_collocations,
         "hyperball_balls": q_hyperball,
+        "scd2_history": q_scd2_history,
         "bm25_topk": q_bm25_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "scc_components": q_scc_components,
@@ -4670,6 +4710,34 @@ def _all_oracle_sql() -> dict[str, str]:
     from kg_microbe_merge_spark.operators.hyperball import hyperball_sql
 
     sql["hyperball_balls"] = hyperball_sql(_kcore_base, max_t=2)
+
+    # Twin of q_scd2_history: the one-pass window derivation over the
+    # full change log — chained scd2_apply folds must reproduce it
+    # exactly (the invariant IS the oracle).
+    sql["scd2_history"] = """
+        WITH ev AS (
+            SELECT b.b AS batch_id, p_partkey AS id, p_name AS name,
+                   p_retailprice
+                   + CASE WHEN b.b >= 2 AND p_partkey % 5 = 0
+                          THEN 1.0 ELSE 0.0 END AS price
+            FROM part, (SELECT unnest([0, 1, 2, 3]) AS b) b
+            WHERE p_partkey % 2 = b.b % 2),
+        marked AS (
+            SELECT *,
+                   (lag(struct_pack(n := name, p := price)) OVER w IS NULL
+                    OR struct_pack(n := name, p := price)
+                       IS DISTINCT FROM
+                       lag(struct_pack(n := name, p := price)) OVER w)
+                       AS chg
+            FROM ev
+            WINDOW w AS (PARTITION BY id ORDER BY batch_id)),
+        kept AS (SELECT * FROM marked WHERE chg)
+        SELECT id, name, price,
+               batch_id::BIGINT AS valid_from,
+               lead(batch_id::BIGINT)
+                   OVER (PARTITION BY id ORDER BY batch_id) AS valid_to
+        FROM kept
+    """
 
     # Twin of q_vocab_topk: same tokenization, (n DESC, token ASC)
     # ordering, ids from 0 — AS MATERIALIZED so the window sees the
