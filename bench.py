@@ -125,6 +125,12 @@ HEADLINE = [
     "bm25_topk",
     "pq_adc_topk",
     "scc_components",
+    "dag_levels",
+    "ktruss_3",
+    "kmv_token_overlap",
+    "pmi_collocations",
+    "hyperball_balls",
+    "scd2_history",
 ]
 
 

@@ -91,6 +91,15 @@ def ktruss_edges(
     if k < 3:
         raise ValueError(f"k-truss requires k >= 3, got k={k}")
     e = _undirected_simple(edges, src, dst)
+    # standard pre-shrink: every k-truss node has within-truss degree
+    # ≥ k-1, so truss edges ⊆ (k-1)-core edges — and core peeling is
+    # cheap degree rounds (no wedge joins), so the expensive support
+    # rounds below start from the already-stripped graph (tree/leaf
+    # regions never reach a triangle enumeration)
+    from kg_microbe_merge_spark.operators.kcore import kcore_edges
+
+    e = kcore_edges(e, k - 1, src="a", dst="b",
+                    max_iterations=max_iterations)
     prev = None
     for _ in range(max_iterations):
         sup = _edge_support(e)
