@@ -2214,6 +2214,21 @@ def q_kmv_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_intersection(a, b)
 
 
+def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join (operators/ppjoin.py,
+    AllPairs/PPJoin): ALL 3-gram-shingle-set Jaccard ≥ 0.8 pairs with
+    the candidate join running only on rarest-first prefixes (the Zipf
+    head is never indexed) plus an exact BIGINT length filter — zero
+    recall loss by the prefix theorem, unlike ngram_jaccard's
+    max_doc_freq cap. Oracle: the NAIVE full inverted-index
+    formulation with no prefix logic at all, so this gate row is a
+    machine-checked proof of the pruning theorem on the gate corpus."""
+    from kg_microbe_merge_spark.operators.ppjoin import set_similarity_join
+
+    d = _t(spark, sf_dir, "documents")
+    return set_similarity_join(d, threshold=0.8, n=3)
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity-interval history (operators/history.py): four
     part-price delta batches folded with scd2_apply — per fold the
@@ -3161,7 +3176,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (HyperBall neighborhood function, operators/hyperball.py —
     column-register HLL balls vs an independent row-form oracle); and
     scd2_history (SCD2 validity-interval history, operators/history.py
-    — chained folds vs the independent window-derivation oracle).
+    — chained folds vs the independent window-derivation oracle); and
+    ppjoin_pairs (prefix-filtered set-similarity join,
+    operators/ppjoin.py — exact-recall AllPairs/PPJoin pruning vs the
+    NAIVE full-index oracle, a machine-checked proof of the prefix
+    theorem).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "ktruss_3": q_ktruss,
@@ -3169,6 +3188,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "hyperball_balls": q_hyperball,
         "scd2_history": q_scd2_history,
+        "ppjoin_pairs": q_ppjoin_pairs,
         "bm25_topk": q_bm25_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "scc_components": q_scc_components,
@@ -4710,6 +4730,28 @@ def _all_oracle_sql() -> dict[str, str]:
     from kg_microbe_merge_spark.operators.hyperball import hyperball_sql
 
     sql["hyperball_balls"] = hyperball_sql(_kcore_base, max_t=2)
+
+    # Twin of q_ppjoin_pairs: the NAIVE full inverted-index Jaccard —
+    # no prefix filtering, no length filter — so equality proves the
+    # engine's pruning lost nothing.
+    sql["ppjoin_pairs"] = f"""
+        WITH {_shingle_cte_sql(3)},
+        sz AS (SELECT doc_id, count(*) AS size FROM sh GROUP BY doc_id),
+        ov AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT ov.doc_a, ov.doc_b, cast(ov.inter AS BIGINT) AS inter,
+               round(ov.inter::DOUBLE
+                     / (sa.size + sb.size - ov.inter), 6) AS jaccard
+        FROM ov
+        JOIN sz sa ON sa.doc_id = ov.doc_a
+        JOIN sz sb ON sb.doc_id = ov.doc_b
+        WHERE round(ov.inter::DOUBLE
+                    / (sa.size + sb.size - ov.inter), 6) >= 0.8
+    """
 
     # Twin of q_scd2_history: the one-pass window derivation over the
     # full change log — chained scd2_apply folds must reproduce it

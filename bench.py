@@ -131,6 +131,7 @@ HEADLINE = [
     "pmi_collocations",
     "hyperball_balls",
     "scd2_history",
+    "ppjoin_pairs",
 ]
 
 
