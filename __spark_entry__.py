@@ -2214,6 +2214,19 @@ def q_kmv_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_intersection(a, b)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/split.weighted_sample, Efraimidis–Spirakis A-ES): top-25
+    documents by ln(u)/n_chars with u drawn reproducibly from the
+    id-hash — quality-weighted corpus subsampling as a bounded
+    TakeOrdered, no global sort, no RNG state. Oracle: identical
+    formula + ORDER BY ... LIMIT in DuckDB (ln parity precedent)."""
+    from kg_microbe_merge_spark.operators.split import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(d, k=25, weight_col="n_chars")
+
+
 def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered set-similarity join (operators/ppjoin.py,
     AllPairs/PPJoin): ALL 3-gram-shingle-set Jaccard ≥ 0.8 pairs with
@@ -3180,7 +3193,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ppjoin_pairs (prefix-filtered set-similarity join,
     operators/ppjoin.py — exact-recall AllPairs/PPJoin pruning vs the
     NAIVE full-index oracle, a machine-checked proof of the prefix
-    theorem).
+    theorem); and weighted_sample (Efraimidis–Spirakis A-ES weighted
+    sampling, operators/split.py — identical-formula oracle).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "ktruss_3": q_ktruss,
@@ -3189,6 +3203,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_balls": q_hyperball,
         "scd2_history": q_scd2_history,
         "ppjoin_pairs": q_ppjoin_pairs,
+        "weighted_sample": q_weighted_sample,
         "bm25_topk": q_bm25_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "scc_components": q_scc_components,
@@ -4730,6 +4745,22 @@ def _all_oracle_sql() -> dict[str, str]:
     from kg_microbe_merge_spark.operators.hyperball import hyperball_sql
 
     sql["hyperball_balls"] = hyperball_sql(_kcore_base, max_t=2)
+
+    # Twin of q_weighted_sample: identical A-ES formula, ln parity.
+    _ws_h = _h60("doc_id::VARCHAR || ':wsample'")
+    sql["weighted_sample"] = f"""
+        WITH scored AS (
+            SELECT doc_id, n_chars,
+                   ln(({_ws_h} + 1)::DOUBLE / 1152921504606846976.0)
+                       / n_chars::DOUBLE AS key
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0)
+        SELECT doc_id, n_chars,
+               floor(key * 1e6 + 0.5)::BIGINT AS key_micro
+        FROM scored
+        ORDER BY key DESC, doc_id ASC
+        LIMIT 25
+    """
 
     # Twin of q_ppjoin_pairs: the NAIVE full inverted-index Jaccard —
     # no prefix filtering, no length filter — so equality proves the

@@ -132,6 +132,7 @@ HEADLINE = [
     "hyperball_balls",
     "scd2_history",
     "ppjoin_pairs",
+    "weighted_sample",
 ]
 
 

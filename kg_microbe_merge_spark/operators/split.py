@@ -102,6 +102,54 @@ def stratified_sample(
     return df.filter(_bucket(F.col(id_col), salt) < bound)
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis A-ES, the reservoir recipe): each row draws a reproducible
+    uniform u from its id-hash and is ranked by ``key = u^(1/w)``; the
+    top-k keys are the sample, with inclusion probability increasing in
+    the weight (quality-weighted corpus subsampling — the weighted
+    sibling of :func:`deterministic_sample`).
+
+    Mechanics: ranked by the monotone transform ``ln(u)/w`` DESC (same
+    order as u^(1/w), no pow), tie-broken by id — a total order, so
+    the k-cut is a bounded ``TakeOrderedAndProject``: shuffle-free
+    scoring, never a global sort. Rows with weight <= 0 or NULL are
+    excluded (a zero-weight row must never displace a weighted one).
+    Deterministic per (id, salt) like every sampler here: reproducible
+    across runs/engines/partitionings, SQL-mirrorable (ln parity per
+    the tfidf/ngram_lm precedent).
+
+    Returns ``(id_col, weight_col, key_micro BIGINT)``, the sampled
+    rows' ids with their ranking key snapped to micro ints.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = hash60(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    # u in (0, 1]: (h + 1) / 2^60 — h is uniform on [0, 2^60)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    key_micro = F.floor(key * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            key_micro.alias("key_micro"),
+            key.alias("_key"),
+        )
+        .orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(k)
+        .drop("_key")
+    )
+
+
 def deterministic_complement(
     df: DataFrame,
     fraction: float,

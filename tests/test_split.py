@@ -96,3 +96,87 @@ def test_stratified_sample_fractions_and_stability(spark):
     flat = {r["doc_id"] for r in deterministic_sample(d, 0.2).collect()}
     de_kept = {r["doc_id"] for r in s.filter("lang = 'de'").collect()}
     assert de_kept == {i for i in flat if i % 3 == 1}
+
+
+def test_weighted_sample_matches_python_twin(spark):
+    import math
+
+    from kg_microbe_merge_spark.functions.hashing import hash60_py
+    from kg_microbe_merge_spark.operators.split import weighted_sample
+
+    d = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).cast("long").alias("w"),
+    )
+    got = [
+        (r["doc_id"], r["w"], r["key_micro"])
+        for r in weighted_sample(d, k=20, weight_col="w").collect()
+    ]
+
+    def key(i, w):
+        h = hash60_py(f"{i}:wsample")
+        return math.log((h + 1) / float(1 << 60)) / w
+
+    rows = sorted(
+        ((i, i % 7 + 1) for i in range(200)),
+        key=lambda t: (-key(*t), t[0]),
+    )[:20]
+    want = [
+        (i, w, math.floor(key(i, w) * 1e6 + 0.5)) for i, w in rows
+    ]
+    assert got == want
+
+
+def test_weighted_sample_weight_proportionality(spark):
+    """Across salts, a weight-10 item should be sampled ~10x as often
+    as a weight-1 item (A-ES inclusion ∝ weight for k << N)."""
+    from kg_microbe_merge_spark.operators.split import weighted_sample
+
+    d = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, F.lit(10)).otherwise(F.lit(1))
+        .cast("long").alias("w"),
+    )
+    heavy = light = 0
+    for s in range(30):
+        ids = {
+            r["doc_id"]
+            for r in weighted_sample(
+                d, k=25, weight_col="w", salt=f"s{s}"
+            ).collect()
+        }
+        heavy += sum(1 for i in ids if i < 50)
+        light += sum(1 for i in ids if i >= 50)
+    # 50 heavy (w=10) vs 450 light (w=1): weight mass 500 vs 450, so
+    # roughly half the draws should be heavy; require a wide band
+    frac = heavy / (heavy + light)
+    assert 0.35 < frac < 0.65, (heavy, light)
+
+
+def test_weighted_sample_guards(spark):
+    import pytest as _pytest
+
+    from kg_microbe_merge_spark.operators.split import weighted_sample
+
+    # null weights and w <= 0 rows must never displace weighted rows
+    d = spark.createDataFrame(
+        [(1, None), (2, 0), (3, -2), (4, 5), (5, 3)],
+        "doc_id int, w int",
+    )
+    got = {r["doc_id"] for r in
+           weighted_sample(d, k=10, weight_col="w").collect()}
+    assert got == {4, 5}
+    with _pytest.raises(ValueError):
+        weighted_sample(d, k=0, weight_col="w")
+
+
+def test_weighted_sample_partitioning_invariance(spark):
+    from kg_microbe_merge_spark.operators.split import weighted_sample
+
+    d = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5 + 1).cast("long").alias("w"),
+    )
+    a = weighted_sample(d.repartition(17), k=30, weight_col="w").collect()
+    b = weighted_sample(d.coalesce(1), k=30, weight_col="w").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
