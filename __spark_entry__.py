@@ -2275,7 +2275,14 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     h = scd2_init(delta(0), "id", ["name", "price"], 0)
     for b in range(1, 4):
-        h = scd2_apply(h, delta(b), "id", ["name", "price"], b)
+        # materialize between folds (localCheckpoint stands in for the
+        # per-batch snapshot write of real usage) — scd2_apply reads
+        # its history input through five streams, so an unmaterialized
+        # chain re-derives the previous fold 5× per level (5^n plans)
+        h = scd2_apply(
+            h.localCheckpoint(eager=True), delta(b), "id",
+            ["name", "price"], b,
+        )
     return h
 
 

@@ -77,6 +77,14 @@ def scd2_apply(
     """Fold ``delta`` (one row per key, columns ``key_col`` +
     ``tracked_cols``) into the SCD2 ``history`` at ``batch_id``.
     Returns the new history table (same schema as :func:`scd2_init`).
+
+    ``history`` MUST be a materialized relation (a written snapshot,
+    a checkpoint, or at least persisted): this fold reads it through
+    five streams (closed / untouched / kept / closing / reopening), so
+    chaining folds over raw lineage re-derives the previous fold five
+    times per level — 5^n plan blowup. Real deployments naturally
+    satisfy this (each batch's history is written before the next is
+    folded, the streaming/maintain.py versioned-publish pattern).
     """
     maybe_bc = F.broadcast if broadcast_delta else (lambda df: df)
     cols = [key_col, *tracked_cols]
