@@ -2214,6 +2214,24 @@ def q_kmv_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_intersection(a, b)
 
 
+def q_kmv_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join output-size estimation WITHOUT executing the join
+    (operators/kmv.py kmv_join_size — the theta-sketch-with-summaries
+    planning question: broadcast? salt? how many partitions?): the
+    orders⋈lineitem size estimated from two k=256-row frequency
+    sketches; each sampled key carries its EXACT frequency, scaled by
+    the Horvitz–Thompson union estimate. Oracle: module-generated twin
+    (identical fold and scaling operand order, micro protocol)."""
+    from kg_microbe_merge_spark.operators.kmv import (
+        kmv_freq_sketch,
+        kmv_join_size,
+    )
+
+    a = kmv_freq_sketch(_t(spark, sf_dir, "orders"), "o_orderkey")
+    b = kmv_freq_sketch(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    return kmv_join_size(a, b)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (operators/split.weighted_sample, Efraimidis–Spirakis A-ES): top-25
@@ -3200,8 +3218,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ppjoin_pairs (prefix-filtered set-similarity join,
     operators/ppjoin.py — exact-recall AllPairs/PPJoin pruning vs the
     NAIVE full-index oracle, a machine-checked proof of the prefix
-    theorem); and weighted_sample (Efraimidis–Spirakis A-ES weighted
-    sampling, operators/split.py — identical-formula oracle).
+    theorem); weighted_sample (Efraimidis–Spirakis A-ES weighted
+    sampling, operators/split.py — identical-formula oracle); and
+    kmv_join_size (equi-join output-size estimation from two
+    frequency-annotated bottom-k sketches, operators/kmv.py —
+    module-generated oracle).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "ktruss_3": q_ktruss,
@@ -3211,6 +3232,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "ppjoin_pairs": q_ppjoin_pairs,
         "weighted_sample": q_weighted_sample,
+        "kmv_join_size": q_kmv_join_size,
         "bm25_topk": q_bm25_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "scc_components": q_scc_components,
@@ -4752,6 +4774,15 @@ def _all_oracle_sql() -> dict[str, str]:
     from kg_microbe_merge_spark.operators.hyperball import hyperball_sql
 
     sql["hyperball_balls"] = hyperball_sql(_kcore_base, max_t=2)
+
+    # Twin of q_kmv_join_size: module-generated frequency sketches +
+    # identical HT scaling.
+    from kg_microbe_merge_spark.operators.kmv import kmv_join_size_sql
+
+    sql["kmv_join_size"] = kmv_join_size_sql(
+        "SELECT o_orderkey AS key FROM orders",
+        "SELECT l_orderkey AS key FROM lineitem",
+    )
 
     # Twin of q_weighted_sample: identical A-ES formula, ln parity.
     _ws_h = _h60("doc_id::VARCHAR || ':wsample'")

@@ -133,6 +133,7 @@ HEADLINE = [
     "scd2_history",
     "ppjoin_pairs",
     "weighted_sample",
+    "kmv_join_size",
 ]
 
 

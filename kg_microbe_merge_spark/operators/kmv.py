@@ -216,6 +216,120 @@ def kmv_intersection(
     )
 
 
+def kmv_freq_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Frequency-annotated bottom-k sketch of a JOIN KEY column: one
+    row ``(hs ARRAY<BIGINT>, cnts ARRAY<BIGINT>)`` — the k smallest
+    distinct key hashes with each key's exact row count (the theta
+    "sketch with summaries"). Input to :func:`kmv_join_size`.
+
+    Build: one map-side-partial count aggregation on the key (the
+    exchange any ``groupBy(key)`` pays — distinct keys, not rows),
+    then the k-bounded dense_rank window over the count table. The
+    count-first order keeps heavy-hitter multiplicities out of the
+    window exchange."""
+    h = hash60(F.col(key_col).cast("string"))
+    counts = (
+        df.select(h.alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("h")
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+    )
+    pairs = F.array_sort(F.collect_list(F.struct(F.col("h"), F.col("cnt"))))
+    return top.groupBy().agg(
+        F.transform(pairs, lambda s: s["h"]).alias("hs"),
+        F.transform(pairs, lambda s: s["cnt"]).alias("cnts"),
+    )
+
+
+def kmv_join_size(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Equi-join OUTPUT-size estimate from two frequency sketches
+    (:func:`kmv_freq_sketch` results) WITHOUT executing the join — the
+    query-planning question (broadcast? salt? how many shuffle
+    partitions?) answered from two k-row summaries:
+
+        Ĵ = (n̂_union / |S_∪|) · Σ_{h ∈ S_∪ present in both} f_a(h)·f_b(h)
+
+    — the union sample is a uniform sample of the distinct-key space,
+    each sampled key contributes its EXACT frequency product, and the
+    Horvitz–Thompson scale-up is the union cardinality estimate over
+    the sample size. Returns one row ``(n_union_sample, matches,
+    union_est_micro, sum_products, join_size_est_micro)``. All BIGINT
+    until the final mirrored double scaling (micro protocol).
+    """
+    aj = a.select(F.col("hs").alias("_ha"), F.col("cnts").alias("_ca"))
+    bj = b.select(F.col("hs").alias("_hb"), F.col("cnts").alias("_cb"))
+    j = aj.crossJoin(bj)
+    union_hs = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("_ha"), F.col("_hb")))),
+        1,
+        k,
+    )
+    j = j.select("_ha", "_ca", "_hb", "_cb", union_hs.alias("_u"))
+    # per union-sample hash: product of the two exact frequencies when
+    # present in both sketches, else 0 — row-local array algebra
+    prod = F.aggregate(
+        F.col("_u"),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc
+        + F.when(
+            F.array_position(F.col("_ha"), v) > 0,
+            F.element_at(
+                F.col("_ca"), F.array_position(F.col("_ha"), v).cast("int")
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        * F.when(
+            F.array_position(F.col("_hb"), v) > 0,
+            F.element_at(
+                F.col("_cb"), F.array_position(F.col("_hb"), v).cast("int")
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    matches = F.size(
+        F.filter(
+            F.col("_u"),
+            lambda v: F.array_contains(F.col("_ha"), v)
+            & F.array_contains(F.col("_hb"), v),
+        )
+    )
+    n_union = F.size(F.col("_u"))
+    union_est_micro = _estimate_expr(F.col("_u"), k)
+    j = j.select(
+        n_union.cast("long").alias("n_union_sample"),
+        matches.cast("long").alias("matches"),
+        union_est_micro.alias("union_est_micro"),
+        prod.alias("sum_products"),
+    )
+    scale = (
+        F.col("union_est_micro").cast("double")
+        / F.lit(1e6)
+        / F.col("n_union_sample").cast("double")
+    )
+    return j.select(
+        "n_union_sample",
+        "matches",
+        "union_est_micro",
+        "sum_products",
+        F.floor(
+            F.col("sum_products").cast("double") * scale * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("join_size_est_micro"),
+    )
+
+
 # --- DuckDB twins (generated from the same constants) ---------------------
 
 
@@ -288,6 +402,64 @@ def kmv_intersection_sql(
                floor((matches::DOUBLE / len(u_hs)::DOUBLE) * 1e6
                      + 0.5)::BIGINT AS jaccard_micro
         FROM u
+    """
+
+
+def kmv_freq_sketch_cte(
+    keys_sql: str, k: int = KMV_K, name: str = "fsk"
+) -> str:
+    """CTE chain (no leading WITH) over a key query ``keys_sql``
+    (one column ``key``, one row per underlying row) ending in
+    ``{name}(hs, cnts)`` — the DuckDB twin of :func:`kmv_freq_sketch`."""
+    h = hash60_sql("(key)::VARCHAR")
+    return f"""{name}_counts AS (
+            SELECT h, count(*) AS cnt
+            FROM (SELECT {h} AS h FROM ({keys_sql})) GROUP BY h),
+        {name}_top AS (
+            SELECT h, cnt, row_number() OVER (ORDER BY h) AS rn
+            FROM {name}_counts),
+        {name} AS (
+            SELECT list(h ORDER BY h) AS hs,
+                   list(cnt ORDER BY h) AS cnts
+            FROM {name}_top WHERE rn <= {k})"""
+
+
+def kmv_join_size_sql(
+    a_keys_sql: str, b_keys_sql: str, k: int = KMV_K
+) -> str:
+    """Full DuckDB twin of :func:`kmv_join_size` over two key queries —
+    identical fold, identical scaling operand order, micro protocol."""
+    u = f"(list_sort(list_distinct(list_concat(a.hs, b.hs))))[1:{k}]"
+    est_u = _estimate_sql("u_hs", k)
+    term = (
+        "CASE WHEN list_position(ha, v) > 0"
+        " THEN ca[list_position(ha, v)] ELSE 0 END"
+        " * CASE WHEN list_position(hb, v) > 0"
+        " THEN cb[list_position(hb, v)] ELSE 0 END"
+    )
+    return f"""
+        WITH {kmv_freq_sketch_cte(a_keys_sql, k, "ska")},
+        {kmv_freq_sketch_cte(b_keys_sql, k, "skb")},
+        j AS (SELECT a.hs AS ha, a.cnts AS ca, b.hs AS hb, b.cnts AS cb,
+                     {u} AS u_hs
+              FROM ska a, skb b),
+        scored AS (
+            SELECT len(u_hs) AS n_union,
+                   len(list_filter(u_hs,
+                       v -> list_contains(ha, v)
+                            AND list_contains(hb, v))) AS matches,
+                   {est_u} AS est_micro,
+                   coalesce(list_sum(list_transform(u_hs,
+                       v -> {term})), 0) AS sum_products
+            FROM j)
+        SELECT cast(n_union AS BIGINT) AS n_union_sample,
+               cast(matches AS BIGINT) AS matches,
+               est_micro AS union_est_micro,
+               cast(sum_products AS BIGINT) AS sum_products,
+               floor(sum_products::DOUBLE
+                     * (est_micro::DOUBLE / 1e6 / n_union::DOUBLE)
+                     * 1e6 + 0.5)::BIGINT AS join_size_est_micro
+        FROM scored
     """
 
 

@@ -137,3 +137,65 @@ def test_sketch_build_partial_group_limit_before_exchange(spark):
     partial = plan.find("Partial")
     exchange = plan.find("Exchange")
     assert partial != -1 and exchange != -1 and exchange < partial, plan
+
+
+def test_join_size_exact_when_unsaturated(spark):
+    """Both key universes below k: the union sample IS the union, the
+    union estimate is exact, so the join-size estimate is EXACTLY
+    sum(f_a(key) * f_b(key)) — the true join output size."""
+    from kg_microbe_merge_spark.operators.kmv import (
+        kmv_freq_sketch,
+        kmv_join_size,
+    )
+
+    a_rows = [Row(key=f"k{i % 10}") for i in range(50)]   # 10 keys x 5
+    b_rows = [Row(key=f"k{i % 20}") for i in range(40)]   # 20 keys x 2
+    a = kmv_freq_sketch(spark.createDataFrame(a_rows), "key")
+    b = kmv_freq_sketch(spark.createDataFrame(b_rows), "key")
+    row = kmv_join_size(a, b).collect()[0]
+    # true join size: keys k0..k9 match, 5 * 2 each = 100
+    assert row["matches"] == 10
+    assert row["sum_products"] == 100
+    assert row["join_size_est_micro"] == 100_000_000
+    assert row["n_union_sample"] == 20
+
+
+def test_join_size_accuracy_on_large_join(spark):
+    from kg_microbe_merge_spark.operators.kmv import (
+        kmv_freq_sketch,
+        kmv_join_size,
+    )
+
+    # 5000 shared keys, f_a = 1..3 cyclic, f_b = 1..2 cyclic;
+    # true size = sum over keys of f_a*f_b
+    a_rows = [
+        Row(key=f"s{i}") for i in range(5000) for _ in range(i % 3 + 1)
+    ]
+    b_rows = [
+        Row(key=f"s{i}") for i in range(5000) for _ in range(i % 2 + 1)
+    ]
+    true = sum((i % 3 + 1) * (i % 2 + 1) for i in range(5000))
+    a = kmv_freq_sketch(spark.createDataFrame(a_rows), "key")
+    b = kmv_freq_sketch(spark.createDataFrame(b_rows), "key")
+    est = kmv_join_size(a, b).collect()[0]["join_size_est_micro"] / 1e6
+    # union rel error ~1/sqrt(k-2) plus product-sampling noise; require
+    # a wide-but-meaningful band
+    assert abs(est - true) < 0.5 * true, (est, true)
+
+
+def test_join_size_disjoint_keys_is_zero(spark):
+    from kg_microbe_merge_spark.operators.kmv import (
+        kmv_freq_sketch,
+        kmv_join_size,
+    )
+
+    a = kmv_freq_sketch(
+        spark.createDataFrame([Row(key=f"a{i}") for i in range(500)]), "key"
+    )
+    b = kmv_freq_sketch(
+        spark.createDataFrame([Row(key=f"b{i}") for i in range(500)]), "key"
+    )
+    row = kmv_join_size(a, b).collect()[0]
+    assert row["matches"] == 0
+    assert row["sum_products"] == 0
+    assert row["join_size_est_micro"] == 0
