@@ -501,3 +501,109 @@ def compact_snapshot(
         "bytes": total,
         "partitions": int(n),
     }
+
+
+def fold_scd2_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    snapshot_dir: str,
+    key_col: str,
+    tracked_cols: list[str],
+    batch_id: int,
+    keep_versions: int = 1,
+) -> None:
+    """Fold one attribute-delta batch into the versioned SCD2 HISTORY
+    snapshot — the streaming face of :func:`operators.history.scd2_apply`
+    (row-level version audit maintained continuously, completing the
+    fold family: nodes/edges via upsert, the id mapping via incremental
+    CC, sketches via register merges, and now attribute history).
+
+    Exactly-once effect by IDEMPOTENCE (no ledger): re-folding an
+    already-applied delta at the SAME ``batch_id`` finds every key's
+    current row already carrying the delta's attrs (valid_from ==
+    batch_id), so change detection reports no change and the
+    republished history is identical (tested). The versioned store
+    satisfies scd2_apply's materialized-history contract — each fold
+    reads the previous fold's written parquet, never raw lineage.
+
+    ``batch`` must carry one row per key (the upsert contract); in
+    :func:`run_scd2_stream` the foreachBatch ``epoch_id`` is the
+    batch_id, so valid_from/valid_to intervals are epoch-stamped.
+    """
+    from ..operators.history import scd2_apply, scd2_init
+
+    if not batch.take(1):
+        return
+    batch = batch.select(key_col, *tracked_cols)
+    snapshot = read_snapshot(spark, snapshot_dir)
+    if snapshot is None:
+        new = scd2_init(batch, key_col, tracked_cols, batch_id)
+    else:
+        new = scd2_apply(snapshot, batch, key_col, tracked_cols, batch_id)
+    _publish(new, snapshot_dir, keep_versions=keep_versions)
+
+
+def run_scd2_stream(
+    spark: SparkSession,
+    delta_dir: str,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    key_col: str,
+    tracked_cols: list[str],
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    keep_versions: int = 1,
+):
+    """Maintain the SCD2 attribute-history table over an append-only
+    delta stream. Invariant (tested): after draining any stream prefix
+    the snapshot equals :func:`operators.history.scd2_from_log` over
+    the event log of (epoch, key, attrs) seen so far."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    deltas = reader.parquet(delta_dir)
+
+    def _fold(batch: DataFrame, epoch_id: int) -> None:
+        fold_scd2_batch(
+            spark, batch, snapshot_dir, key_col, tracked_cols,
+            int(epoch_id), keep_versions=keep_versions,
+        )
+
+    writer = (
+        deltas.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def fold_kmv_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    sketch_dir: str,
+    item_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int | None = None,
+) -> None:
+    """Fold one micro-batch into the published KMV bottom-k snapshot —
+    the set-INTERSECTION-capable sketch maintained continuously
+    (operators/kmv.py; HLL streams answer per-group distinct, a KMV
+    stream additionally answers overlap/Jaccard between any two groups
+    or snapshots at read time). Safe to call again with the same batch:
+    union-distinct-truncate is idempotent, the HLL-register-max
+    argument. Raises if the snapshot was built at a different ``k`` or
+    grouping."""
+    from ..operators.kmv import KMV_K, kmv_merge, kmv_sketch
+
+    kk = k or KMV_K
+    meta = {"sketch": "kmv", "k": kk, "groups": list(group_cols)}
+    _check_params(_read_meta(sketch_dir), meta, "KMV")
+    if not batch.take(1):
+        return
+    sk = kmv_sketch(batch, item_col, group_cols, kk)
+    cur = read_snapshot(spark, sketch_dir)
+    if cur is not None:
+        sk = kmv_merge(cur, sk, group_cols, kk)
+    _publish(sk, sketch_dir, marker=_meta_marker(meta))

@@ -122,3 +122,39 @@ def test_cms_fold_epoch_ledger_exactly_once(spark, tmp_path):
     assert _cells(spark, cms_dir) == _batch_cells(
         spark, _rows("x", 30) + _rows("y", 20)
     )
+
+
+def test_kmv_fold_stream_equals_batch_and_replay_idempotent(spark, tmp_path):
+    from kg_microbe_merge_spark.operators.kmv import kmv_py
+    from kg_microbe_merge_spark.streaming.maintain import fold_kmv_batch
+
+    kmv_dir = str(tmp_path / "kmv")
+    b1 = _rows("a", 40)
+    b2 = _rows("b", 30)
+    fold_kmv_batch(
+        spark, spark.createDataFrame(b1, SCHEMA), kmv_dir, "item", k=16
+    )
+    fold_kmv_batch(
+        spark, spark.createDataFrame(b2, SCHEMA), kmv_dir, "item", k=16
+    )
+    got = list(read_snapshot(spark, kmv_dir).collect()[0]["hs"])
+    want = kmv_py([r.item for r in b1 + b2], k=16)
+    assert got == want
+    # at-least-once replay of the last batch: union-distinct-truncate
+    # is idempotent
+    fold_kmv_batch(
+        spark, spark.createDataFrame(b2, SCHEMA), kmv_dir, "item", k=16
+    )
+    assert list(read_snapshot(spark, kmv_dir).collect()[0]["hs"]) == want
+
+
+def test_kmv_fold_param_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    from kg_microbe_merge_spark.streaming.maintain import fold_kmv_batch
+
+    kmv_dir = str(tmp_path / "kmv")
+    b = spark.createDataFrame(_rows("x", 10), SCHEMA)
+    fold_kmv_batch(spark, b, kmv_dir, "item", k=16)
+    with pytest.raises(ValueError, match="different sketch parameters"):
+        fold_kmv_batch(spark, b, kmv_dir, "item", k=32)
