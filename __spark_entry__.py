@@ -4818,8 +4818,8 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM ov
         JOIN sz sa ON sa.doc_id = ov.doc_a
         JOIN sz sb ON sb.doc_id = ov.doc_b
-        WHERE round(ov.inter::DOUBLE
-                    / (sa.size + sb.size - ov.inter), 6) >= 0.8
+        WHERE ov.inter::DOUBLE
+              / (sa.size + sb.size - ov.inter) >= 0.8
     """
 
     # Twin of q_scd2_history: the one-pass window derivation over the

@@ -78,25 +78,26 @@ def pmi_collocations(
         .persist()
     )
 
+    # both count tables are vocabulary-bounded — materialize them
+    # (eager localCheckpoint) so the instance cache can be released
+    # before the caller's final evaluation (on a real cluster: write
+    # the model tables, the bigram_model persist note)
     cb = (
         inst.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= min_count)
-    )
+    ).localCheckpoint(eager=True)
     cu = (
         inst.select(F.col("w1").alias("w"))
         .union(inst.select(F.col("w2").alias("w")))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
-    )
-    # instance totals: every bigram instance contributes its w1 (plus
-    # the final token of each doc once via w2 of the last pair) — the
-    # exact unigram total over the SAME stream both engines see is
-    # sum(n_w), and the pair total is one count over inst.
-    totals = inst.groupBy().agg(F.count(F.lit(1)).alias("nb")).collect()[0]
-    n_b = int(totals["nb"])
-    n_u_row = cu.groupBy().agg(F.sum("n_w").alias("nu")).collect()[0]
-    n_u = int(n_u_row["nu"])
+    ).localCheckpoint(eager=True)
+    n_b = int(inst.count())
+    inst.unpersist()
+    # every instance contributes exactly its w1 and w2 slot, so the
+    # slot-stream unigram total is identically 2·N_b — no second job
+    n_u = 2 * n_b
 
     j = (
         cb.join(cu.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_w1"), "w1")
@@ -115,7 +116,14 @@ def pmi_collocations(
     pmi = F.log(ratio)
     denom = F.log(F.lit(float(n_b)) / F.col("n_pair").cast("double"))
     pmi_micro = F.floor(pmi * F.lit(1e6) + F.lit(0.5)).cast("long")
-    npmi_micro = F.floor(pmi / denom * F.lit(1e6) + F.lit(0.5)).cast("long")
+    # degenerate denominator: a pair accounting for EVERY bigram
+    # instance has -ln p(xy) = 0; the always-co-occur convention is
+    # npmi = 1 (mirrored in the SQL and python twins)
+    npmi_micro = F.when(
+        F.col("n_pair") == F.lit(n_b), F.lit(1_000_000).cast("long")
+    ).otherwise(
+        F.floor(pmi / denom * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
     out = j.select(
         "w1",
         "w2",
@@ -158,8 +166,9 @@ def pmi_collocations_sql(
                cast(u1.n_w AS BIGINT) AS n_w1,
                cast(u2.n_w AS BIGINT) AS n_w2,
                floor(ln({ratio}) * 1e6 + 0.5)::BIGINT AS pmi_micro,
-               floor(ln({ratio}) / {denom} * 1e6 + 0.5)::BIGINT
-                   AS npmi_micro
+               CASE WHEN cb.n_pair = t2.nb THEN 1000000::BIGINT
+                    ELSE floor(ln({ratio}) / {denom} * 1e6 + 0.5)::BIGINT
+               END AS npmi_micro
         FROM cb
         JOIN cu u1 ON u1.w = cb.w1
         JOIN cu u2 ON u2.w = cb.w2
@@ -199,7 +208,11 @@ def pmi_py(docs: list[str], min_count: int = 5, top_k: int = 100):
             float(nb) * float(cu[a]) * float(cu[b])
         )
         pmi = math.log(ratio)
-        denom = math.log(float(nb) / float(n_pair))
+        if n_pair == nb:
+            npmi_micro = 1_000_000
+        else:
+            denom = math.log(float(nb) / float(n_pair))
+            npmi_micro = math.floor(pmi / denom * 1e6 + 0.5)
         rows.append(
             (
                 a,
@@ -208,7 +221,7 @@ def pmi_py(docs: list[str], min_count: int = 5, top_k: int = 100):
                 cu[a],
                 cu[b],
                 math.floor(pmi * 1e6 + 0.5),
-                math.floor(pmi / denom * 1e6 + 0.5),
+                npmi_micro,
             )
         )
     rows.sort(key=lambda r: (-r[6], r[0], r[1]))

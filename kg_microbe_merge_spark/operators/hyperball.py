@@ -134,7 +134,12 @@ def hyperball(
         raise ValueError(f"max_t must be >= 0, got {max_t}")
     m = 1 << p
     rcols = [f"r{j}" for j in range(m)]
-    e = _sym_edges(edges, src, dst, directed)
+    # loop-invariant: persist so each round's join (and the eager
+    # checkpoint actions driving them) reuses one materialization
+    # instead of re-running the symmetrize+distinct shuffle per round
+    # (the bfs/pagerank discipline); safe to release at the end —
+    # every snapshot is a projection over a checkpointed sketch table
+    e = _sym_edges(edges, src, dst, directed).persist()
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
@@ -168,6 +173,7 @@ def hyperball(
             .agg(*[F.max(c).alias(c) for c in rcols])
         ).localCheckpoint(eager=True)
         snapshots.append(_snapshot(sk, t))
+    e.unpersist()
     out = reduce(lambda a, b: a.union(b), snapshots)
     return out.select(
         "node",

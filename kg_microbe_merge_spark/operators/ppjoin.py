@@ -161,21 +161,23 @@ def set_similarity_join(
         F.col("size").alias("size_b"),
     )
     inter = F.size(F.array_intersect("_arr_a", "_arr_b")).cast("long")
+    # filter on the RAW ratio (the quantity the prefix/length theorems
+    # bound — a round(x, 6) >= t filter would admit pairs with true
+    # J in [t - 5e-7, t) that the pruning is allowed to drop); the
+    # rounded column is display protocol only, and the oracle compares
+    # the identical raw division
+    raw_j = F.col("inter") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    )
     verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("inter", inter)
-        .select(
-            "doc_a",
-            "doc_b",
-            "inter",
-            F.round(
-                F.col("inter")
-                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
-                6,
-            ).alias("jaccard"),
-        )
+        .filter(raw_j >= threshold)
     )
-    return verified.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", "inter", "jaccard"
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        F.round(raw_j, 6).alias("jaccard"),
     )

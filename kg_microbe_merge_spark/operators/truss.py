@@ -38,20 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kg_microbe_merge_spark.operators.kcore import _undirected_simple
 from kg_microbe_merge_spark.operators.triangles import triangles
-
-
-def _undirected_simple(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Canonical undirected simple edges ``(a, b)`` with a < b
-    (self-loops dropped — a self-loop closes no triangle)."""
-    return (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
 
 
 def _edge_support(e: DataFrame) -> DataFrame:

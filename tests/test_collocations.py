@@ -89,3 +89,13 @@ def test_empty_and_short_docs_contribute_nothing(spark):
     got = _collect(spark, docs, min_count=2, top_k=10)
     assert got == pmi_py(docs, min_count=2, top_k=10)
     assert {(a, b) for a, b, *_ in got} == {("a", "b"), ("b", "a")}
+
+
+def test_degenerate_pair_owns_all_bigrams(spark):
+    # every bigram instance IS the pair: -ln p(xy) = 0, so the three
+    # twins agree on the always-co-occur convention npmi = 1
+    docs = ["new york"] * 5
+    rows = _collect(spark, docs, min_count=5, top_k=5)
+    assert rows == pmi_py(docs, min_count=5, top_k=5)
+    assert rows[0][:2] == ("new", "york")
+    assert rows[0][6] == 1_000_000

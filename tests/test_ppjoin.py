@@ -40,9 +40,9 @@ def _naive_pairs(docs, threshold, n=1):
         inter = len(sa & sb)
         if inter == 0:
             continue
-        j = round(inter / (len(sa) + len(sb) - inter), 6)
-        if j >= threshold:
-            out[(a, b)] = (inter, j)
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:  # raw comparison, like the engine/oracle
+            out[(a, b)] = (inter, round(j, 6))
     return out
 
 
