@@ -2214,6 +2214,21 @@ def q_kmv_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_intersection(a, b)
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostics (operators/skew.py): heavy-hitter
+    frequencies, the concentration ratio (top-reducer rows vs uniform
+    share) and the per-key salt-bucket prescription for lineitem's
+    low-cardinality l_returnflag key at 32 shuffle partitions — the
+    measured version of the planning call every 100 TB groupBy/join
+    makes. ONE map-side-partial count agg + a bounded TakeOrdered;
+    all-BIGINT ceil (div, never floor(double/)). Oracle:
+    module-generated twin."""
+    from kg_microbe_merge_spark.operators.skew import skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_returnflag", shuffle_partitions=32, top_n=10)
+
+
 def q_kmv_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-join output-size estimation WITHOUT executing the join
     (operators/kmv.py kmv_join_size — the theta-sketch-with-summaries
@@ -3222,6 +3237,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sampling, operators/split.py — identical-formula oracle); and
     kmv_join_size (equi-join output-size estimation from two
     frequency-annotated bottom-k sketches, operators/kmv.py —
+    module-generated oracle); and skew_report (shuffle-skew
+    diagnostics + salt prescription, operators/skew.py —
     module-generated oracle).
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
@@ -3233,6 +3250,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppjoin_pairs": q_ppjoin_pairs,
         "weighted_sample": q_weighted_sample,
         "kmv_join_size": q_kmv_join_size,
+        "skew_report": q_skew_report,
         "bm25_topk": q_bm25_topk,
         "pq_adc_topk": q_pq_adc_topk,
         "scc_components": q_scc_components,
@@ -4774,6 +4792,15 @@ def _all_oracle_sql() -> dict[str, str]:
     from kg_microbe_merge_spark.operators.hyperball import hyperball_sql
 
     sql["hyperball_balls"] = hyperball_sql(_kcore_base, max_t=2)
+
+    # Twin of q_skew_report: module-generated, identical BIGINT ceil.
+    from kg_microbe_merge_spark.operators.skew import skew_report_sql
+
+    sql["skew_report"] = skew_report_sql(
+        "SELECT l_returnflag AS key FROM lineitem",
+        shuffle_partitions=32,
+        top_n=10,
+    )
 
     # Twin of q_kmv_join_size: module-generated frequency sketches +
     # identical HT scaling.

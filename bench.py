@@ -134,6 +134,7 @@ HEADLINE = [
     "ppjoin_pairs",
     "weighted_sample",
     "kmv_join_size",
+    "skew_report",
 ]
 
 
