@@ -2632,6 +2632,23 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(d, min_count=5)
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer TRAINING (operators/bpe.py): 8 merge rounds
+    learned over the corpus word-frequency dimension — per round ONE
+    map-side-partial pair-count exchange + a 1-row driver argmax + a
+    row-local wrapped-literal replace (eager localCheckpoint keeps
+    lineage O(1)). The corpus itself is scanned exactly once (the
+    wordcount). Oracle: the module GENERATES a DuckDB twin that
+    re-trains end to end — rounds unrolled as MATERIALIZED CTEs with
+    the identical (n DESC, lhs, rhs) argmax and the same greedy
+    left-to-right replace semantics."""
+    from kg_microbe_merge_spark.operators.bpe import bpe_train, merges_df
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _state = bpe_train(d, n_merges=8, min_count=2)
+    return merges_df(spark, merges)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index,
     over the stop-shingle-filtered universe (doc-freq ceiling 50)."""
@@ -3285,6 +3302,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "er_token_blocking": q_er_token_blocking,
         "vocab_topk": q_vocab_topk,
+        "bpe_merges": q_bpe_merges,
         "json_extract": q_json_extract,
         "percentiles": q_percentiles,
         "cube_agg": q_cube_agg,
@@ -4909,6 +4927,15 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM p GROUP BY pp.lhs, pp.rhs
         HAVING count(*) >= 5
     """
+
+    # Twin of q_bpe_merges: module-generated full re-training (rounds
+    # unrolled as MATERIALIZED CTEs, identical argmax order + greedy
+    # replace semantics).
+    from kg_microbe_merge_spark.operators.bpe import bpe_merges_sql
+
+    sql["bpe_merges"] = bpe_merges_sql(
+        "SELECT text FROM documents", n_merges=8, min_count=2
+    )
 
     # -- PII scrub: identical deterministic injection + identical RE2
     # patterns (functions/pii.py), hash-compared on the redacted text
