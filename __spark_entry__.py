@@ -2146,6 +2146,24 @@ def q_er_token_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_blocking_candidates(ents, max_block=50, min_shared=1)
 
 
+def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking WEP/CNP pruning of the token-blocking candidate
+    graph (operators/metablocking.py, Papadakis TKDE 2014): per-edge
+    block-Jaccard in exact BIGINT micro-units, weight-edge pruning vs
+    the global mean (integer compare, no division), and per-endpoint
+    top-k cardinality-node pruning (WindowGroupLimit, map-side Partial
+    rank). Same entity universe as er_token_blocking. Oracle:
+    module-generated twin (identical tokenizer, purge, integer
+    Jaccard, window order)."""
+    from kg_microbe_merge_spark.operators.metablocking import meta_blocking
+
+    part = _t(spark, sf_dir, "part")
+    ents = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    )
+    return meta_blocking(ents, max_block=50, top_k=3)
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS) + overlap candidate pairs
     (operators/winnow.py): gram hashing and window-min selection are
@@ -3301,6 +3319,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": q_skipgram_pairs,
         "winnow_overlap": q_winnow_overlap,
         "er_token_blocking": q_er_token_blocking,
+        "meta_blocking": q_meta_blocking,
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
         "json_extract": q_json_extract,
@@ -5129,6 +5148,19 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, shared, score_micro / 1000000.0 AS score
         FROM pairs WHERE shared >= 1
     """
+
+    # Twin of q_meta_blocking: module-generated (identical tokenizer,
+    # purge window, integer-exact Jaccard, WEP compare, CNP window).
+    from kg_microbe_merge_spark.operators.metablocking import (
+        meta_blocking_sql,
+    )
+
+    sql["meta_blocking"] = meta_blocking_sql(
+        "SELECT p_partkey AS id, p_name AS name FROM part"
+        " WHERE p_partkey % 20 = 0",
+        max_block=50,
+        top_k=3,
+    )
 
     # winnowing fingerprints (operators/winnow.py): same gram hash,
     # window-min selection, doc-frequency ceiling, inverted-index pairs
