@@ -1953,6 +1953,107 @@ def q_url_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _messy_url_col() -> F.Column:
+    """Deterministic MESSY URL synthesis (Spark side): mixed-case
+    scheme/host, default and non-default ports, tracking params mixed
+    with real ones in non-canonical order, fragments, trailing
+    slashes — everything frontier.canonical_url must normalize. The
+    oracle builds the identical string (``_MESSY_URL_SQL``)."""
+    did = F.col("doc_id")
+    hostbase = F.concat(
+        F.lit("www."),
+        F.col("source"),
+        (did % 5).cast("string"),
+        F.lit(".com"),
+    )
+    return F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 2 == 0, F.upper(hostbase)).otherwise(hostbase),
+        F.when((did % 2 == 0) & (did % 5 == 0), F.lit(":80"))
+        .when((did % 2 == 1) & (did % 5 == 1), F.lit(":443"))
+        .when(did % 5 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.repeat(F.lit("/Seg"), (did % 3).cast("int")),
+        F.when(did % 4 == 2, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=x&page="),
+                (did % 7).cast("string"),
+                F.lit("&gclid=1"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(F.lit("?b=2&a="), (did % 7).cast("string")),
+        )
+        .otherwise(F.lit("")),
+        F.when(
+            did % 4 == 1,
+            F.concat(F.lit("#sec"), (did % 3).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_MESSY_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)"
+    " || '://'"
+    " || (CASE WHEN doc_id % 2 = 0"
+    "      THEN upper('www.' || source || cast(doc_id % 5 AS VARCHAR)"
+    "                 || '.com')"
+    "      ELSE 'www.' || source || cast(doc_id % 5 AS VARCHAR)"
+    "           || '.com' END)"
+    " || (CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 0 THEN ':80'"
+    "      WHEN doc_id % 2 = 1 AND doc_id % 5 = 1 THEN ':443'"
+    "      WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END)"
+    " || repeat('/Seg', cast(doc_id % 3 AS INTEGER))"
+    " || (CASE WHEN doc_id % 4 = 2 THEN '/' ELSE '' END)"
+    " || (CASE WHEN doc_id % 3 = 0"
+    "      THEN '?utm_source=x&page=' || cast(doc_id % 7 AS VARCHAR)"
+    "           || '&gclid=1'"
+    "      WHEN doc_id % 3 = 1"
+    "      THEN '?b=2&a=' || cast(doc_id % 7 AS VARCHAR)"
+    "      ELSE '' END)"
+    " || (CASE WHEN doc_id % 4 = 1"
+    "      THEN '#sec' || cast(doc_id % 3 AS VARCHAR) ELSE '' END)"
+)
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization (operators/frontier.py):
+    fragment strip, scheme+authority lowercase, default-port drop,
+    tracking-param drop + alphabetical param sort, trailing-slash drop
+    — all row-local codegen, zero shuffle — plus the per-canonical
+    collapse count (the frontier exact-dup signal). Oracle: identical
+    messy-URL synthesis + the module-generated canonical expression."""
+    from kg_microbe_merge_spark.operators.frontier import canonicalize_urls
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select("doc_id", _messy_url_col().alias("url"))
+    return canonicalize_urls(urls)
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-partitioned fetch scheduling (operators/frontier.py):
+    canonical frontier → per-host waves (row_number over (priority
+    DESC, url ASC)); the per-host budget cap (8) is a filter on the
+    rank, which Spark runs as WindowGroupLimit with a map-side Partial
+    rank — hub hosts are bounded BEFORE the one hash exchange.
+    Oracle: module-generated twin (same window order and cap)."""
+    from kg_microbe_merge_spark.operators.frontier import (
+        canonicalize_urls,
+        fetch_schedule,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(_messy_url_col().alias("url"))
+    canon = (
+        canonicalize_urls(urls).select("canonical_url").distinct()
+    )
+    return fetch_schedule(canon, max_per_host=8)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 characteristic terms per document
     (operators/tfidf.py): row-local tokenize → map-side-combined TF →
@@ -3320,6 +3421,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "er_token_blocking": q_er_token_blocking,
         "meta_blocking": q_meta_blocking,
+        "url_canonicalize": q_url_canonicalize,
+        "crawl_schedule": q_crawl_schedule,
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
         "json_extract": q_json_extract,
@@ -5007,6 +5110,30 @@ def _all_oracle_sql() -> dict[str, str]:
                    AS domain_pages
         FROM parsed
     """
+
+    # Twins of q_url_canonicalize / q_crawl_schedule: identical messy
+    # synthesis (_MESSY_URL_SQL) + module-generated canonicalization /
+    # window schedule.
+    from kg_microbe_merge_spark.operators.frontier import (
+        canonical_url_sql,
+        fetch_schedule_sql,
+    )
+
+    _canon = canonical_url_sql(_MESSY_URL_SQL)
+    sql["url_canonicalize"] = f"""
+        WITH u AS MATERIALIZED (
+            SELECT doc_id, {_MESSY_URL_SQL} AS url,
+                   {_canon} AS canonical_url
+            FROM documents)
+        SELECT doc_id, url, canonical_url,
+               count(*) OVER (PARTITION BY canonical_url)::BIGINT
+                   AS canon_group
+        FROM u
+    """
+    sql["crawl_schedule"] = fetch_schedule_sql(
+        f"SELECT DISTINCT {_canon} AS url FROM documents",
+        max_per_host=8,
+    )
 
     # -- TF-IDF top-3 per doc: same tokenizer (normalize + split, len>=2),
     # smoothed idf, rank over the ROUNDED weight, (weight desc, term asc)
