@@ -135,6 +135,10 @@ HEADLINE = [
     "weighted_sample",
     "kmv_join_size",
     "skew_report",
+    "bpe_merges",
+    "meta_blocking",
+    "url_canonicalize",
+    "crawl_schedule",
 ]
 
 
