@@ -2678,6 +2678,66 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_nodes(edges, k=2, src="src", dst="dst")
 
 
+def _gate_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kcore/ktruss/hyperball gate graph (same construction as
+    q_kcore): supplier–nation–region triangle tissue UNION the
+    customer–order/nation tree."""
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        nation.select(
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+        )
+        .unionByName(
+            supplier.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            supplier.join(
+                nation, supplier["s_nationkey"] == nation["n_nationkey"]
+            ).select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("O"), F.col("o_orderkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            customer.select(
+                F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+    )
+
+
+def q_mis_conflict_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Luby maximal independent set (operators/mis.py)
+    over the kcore/ktruss gate graph: the conflict-free survivor
+    policy for SIMILARITY pair graphs (component-collapse over-deletes
+    on chains; MIS keeps a maximal non-conflicting set). Hash
+    priorities make Luby reproducible; per round one map-side-partial
+    min(struct) + id-keyed joins, eager lineage truncation. Oracle:
+    module-generated twin, rounds unrolled as MATERIALIZED CTEs
+    (monotone — extra rounds are no-ops; settle depth 2 on this graph,
+    unroll 5, pinned in tests/test_mis.py)."""
+    from kg_microbe_merge_spark.operators.mis import (
+        maximal_independent_set,
+    )
+
+    edges = _gate_graph_edges(spark, sf_dir)
+    return maximal_independent_set(edges, src="src", dst="dst")
+
+
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-truss of the combined KG (operators/truss.py, support peeling —
     the edge-granular sibling of kcore_2 over the SAME gate graph):
@@ -3423,6 +3483,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_blocking": q_meta_blocking,
         "url_canonicalize": q_url_canonicalize,
         "crawl_schedule": q_crawl_schedule,
+        "mis_conflict_free": q_mis_conflict_free,
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
         "json_extract": q_json_extract,
@@ -4926,6 +4987,17 @@ def _all_oracle_sql() -> dict[str, str]:
     # graph (8 rounds safely above the measured convergence depth —
     # pinned in tests/test_truss.py; monotone, extra rounds no-op).
     sql["ktruss_3"] = _ktruss_sql(_kcore_base, k=3, rounds=8)
+
+    # Twin of q_mis_conflict_free: module-generated Luby rounds over
+    # the same gate graph (settle depth 2 measured; 5 unrolled —
+    # monotone, extra rounds no-op; pinned in tests/test_mis.py).
+    from kg_microbe_merge_spark.operators.mis import mis_sql
+
+    sql["mis_conflict_free"] = mis_sql(
+        f"SELECT s AS src, d AS dst FROM ({_kcore_base})",
+        rounds=5,
+        node_cast="",
+    )
 
     # Twin of q_hyperball: module-generated row-form HLL max-merge
     # rounds over the same gate graph.

@@ -139,6 +139,7 @@ HEADLINE = [
     "meta_blocking",
     "url_canonicalize",
     "crawl_schedule",
+    "mis_conflict_free",
 ]
 
 
