@@ -2738,6 +2738,21 @@ def q_mis_conflict_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_independent_set(edges, src="src", dst="dst")
 
 
+def q_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement (operators/wl.py): 3 rounds of structural
+    re-coloring over the kcore/ktruss gate graph — node-role
+    fingerprints (hub/leaf/bridge classes) from structure alone. The
+    neighbor multiset folds through a commutative hash SUM (map-side
+    partial — a 10^6-degree hub costs one combiner cell per task,
+    never a collected color array). Oracle: module-generated twin,
+    rounds unrolled as MATERIALIZED CTEs with the identical hash
+    combine."""
+    from kg_microbe_merge_spark.operators.wl import wl_colors
+
+    edges = _gate_graph_edges(spark, sf_dir)
+    return wl_colors(edges, rounds=3, src="src", dst="dst")
+
+
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-truss of the combined KG (operators/truss.py, support peeling —
     the edge-granular sibling of kcore_2 over the SAME gate graph):
@@ -3484,6 +3499,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "crawl_schedule": q_crawl_schedule,
         "mis_conflict_free": q_mis_conflict_free,
+        "wl_refinement": q_wl_refinement,
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
         "json_extract": q_json_extract,
@@ -4997,6 +5013,14 @@ def _all_oracle_sql() -> dict[str, str]:
         f"SELECT s AS src, d AS dst FROM ({_kcore_base})",
         rounds=5,
         node_cast="",
+    )
+
+    # Twin of q_wl_refinement: module-generated WL rounds over the
+    # same gate graph (identical commutative hash-sum combine).
+    from kg_microbe_merge_spark.operators.wl import wl_colors_sql
+
+    sql["wl_refinement"] = wl_colors_sql(
+        f"SELECT s AS src, d AS dst FROM ({_kcore_base})", rounds=3
     )
 
     # Twin of q_hyperball: module-generated row-form HLL max-merge

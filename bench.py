@@ -140,6 +140,7 @@ HEADLINE = [
     "url_canonicalize",
     "crawl_schedule",
     "mis_conflict_free",
+    "wl_refinement",
 ]
 
 
