@@ -2265,6 +2265,26 @@ def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_blocking(ents, max_block=50, top_k=3)
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER candidates (operators/blocking.py,
+    Hernandez–Stolfo): records paired within a rank window of the
+    normalized-name sort order — the complementary scheme to token
+    blocking (catches truncation/prefix variants sharing no rare
+    token). Rank = two-level zipWithIndex prefix sum over a
+    range-partitioned sort (never a single-partition window); pairing
+    = exact adjacent-bucket join, O(n·window) candidates. Oracle:
+    module-generated twin (row_number + gap self-join)."""
+    from kg_microbe_merge_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    ents = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    )
+    return sorted_neighborhood_pairs(ents, window=4)
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS) + overlap candidate pairs
     (operators/winnow.py): gram hashing and window-min selection are
@@ -3500,6 +3520,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,
         "mis_conflict_free": q_mis_conflict_free,
         "wl_refinement": q_wl_refinement,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
         "json_extract": q_json_extract,
@@ -5383,6 +5404,18 @@ def _all_oracle_sql() -> dict[str, str]:
         " WHERE p_partkey % 20 = 0",
         max_block=50,
         top_k=3,
+    )
+
+    # Twin of q_sorted_neighborhood: module-generated row_number +
+    # gap self-join over the identical (key, id) order.
+    from kg_microbe_merge_spark.operators.blocking import (
+        sorted_neighborhood_sql,
+    )
+
+    sql["sorted_neighborhood"] = sorted_neighborhood_sql(
+        "SELECT p_partkey AS id, p_name AS name FROM part"
+        " WHERE p_partkey % 20 = 0",
+        window=4,
     )
 
     # winnowing fingerprints (operators/winnow.py): same gram hash,

@@ -141,6 +141,7 @@ HEADLINE = [
     "crawl_schedule",
     "mis_conflict_free",
     "wl_refinement",
+    "sorted_neighborhood",
 ]
 
 

@@ -125,3 +125,89 @@ def same_as_edges(
     return candidates.filter(F.col("score") >= min_score).select(
         F.col("id_a").alias("subject"), F.col("id_b").alias("object")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    window: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood ER candidates (Hernandez & Stolfo 1995):
+    sort all records by the normalized name key and pair every two
+    records whose ranks differ by less than ``window`` — the
+    complementary blocking scheme to token blocking (catches near-sorted
+    typos/prefix variants that share NO rare token, e.g. truncations).
+
+    Scale shape: the global rank comes from the two-level
+    ``zipWithIndex`` prefix sum over a range-partitioned sort (the
+    ``suffix._dense_ids`` mint — NO single-partition window); pairing
+    is a bucket join where ``bucket = rank div (window-1)`` and the
+    right side enters under both its own and the previous bucket —
+    every record lands in at most 2 groups of ~(window-1) rows, so
+    candidates are O(n·window) with no reducer hot spot, and the gap
+    filter makes the bucket decomposition EXACT (ranks within
+    window-1 always sit in equal or adjacent buckets).
+
+    Returns ``(id_a, id_b, gap)`` — ids in rank order, gap ∈
+    [1, window-1].
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from .suffix import _dense_ids
+
+    w = window - 1
+    recs = df.select(
+        F.coalesce(
+            normalized_text(F.col(name_col)), F.lit("")
+        ).alias("_k"),
+        F.col(id_col).cast("string").alias("_rid"),
+    )
+    ranked = _dense_ids(recs, ["_k", "_rid"], "rank")
+    left = ranked.select(
+        F.expr(f"rank div {w}").alias("bucket"),
+        F.col("rank").alias("rank_a"),
+        F.col("_rid").alias("id_a"),
+    )
+    right = ranked.select(
+        F.expr(f"rank div {w}").alias("b0"),
+        F.col("rank").alias("rank_b"),
+        F.col("_rid").alias("id_b"),
+    )
+    right_both = right.select(
+        F.col("b0").alias("bucket"), "rank_b", "id_b"
+    ).unionByName(
+        right.select(
+            (F.col("b0") - 1).alias("bucket"), "rank_b", "id_b"
+        )
+    )
+    pairs = left.join(right_both, "bucket").filter(
+        (F.col("rank_b") > F.col("rank_a"))
+        & (F.col("rank_b") - F.col("rank_a") <= w)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.col("rank_b") - F.col("rank_a")).cast("long").alias("gap"),
+    )
+
+
+def sorted_neighborhood_sql(
+    entities_sql: str, window: int = 4
+) -> str:
+    """DuckDB twin: plain global row_number over the identical
+    (key, id) order + a gap self-join."""
+    w = window - 1
+    return f"""
+        WITH snm_r AS MATERIALIZED (
+            SELECT id::VARCHAR AS rid,
+                   row_number() OVER (
+                       ORDER BY coalesce(trim(regexp_replace(lower(name),
+                           '\\s+', ' ', 'g')), '') ASC, id::VARCHAR ASC
+                   ) - 1 AS rank
+            FROM ({entities_sql}))
+        SELECT a.rid AS id_a, b.rid AS id_b,
+               (b.rank - a.rank)::BIGINT AS gap
+        FROM snm_r a JOIN snm_r b
+          ON b.rank > a.rank AND b.rank - a.rank <= {w}
+    """

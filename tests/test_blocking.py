@@ -98,3 +98,84 @@ def test_same_as_edges_feed_components(spark):
     assert comp["1"] == comp["2"]
     assert comp["3"] == comp["4"]
     assert comp["1"] != comp["3"]
+
+
+def test_sorted_neighborhood_matches_brute_and_duckdb(spark):
+    import duckdb
+    from kg_microbe_merge_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+        sorted_neighborhood_sql,
+    )
+
+    ents = [
+        (1, "acme widgets"),
+        (2, "acme widget"),      # adjacent after sort (truncation typo)
+        (3, "acme widgetz"),
+        (4, "globex corp"),
+        (5, "globex corporation"),
+        (6, "zzz unrelated"),
+        (7, None),               # NULL name -> '' key, sorts first
+        (8, "Acme  Widget "),    # normalizes onto #2's key
+    ]
+    df = spark.createDataFrame(ents, "id long, name string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["gap"])
+        for r in sorted_neighborhood_pairs(df, window=3).collect()
+    )
+    # brute force: sort by (normalized key, id), pair gaps 1..2
+    import re
+    recs = sorted(
+        (re.sub(r"\s+", " ", (n or "").lower()).strip(), str(i))
+        for i, n in ents
+    )
+    brute = sorted(
+        (recs[i][1], recs[j][1], j - i)
+        for i in range(len(recs))
+        for j in range(i + 1, min(i + 3, len(recs)))
+    )
+    assert got == brute
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ent(id BIGINT, name VARCHAR)")
+    con.executemany("INSERT INTO ent VALUES (?, ?)", ents)
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(
+            sorted_neighborhood_sql("SELECT id, name FROM ent", window=3)
+        ).fetchall()
+    )
+    assert got == oracle
+    # the truncation pair token-blocking misses (no shared rare token
+    # of the same spelling) is caught by sort adjacency
+    assert any(
+        {a, b} == {"1", "2"} or {a, b} == {"2", "8"}
+        for a, b, _g in got
+    )
+
+
+def test_sorted_neighborhood_window_validation(spark):
+    import pytest as _pytest
+    from kg_microbe_merge_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, window=1)
+
+
+def test_sorted_neighborhood_partitioning_invariance(spark):
+    from kg_microbe_merge_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"name {i % 13} variant {i % 7}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    a = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(df.repartition(11), window=5).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(df.coalesce(1), window=5).collect()
+    )
+    assert a == b
