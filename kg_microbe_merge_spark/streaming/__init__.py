@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     ingest,
     joins,
     maintain,
+    politeness,
     sessions,
     stateful,
 )
