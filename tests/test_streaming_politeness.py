@@ -26,17 +26,23 @@ SCHEMA = "url string, priority long"
 
 
 def _write_batch(spark, src_dir, rows, mode, mtime=None):
+    before = (
+        set(os.listdir(src_dir)) if os.path.isdir(src_dir) else set()
+    )
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
         mode
     ).parquet(src_dir)
     if mtime is not None:
-        # pin source-file order: FileStreamSource processes oldest first
-        for name in os.listdir(src_dir):
+        # pin source-file order: FileStreamSource processes oldest
+        # first. Touch ONLY the files this write created — re-touching
+        # pre-existing files would erase their earlier (older) stamp.
+        fresh = set(os.listdir(src_dir)) - (
+            before if mode == "append" else set()
+        )
+        for name in fresh:
             if name.endswith(".parquet"):
                 path = os.path.join(src_dir, name)
-                cur = os.path.getmtime(path)
-                if mode == "append" or cur != mtime:
-                    os.utime(path, (mtime, mtime))
+                os.utime(path, (mtime, mtime))
 
 
 def _drain(
