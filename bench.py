@@ -214,13 +214,13 @@ def main() -> None:
         .filter("lang = 'en'")
         .select("url", "text")
     ).count()
-    # best-of-3: this machine shows sporadic multi-second interference
-    # bursts (identical back-to-back runs measured 1.3 s vs 6.0 s); the
+    # best-of-5: this machine shows sporadic multi-second interference
+    # bursts (identical back-to-back runs measured 0.7 s vs 7.6 s); the
     # minimum is the engine's capability, the per-run list is published
     # so the noise is visible (same protocol as scripts/scaling_bench)
     pipeline_runs = []
     n_triples = 0
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.monotonic()
         n_triples = triples.count()
         pipeline_runs.append(round(time.monotonic() - t0, 3))
