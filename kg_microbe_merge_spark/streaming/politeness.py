@@ -148,8 +148,11 @@ def rate_limited_fetch_stream(
     keyed = frontier_stream.select(
         url_host(F.col(url_col)).alias("host"),
         F.col(url_col).alias("url"),
-        F.col(priority_col).cast("long").alias("priority"),
-    )
+        # NULL priority sorts as 0 (not a Python-side NaN crash)
+        F.coalesce(F.col(priority_col).cast("long"), F.lit(0)).alias(
+            "priority"
+        ),
+    ).filter(F.col("url").isNotNull() & (F.col("url") != ""))
     return keyed.groupBy("host").applyInPandasWithState(
         _make_limiter(per_batch, max_backlog, drain_delay_ms),
         outputStructType=_OUTPUT_SCHEMA,

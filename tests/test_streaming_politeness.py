@@ -104,9 +104,14 @@ def _assert_polite(df, per_batch):
 def test_waves_budget_and_priority(spark, tmp_path):
     src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
     _write_batch(
-        spark, src, _rows("a.com", 5) + _rows("b.org", 1, 100), "overwrite"
+        spark,
+        src,
+        _rows("a.com", 5)
+        + _rows("b.org", 1, 100)
+        + [("https://b.org/nullprio", None)],  # NULL priority -> 0
+        "overwrite",
     )
-    res = _drain(spark, src, out, ckpt, expected_rows=6)
+    res = _drain(spark, src, out, ckpt, expected_rows=7)
     got = {
         r["url"]: (r["wave"], r["slot"], r["backlog_after"])
         for r in res.collect()
@@ -118,6 +123,7 @@ def test_waves_budget_and_priority(spark, tmp_path):
     assert got["https://a.com/p1"] == (1, 1, 1)
     assert got["https://a.com/p0"] == (2, 0, 0)
     assert got["https://b.org/p0"] == (0, 0, 0)
+    assert got["https://b.org/nullprio"] == (0, 1, 0)
     _assert_polite(res, per_batch=2)
 
 
