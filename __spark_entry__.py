@@ -2054,6 +2054,63 @@ def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetch_schedule(canon, max_per_host=8)
 
 
+def _robots_host_col() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("www."),
+        F.col("source"),
+        (did % 5).cast("string"),
+        F.lit(".com"),
+    )
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt fetch gating (operators/robots.py): deterministic
+    per-host robots TEXT (groups for * and KGBot, wildcard rule the
+    parser must drop, empty Disallow it must ignore) is parsed by the
+    real Arrow-batched RFC 9309 parser, then urls are gated via the
+    longest-prefix / allow-wins / default-allowed evaluation — one
+    host join + one map-side-combinable max(struct) agg, no window.
+    Oracle: identical rule synthesis straight from the same hash
+    conditions (skipping the text round-trip) + the module-generated
+    evaluation twin, so parse+evaluate is checked end-to-end."""
+    from kg_microbe_merge_spark.functions.hashing import hash60
+    from kg_microbe_merge_spark.operators.robots import (
+        parse_robots,
+        robots_decisions,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = _robots_host_col()
+    path = F.concat(
+        F.repeat(F.lit("/Seg"), (did % 3).cast("int")),
+        F.when(did % 4 == 2, F.lit("/")).otherwise(F.lit("")),
+    )
+    urls = d.select(
+        F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    b = hash60(F.col("host")) % 6
+    txt = F.concat(
+        F.lit(
+            "# synthetic policy\nUser-agent: *\nDisallow: /Seg\n"
+            "Allow: /Seg/Seg\nDisallow: /*.php$\n"
+        ),
+        F.when(b == 0, F.lit("Disallow: /\n")).otherwise(F.lit("")),
+        F.when(
+            b.isin(1, 2),
+            F.lit("\nUser-agent: KGBot\nDisallow: /Seg/Seg\n"),
+        ).otherwise(F.lit("")),
+        F.when(b == 1, F.lit("Disallow:\n")).otherwise(F.lit("")),
+        F.when(b == 2, F.lit("Allow: /Seg\n")).otherwise(F.lit("")),
+    )
+    robots = d.select(host.alias("host")).distinct().select(
+        "host", txt.alias("robots_txt")
+    )
+    rules = parse_robots(robots, user_agent="kgbot")
+    return robots_decisions(urls, rules)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 characteristic terms per document
     (operators/tfidf.py): row-local tokenize → map-side-combined TF →
@@ -3402,9 +3459,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     here.
     New round-3 operators queued for the round-4 gate rotation (full
     oracles + pytest now): chunk_sliding (sliding-window LLM-sequence
-    chunking, operators/chunking.py) and dup_coverage (per-document
+    chunking, operators/chunking.py), dup_coverage (per-document
     exact-duplication coverage, the doc-level rollup of the gated
-    exact_dup_runs — operators/suffix.duplicated_coverage).
+    exact_dup_runs — operators/suffix.duplicated_coverage), and
+    robots_gate (RFC 9309 robots.txt parse + fetch-permission
+    evaluation, operators/robots.py — end-to-end through the real
+    Arrow-batched parser).
     dedup_exact had green round-1 AND round-2 driver rows and ceded its
     slot to the new gopher_quality rule battery: whole-row/content-hash
     dedup stays gated via near_dup_dedup and substring_dedup_cut (both
@@ -3518,6 +3578,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_blocking": q_meta_blocking,
         "url_canonicalize": q_url_canonicalize,
         "crawl_schedule": q_crawl_schedule,
+        "robots_gate": q_robots_gate,
         "mis_conflict_free": q_mis_conflict_free,
         "wl_refinement": q_wl_refinement,
         "sorted_neighborhood": q_sorted_neighborhood,
@@ -5231,9 +5292,13 @@ def _all_oracle_sql() -> dict[str, str]:
     # Twins of q_url_canonicalize / q_crawl_schedule: identical messy
     # synthesis (_MESSY_URL_SQL) + module-generated canonicalization /
     # window schedule.
+    from kg_microbe_merge_spark.functions.hashing import hash60_sql
     from kg_microbe_merge_spark.operators.frontier import (
         canonical_url_sql,
         fetch_schedule_sql,
+    )
+    from kg_microbe_merge_spark.operators.robots import (
+        decisions_sql as robots_decisions_sql,
     )
 
     _canon = canonical_url_sql(_MESSY_URL_SQL)
@@ -5251,6 +5316,37 @@ def _all_oracle_sql() -> dict[str, str]:
         f"SELECT DISTINCT {_canon} AS url FROM documents",
         max_per_host=8,
     )
+
+    # robots gate: rules re-synthesized straight from the hash branches
+    # the Spark side renders INTO robots.txt text (the parser's work —
+    # group selection, wildcard drop, empty-rule ignore — is thereby
+    # checked end-to-end), evaluation via the module-generated twin
+    _rhost = "'www.' || source || CAST(doc_id % 5 AS VARCHAR) || '.com'"
+    _rb = f"({hash60_sql('host')}) % 6"
+    sql["robots_gate"] = f"""
+        WITH hosts AS (SELECT DISTINCT {_rhost} AS host FROM documents),
+        hb AS (SELECT host, {_rb} AS b FROM hosts),
+        rules_t AS (
+            SELECT host, false AS rule_allow, '/Seg' AS rule_path
+            FROM hb WHERE b NOT IN (1, 2)
+            UNION ALL SELECT host, true, '/Seg/Seg'
+            FROM hb WHERE b NOT IN (1, 2)
+            UNION ALL SELECT host, false, '/' FROM hb WHERE b = 0
+            UNION ALL SELECT host, false, '/Seg/Seg'
+            FROM hb WHERE b IN (1, 2)
+            UNION ALL SELECT host, true, '/Seg' FROM hb WHERE b = 2),
+        u0 AS (
+            SELECT DISTINCT {_rhost} AS host,
+                   repeat('/Seg', CAST(doc_id % 3 AS INT))
+                   || CASE WHEN doc_id % 4 = 2 THEN '/' ELSE '' END AS p
+            FROM documents),
+        u AS (
+            SELECT 'https://' || host || p AS url, host,
+                   CASE WHEN p = '' THEN '/' ELSE p END AS pth
+            FROM u0),
+        {robots_decisions_sql('u', 'rules_t')}
+        SELECT url, host, allowed, rule_allow, rule_path FROM verdict
+    """
 
     # -- TF-IDF top-3 per doc: same tokenizer (normalize + split, len>=2),
     # smoothed idf, rank over the ROUNDED weight, (weight desc, term asc)

@@ -139,6 +139,7 @@ HEADLINE = [
     "meta_blocking",
     "url_canonicalize",
     "crawl_schedule",
+    "robots_gate",
     "mis_conflict_free",
     "wl_refinement",
     "sorted_neighborhood",
