@@ -2185,6 +2185,29 @@ def q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topological_levels(chain.unionByName(skip))
 
 
+def q_subclass_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology transitive closure (operators/closure.py — path
+    doubling, ⌈log₂ depth⌉ rounds, one equi-join + distinct per round,
+    eager localCheckpoint): same 16-id chain+skip DAG as dag_levels —
+    closure = every within-block (earlier, later) reachable pair, skip
+    edges only add duplicate derivations the distinct collapses.
+    Oracle: independent recursive-CTE reachability (linear frontier
+    derivation vs the engine's logarithmic doubling)."""
+    from kg_microbe_merge_spark.operators.closure import (
+        transitive_closure,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pos = F.col("doc_id") % 16
+    chain = d.filter(pos < 15).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    skip = d.filter((pos % 4 == 0) & (pos < 14)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 2).alias("dst")
+    )
+    return transitive_closure(chain.unionByName(skip))
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (operators/bm25.py): two scans, zero
     joins — pass 1 one partial aggregation for the exact integer corpus
@@ -3464,7 +3487,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exact_dup_runs — operators/suffix.duplicated_coverage), and
     robots_gate (RFC 9309 robots.txt parse + fetch-permission
     evaluation, operators/robots.py — end-to-end through the real
-    Arrow-batched parser).
+    Arrow-batched parser), and subclass_closure (ontology transitive
+    closure by path doubling, operators/closure.py — recursive-CTE
+    reachability oracle).
     dedup_exact had green round-1 AND round-2 driver rows and ceded its
     slot to the new gopher_quality rule battery: whole-row/content-hash
     dedup stays gated via near_dup_dedup and substring_dedup_cut (both
@@ -3546,6 +3571,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "scc_components": q_scc_components,
         "dag_levels": q_dag_levels,
+        "subclass_closure": q_subclass_closure,
         "asof_enrich": q_asof_enrich,
         "graph_stats_report": q_graph_stats,
         "text_quality": q_text_quality,
@@ -5652,6 +5678,22 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM walk JOIN e ON walk.node = e.src)
         SELECT node, CAST(max(depth) AS INT) AS level
         FROM walk GROUP BY node
+    """
+
+    # ontology closure: same chain+skip DAG, independent recursive-CTE
+    # reachability (module-generated) vs the engine's path doubling
+    from kg_microbe_merge_spark.operators.closure import closure_sql
+
+    sql["subclass_closure"] = f"""
+        WITH RECURSIVE
+        e AS (
+            SELECT doc_id AS src, doc_id + 1 AS dst
+            FROM documents WHERE doc_id % 16 < 15
+            UNION ALL
+            SELECT doc_id AS src, doc_id + 2 AS dst
+            FROM documents WHERE doc_id % 16 % 4 = 0 AND doc_id % 16 < 14),
+        {closure_sql('e')}
+        SELECT src, dst FROM r
     """
 
     # strongly connected components (operators/scc.py): the SAME edge

@@ -140,6 +140,7 @@ HEADLINE = [
     "url_canonicalize",
     "crawl_schedule",
     "robots_gate",
+    "subclass_closure",
     "mis_conflict_free",
     "wl_refinement",
     "sorted_neighborhood",
