@@ -2185,6 +2185,33 @@ def q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topological_levels(chain.unionByName(skip))
 
 
+def q_kg_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite domain/range validation (operators/validate.py) over
+    MERGED nodes — the pipe-joined multi-valued category sets the A3
+    merge emits are exactly what the membership test must split — and
+    a deterministic constrained edge set (object = orderkey+32, often
+    absent: missing endpoints must surface as NULL actual, never pass
+    silently). Broadcast expectations join + two id-equi node joins.
+    Oracle: the A3 merge SQL as the node CTE + the module-generated
+    evaluation twin."""
+    from kg_microbe_merge_spark.operators.validate import (
+        domain_range_violations,
+    )
+
+    nodes = nodes_merge(_kgx_nodes_from_lineitem(spark, sf_dir), ["R"])
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("L:"), F.col("o_orderkey")).alias("subject"),
+        F.concat(F.lit("rel:"), F.col("o_orderstatus")).alias("predicate"),
+        F.concat(F.lit("L:"), F.col("o_orderkey") + 32).alias("object"),
+    )
+    expect = spark.createDataFrame(
+        [("rel:O", "R", "A"), ("rel:F", "A", "N"), ("rel:P", "N", "R")],
+        "predicate string, subject_category string, object_category string",
+    )
+    return domain_range_violations(edges, nodes, expect)
+
+
 def q_subclass_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ontology transitive closure (operators/closure.py — path
     doubling, ⌈log₂ depth⌉ rounds, one equi-join + distinct per round,
@@ -3487,9 +3514,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exact_dup_runs — operators/suffix.duplicated_coverage), and
     robots_gate (RFC 9309 robots.txt parse + fetch-permission
     evaluation, operators/robots.py — end-to-end through the real
-    Arrow-batched parser), and subclass_closure (ontology transitive
+    Arrow-batched parser), subclass_closure (ontology transitive
     closure by path doubling, operators/closure.py — recursive-CTE
-    reachability oracle).
+    reachability oracle), and kg_validation (SHACL-lite domain/range
+    conformance over merged pipe-joined categories,
+    operators/validate.py).
     dedup_exact had green round-1 AND round-2 driver rows and ceded its
     slot to the new gopher_quality rule battery: whole-row/content-hash
     dedup stays gated via near_dup_dedup and substring_dedup_cut (both
@@ -3572,6 +3601,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_components": q_scc_components,
         "dag_levels": q_dag_levels,
         "subclass_closure": q_subclass_closure,
+        "kg_validation": q_kg_validation,
         "asof_enrich": q_asof_enrich,
         "graph_stats_report": q_graph_stats,
         "text_quality": q_text_quality,
@@ -5678,6 +5708,28 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM walk JOIN e ON walk.node = e.src)
         SELECT node, CAST(max(depth) AS INT) AS level
         FROM walk GROUP BY node
+    """
+
+    # SHACL-lite domain/range over MERGED nodes: A3 merge SQL as the
+    # node CTE + module-generated evaluation twin
+    from kg_microbe_merge_spark.operators.validate import (
+        domain_range_sql,
+    )
+
+    sql["kg_validation"] = f"""
+        WITH n AS ({_A3_SQL}),
+        e AS (
+            SELECT 'L:' || o_orderkey AS subject,
+                   'rel:' || o_orderstatus AS predicate,
+                   'L:' || (o_orderkey + 32) AS object
+            FROM orders),
+        x AS (
+            SELECT * FROM (VALUES
+                ('rel:O', 'R', 'A'),
+                ('rel:F', 'A', 'N'),
+                ('rel:P', 'N', 'R'))
+            AS t(predicate, subject_category, object_category))
+        {domain_range_sql('e', 'n', 'x')}
     """
 
     # ontology closure: same chain+skip DAG, independent recursive-CTE

@@ -141,6 +141,7 @@ HEADLINE = [
     "crawl_schedule",
     "robots_gate",
     "subclass_closure",
+    "kg_validation",
     "mis_conflict_free",
     "wl_refinement",
     "sorted_neighborhood",
