@@ -1,0 +1,151 @@
+"""RDFS-lite entailment (operators/entailment.py): hand-checked rule
+semantics, a naive Python fixpoint model oracle, the DuckDB SQL twin,
+the derived-only delta, the lite-profile guard, and the broadcast-only
+plan shape (ABox never shuffles before the final distinct)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from kg_microbe_merge_spark.operators.entailment import (
+    DOMAIN_PRED,
+    RANGE_PRED,
+    SUBCLASS_PRED,
+    SUBPROP_PRED,
+    TYPE_PRED,
+    UnsupportedTBoxError,
+    entailment_sql,
+    rdfs_entailment,
+    split_tbox,
+)
+
+T = "subject string, predicate string, object string"
+
+TBOX = [
+    ("treats", SUBPROP_PRED, "affects"),
+    ("affects", SUBPROP_PRED, "related_to"),
+    ("treats", DOMAIN_PRED, "Drug"),
+    ("treats", RANGE_PRED, "Disease"),
+    ("affects", DOMAIN_PRED, "Agent"),
+    ("Drug", SUBCLASS_PRED, "Chemical"),
+    ("Chemical", SUBCLASS_PRED, "Entity"),
+    ("Disease", SUBCLASS_PRED, "Condition"),
+    ("Syndrome", SUBCLASS_PRED, "Disease"),
+]
+
+ABOX = [
+    ("d1", "treats", "x1"),
+    ("d2", "affects", "x2"),
+    ("x3", TYPE_PRED, "Syndrome"),
+]
+
+
+def _model(abox, tbox):
+    """Naive fixpoint over the six rules — the independent model."""
+    triples = set(abox) | set(tbox)
+    changed = True
+    while changed:
+        changed = False
+        new = set()
+        for s, p, o in triples:
+            if p in (SUBPROP_PRED, SUBCLASS_PRED):
+                for s2, p2, o2 in triples:
+                    if p2 == p and s2 == o:
+                        new.add((s, p, o2))  # rdfs5 / rdfs11
+                    if p == SUBPROP_PRED and p2 == s:
+                        new.add((s2, o, o2))  # rdfs7
+                    if (
+                        p == SUBCLASS_PRED
+                        and p2 == TYPE_PRED
+                        and o2 == s
+                    ):
+                        new.add((s2, TYPE_PRED, o))  # rdfs9
+            if p in (DOMAIN_PRED, RANGE_PRED):
+                for s2, p2, o2 in triples:
+                    if p2 == s:
+                        ent = s2 if p == DOMAIN_PRED else o2
+                        new.add((ent, TYPE_PRED, o))  # rdfs2 / rdfs3
+        if not new <= triples:
+            triples |= new
+            changed = True
+    return triples
+
+
+def _triples(df):
+    return sorted(
+        (r["subject"], r["predicate"], r["object"]) for r in df.collect()
+    )
+
+
+def test_rule_semantics_vs_fixpoint_model(spark):
+    abox = spark.createDataFrame(ABOX, T)
+    tbox = spark.createDataFrame(TBOX, T)
+    got = set(_triples(rdfs_entailment(abox, tbox)))
+    assert got == _model(ABOX, TBOX)
+    # spot checks: every rule fires
+    assert ("d1", "related_to", "x1") in got  # rdfs7 via rdfs5
+    assert ("d1", TYPE_PRED, "Entity") in got  # rdfs2+rdfs9 chain
+    assert ("x1", TYPE_PRED, "Condition") in got  # rdfs3+rdfs9
+    assert ("d2", TYPE_PRED, "Agent") in got  # domain on superprop inst
+    assert ("x3", TYPE_PRED, "Condition") in got  # asserted type up 2
+    assert ("treats", SUBPROP_PRED, "related_to") in got  # rdfs5
+    assert ("Drug", SUBCLASS_PRED, "Entity") in got  # rdfs11
+    # rdfs7 lifts d2's affects only upward, never down to treats
+    assert ("d2", "treats", "x2") not in got
+
+
+def test_vs_duckdb_oracle(spark):
+    abox = spark.createDataFrame(ABOX, T)
+    tbox = spark.createDataFrame(TBOX, T)
+    got = _triples(rdfs_entailment(abox, tbox))
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE abox ({T.replace(' string', ' VARCHAR')})")
+    con.execute(f"CREATE TABLE tbox ({T.replace(' string', ' VARCHAR')})")
+    con.executemany("INSERT INTO abox VALUES (?, ?, ?)", ABOX)
+    con.executemany("INSERT INTO tbox VALUES (?, ?, ?)", TBOX)
+    oracle = sorted(
+        map(tuple, con.execute(entailment_sql("abox", "tbox")).fetchall())
+    )
+    assert got == oracle
+
+
+def test_split_and_derived_only_delta(spark):
+    all_rows = spark.createDataFrame(ABOX + TBOX, T)
+    tbox, abox = split_tbox(all_rows)
+    assert sorted(map(tuple, tbox.collect())) == sorted(TBOX)
+    full = set(_triples(rdfs_entailment(abox, tbox)))
+    delta = set(
+        _triples(rdfs_entailment(abox, tbox, include_asserted=False))
+    )
+    assert delta == full - set(ABOX) - set(TBOX)
+    assert delta and not delta & (set(ABOX) | set(TBOX))
+
+
+def test_lite_profile_guard(spark):
+    abox = spark.createDataFrame(ABOX, T)
+    for bad_row in (
+        ("instance_of", SUBPROP_PRED, TYPE_PRED),
+        (TYPE_PRED, SUBPROP_PRED, "related_to"),
+        (TYPE_PRED, DOMAIN_PRED, "Entity"),
+    ):
+        tbox = spark.createDataFrame(TBOX + [bad_row], T)
+        with pytest.raises(UnsupportedTBoxError):
+            rdfs_entailment(abox, tbox)
+
+
+def test_plan_broadcast_only(spark):
+    """Every rule join is a broadcast hash join: no SortMergeJoin and
+    no ShuffledHashJoin anywhere in the physical plan — the only wide
+    ops are the final distinct's exchange(s)."""
+    abox = spark.createDataFrame(ABOX, T)
+    tbox = spark.createDataFrame(TBOX, T)
+    plan = (
+        rdfs_entailment(abox, tbox)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
