@@ -2307,6 +2307,32 @@ def q_semantic_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lin_similarity(pairs, clo, ic)
 
 
+def q_bgp_property_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property paths in the BGP compiler (plans/bgp.py):
+    ``skip/next+`` — a sequence step joined to a transitive closure
+    compiled by path doubling — over the chain+skip doc DAG (the
+    subclass_closure graph split into two predicates). Set semantics
+    per path relation; each atomic step is a pushed predicate filter.
+    Oracle: recursive-CTE closure + one join, DISTINCT."""
+    from kg_microbe_merge_spark.plans.bgp import bgp_query
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pos = F.col("doc_id") % 16
+    chain = d.filter(pos < 15).select(
+        F.col("doc_id").alias("subject"),
+        F.lit("next").alias("predicate"),
+        (F.col("doc_id") + 1).alias("object"),
+    )
+    skip = d.filter((pos % 4 == 0) & (pos < 14)).select(
+        F.col("doc_id").alias("subject"),
+        F.lit("skip").alias("predicate"),
+        (F.col("doc_id") + 2).alias("object"),
+    )
+    return bgp_query(
+        chain.unionByName(skip), [("?x", "skip/next+", "?y")]
+    )
+
+
 def q_subclass_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ontology transitive closure (operators/closure.py — path
     doubling, ⌈log₂ depth⌉ rounds, one equi-join + distinct per round,
@@ -3680,10 +3706,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     module-generated oracle); and skew_report (shuffle-skew
     diagnostics + salt prescription, operators/skew.py —
     module-generated oracle).
-    New round-3 KG-reasoning operator queued for the round-4 gate
-    rotation (full oracle + pytest now): semantic_similarity
+    New round-3 KG-reasoning operators queued for the round-4 gate
+    rotation (full oracles + pytest now): semantic_similarity
     (IC/Resnik/Lin over the ontology closure, operators/semsim.py —
-    recursive-CTE closure + module-generated ic/lin twins).
+    recursive-CTE closure + module-generated ic/lin twins) and
+    bgp_property_paths (SPARQL property paths ^ / | + * ? compiled to
+    DataFrame algebra + closure, plans/bgp.py — recursive-CTE oracle).
     q1_pricing_summary had green round-1 AND round-2 driver rows and
     ceded its slot to the new rdfs_entailment KG-reasoning query: its
     scan-pruned partial/final aggregation shape stays gated via
@@ -3693,6 +3721,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Still oracle-checked by scripts/check_correctness.py and pytest."""
     return {
         "semantic_similarity": q_semantic_similarity,
+        "bgp_property_paths": q_bgp_property_paths,
         "q1_pricing_summary": q_q1_pricing_summary,
         "ktruss_3": q_ktruss,
         "kmv_token_overlap": q_kmv_token_overlap,
@@ -5880,6 +5909,24 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM nation WHERE n_nationkey % 2 = 0),
         """,
     )
+
+    # property paths: skip/next+ over the chain+skip doc DAG —
+    # recursive-CTE closure + one sequence join, DISTINCT
+    sql["bgp_property_paths"] = """
+        WITH RECURSIVE
+        next_e AS (
+            SELECT doc_id AS s, doc_id + 1 AS o
+            FROM documents WHERE doc_id % 16 < 15),
+        skip_e AS (
+            SELECT doc_id AS s, doc_id + 2 AS o
+            FROM documents WHERE doc_id % 16 % 4 = 0 AND doc_id % 16 < 14),
+        np(s, o) AS (
+            SELECT s, o FROM next_e
+            UNION
+            SELECT np.s, e.o FROM np JOIN next_e e ON np.o = e.s)
+        SELECT DISTINCT k.s AS x, np.o AS y
+        FROM skip_e k JOIN np ON k.o = np.s
+    """
 
     # IC/Resnik/Lin: same taxonomy + annotations + same-region pairs,
     # module-generated ic/lin twins over a recursive-CTE closure

@@ -145,6 +145,9 @@ HEADLINE = [
     "mis_conflict_free",
     "wl_refinement",
     "sorted_neighborhood",
+    "rdfs_entailment",
+    "semantic_similarity",
+    "bgp_property_paths",
 ]
 
 

@@ -25,6 +25,26 @@ Scale: a BGP over a 10^12-edge table is exactly a multi-way self-join —
 the edge table should be bucketed on subject (plans/materialize.py) so
 chained patterns co-locate; constants reach the parquet scan as pushed
 filters (verified in the plan test).
+
+PROPERTY PATHS: a predicate term may be a SPARQL path expression —
+
+    grammar   path     := seq ('|' seq)*
+              seq      := step ('/' step)*
+              step     := '^'? primary ('+' | '*' | '?')?
+              primary  := '(' path ')' | IRI
+
+``^`` inverts, ``/`` sequences (one equi-join per step), ``|``
+alternates (predicate IN-list when both sides are plain IRIs, union
+otherwise), ``+`` is :func:`..operators.closure.transitive_closure`
+(path doubling — ⌈log₂ depth⌉ joins, the ClosureConvergenceError
+output-size guard applies), ``*``/``?`` add the zero-length identity
+over every term of the graph (the W3C zero-length semantics). Path
+relations are evaluated with SET semantics throughout — the W3C
+non-counting rule for ``+``/``*`` applied uniformly to ``/`` and ``|``
+(documented lite deviation: SPARQL counts duplicates for ``/``/``|``);
+plain single-IRI patterns keep bag semantics as before. Each atomic
+step is still a predicate-constant filter, so it reaches the scan as a
+pushed filter.
 """
 
 from __future__ import annotations
@@ -34,12 +54,166 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.closure import transitive_closure
+
 _POS_COLS = ("subject", "predicate", "object")
 _VAR_RE = re.compile(r"\?([A-Za-z_][A-Za-z0-9_]*)")
+_PATH_META = set("^/|+*?()")
 
 
 def _is_var(term: str) -> bool:
     return term.startswith("?")
+
+
+def _is_path(term: str) -> bool:
+    return not _is_var(term) and any(c in _PATH_META for c in term)
+
+
+class PathSyntaxError(ValueError):
+    """Malformed property-path expression."""
+
+
+def _tokenize_path(expr: str) -> list[str]:
+    toks, i = [], 0
+    while i < len(expr):
+        c = expr[i]
+        if c.isspace():
+            i += 1
+        elif c in _PATH_META:
+            toks.append(c)
+            i += 1
+        else:
+            j = i
+            while j < len(expr) and expr[j] not in _PATH_META and not expr[j].isspace():
+                j += 1
+            toks.append(expr[i:j])
+            i = j
+    return toks
+
+
+def _parse_path(expr: str):
+    """Recursive-descent parse to a nested AST of
+    ('alt', [...]) / ('seq', [...]) / ('inv', node) / ('+', node) /
+    ('*', node) / ('?', node) / ('iri', name)."""
+    toks = _tokenize_path(expr)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def eat(t=None):
+        cur = peek()
+        if cur is None or (t is not None and cur != t):
+            raise PathSyntaxError(f"bad path {expr!r}: expected {t}, got {cur}")
+        pos[0] += 1
+        return cur
+
+    def primary():
+        if peek() == "(":
+            eat("(")
+            node = alt()
+            eat(")")
+            return node
+        t = eat()
+        if t in _PATH_META:
+            raise PathSyntaxError(f"bad path {expr!r}: unexpected {t!r}")
+        return ("iri", t)
+
+    def step():
+        inv = peek() == "^"
+        if inv:
+            eat("^")
+        node = primary()
+        if peek() in ("+", "*", "?"):
+            node = (eat(), node)
+        return ("inv", node) if inv else node
+
+    def seq():
+        parts = [step()]
+        while peek() == "/":
+            eat("/")
+            parts.append(step())
+        return parts[0] if len(parts) == 1 else ("seq", parts)
+
+    def alt():
+        parts = [seq()]
+        while peek() == "|":
+            eat("|")
+            parts.append(seq())
+        return parts[0] if len(parts) == 1 else ("alt", parts)
+
+    node = alt()
+    if peek() is not None:
+        raise PathSyntaxError(f"bad path {expr!r}: trailing {peek()!r}")
+    return node
+
+
+def _compile_path(edges: DataFrame, ast) -> DataFrame:
+    """Compile a path AST to a distinct (subject, object) relation."""
+    kind = ast[0]
+    if kind == "iri":
+        return (
+            edges.filter(F.col("predicate") == ast[1])
+            .select("subject", "object")
+            .distinct()
+        )
+    if kind == "alt":
+        # all-plain-IRI alternation stays ONE scan with an IN filter
+        if all(p[0] == "iri" for p in ast[1]):
+            return (
+                edges.filter(
+                    F.col("predicate").isin(*[p[1] for p in ast[1]])
+                )
+                .select("subject", "object")
+                .distinct()
+            )
+        out = None
+        for p in ast[1]:
+            r = _compile_path(edges, p)
+            out = r if out is None else out.unionByName(r)
+        return out.distinct()
+    if kind == "seq":
+        out = None
+        for p in ast[1]:
+            r = _compile_path(edges, p)
+            if out is None:
+                out = r
+            else:
+                out = (
+                    out.alias("l")
+                    .join(r.alias("r"), F.col("l.object") == F.col("r.subject"))
+                    .select(
+                        F.col("l.subject").alias("subject"),
+                        F.col("r.object").alias("object"),
+                    )
+                    .distinct()
+                )
+        return out
+    if kind == "inv":
+        r = _compile_path(edges, ast[1])
+        return r.select(
+            F.col("object").alias("subject"), F.col("subject").alias("object")
+        )
+    if kind == "+":
+        r = _compile_path(edges, ast[1])
+        return transitive_closure(r, "subject", "object").select(
+            F.col("src").alias("subject"), F.col("dst").alias("object")
+        )
+    if kind in ("*", "?"):
+        r = _compile_path(edges, ast[1])
+        if kind == "*":
+            r = transitive_closure(r, "subject", "object").select(
+                F.col("src").alias("subject"), F.col("dst").alias("object")
+            )
+        nodes = (
+            edges.select(F.col("subject").alias("n"))
+            .unionByName(edges.select(F.col("object").alias("n")))
+            .distinct()
+        )
+        return r.unionByName(
+            nodes.select(F.col("n").alias("subject"), F.col("n").alias("object"))
+        ).distinct()
+    raise PathSyntaxError(f"unknown path node {ast!r}")
 
 
 def _compile_group(
@@ -58,10 +232,17 @@ def _compile_group(
     for s_p_o in patterns:
         if len(s_p_o) != 3:
             raise ValueError(f"pattern must have 3 terms: {s_p_o}")
-        t = edges.select(*_POS_COLS)
+        if _is_path(s_p_o[1]):
+            # property-path pattern: compile the path to a (subject,
+            # object) relation and bind only the two endpoint terms
+            t = _compile_path(edges, _parse_path(s_p_o[1]))
+            pos_terms = list(zip(("subject", "object"), (s_p_o[0], s_p_o[2])))
+        else:
+            t = edges.select(*_POS_COLS)
+            pos_terms = list(zip(_POS_COLS, s_p_o))
         first_pos: dict[str, str] = {}
         proj = []
-        for col, term in zip(_POS_COLS, s_p_o):
+        for col, term in pos_terms:
             if not _is_var(term):
                 t = t.filter(F.col(col) == term)
             elif term in first_pos:
