@@ -2307,6 +2307,67 @@ def q_semantic_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lin_similarity(pairs, clo, ic)
 
 
+#: OWL-lite TBox for the owl_entailment gate: subPropertyOf feeding a
+#: transitive predicate, an inverse pair, a symmetric predicate, and
+#: domain/range + subClassOf so every stratum fires.
+_OWL_TBOX = [
+    ("located_in", "rdfs:subPropertyOf", "part_of"),
+    ("part_of", "rdf:type", "owl:TransitiveProperty"),
+    ("located_in", "owl:inverseOf", "contains"),
+    ("adjacent_to", "rdf:type", "owl:SymmetricProperty"),
+    ("located_in", "rdfs:domain", "Nation"),
+    ("located_in", "rdfs:range", "Region"),
+    ("Nation", "rdfs:subClassOf", "Place"),
+    ("Region", "rdfs:subClassOf", "Place"),
+]
+
+
+def q_owl_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS+OWL-lite entailment (operators/entailment.py
+    rdfs_owl_entailment): the signed predicate-implication lattice
+    (subPropertyOf/inverseOf/symmetric closed TBox-side, ONE broadcast
+    ABox mapping), per-predicate path-doubling closure for
+    owl:TransitiveProperty, post-closure lattice mapping, then
+    domain/range + subclass typing. ABox: nations located_in regions
+    (lifting into the transitive part_of), regions part_of ROOT (so
+    the closure derives N→ROOT), even-key adjacency (symmetric
+    mirror). Oracle: the module-generated recursive-CTE twin."""
+    from kg_microbe_merge_spark.operators.entailment import (
+        rdfs_owl_entailment,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    abox = (
+        n.select(
+            F.concat(F.lit("N:"), F.col("n_nationkey")).alias("subject"),
+            F.lit("located_in").alias("predicate"),
+            F.concat(F.lit("R:"), F.col("n_regionkey")).alias("object"),
+        )
+        .unionByName(
+            n.select(F.col("n_regionkey").alias("k"))
+            .distinct()
+            .select(
+                F.concat(F.lit("R:"), F.col("k")).alias("subject"),
+                F.lit("part_of").alias("predicate"),
+                F.lit("ROOT").alias("object"),
+            )
+        )
+        .unionByName(
+            n.filter(F.col("n_nationkey") % 2 == 0).select(
+                F.concat(F.lit("N:"), F.col("n_nationkey")).alias("subject"),
+                F.lit("adjacent_to").alias("predicate"),
+                F.concat(F.lit("N:"), F.col("n_nationkey") + 1).alias(
+                    "object"
+                ),
+            )
+        )
+    )
+    tbox = spark.createDataFrame(
+        _OWL_TBOX, "subject string, predicate string, object string"
+    )
+    return rdfs_owl_entailment(abox, tbox)
+
+
 def q_bgp_property_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL property paths in the BGP compiler (plans/bgp.py):
     ``skip/next+`` — a sequence step joined to a transitive closure
@@ -3711,7 +3772,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (IC/Resnik/Lin over the ontology closure, operators/semsim.py —
     recursive-CTE closure + module-generated ic/lin twins) and
     bgp_property_paths (SPARQL property paths ^ / | + * ? compiled to
-    DataFrame algebra + closure, plans/bgp.py — recursive-CTE oracle).
+    DataFrame algebra + closure, plans/bgp.py — recursive-CTE oracle)
+    and owl_entailment (OWL-lite inverseOf/symmetric/transitive via a
+    signed predicate-implication lattice, operators/entailment.py —
+    module-generated recursive-CTE twin).
     q1_pricing_summary had green round-1 AND round-2 driver rows and
     ceded its slot to the new rdfs_entailment KG-reasoning query: its
     scan-pruned partial/final aggregation shape stays gated via
@@ -3722,6 +3786,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semantic_similarity": q_semantic_similarity,
         "bgp_property_paths": q_bgp_property_paths,
+        "owl_entailment": q_owl_entailment,
         "q1_pricing_summary": q_q1_pricing_summary,
         "ktruss_3": q_ktruss,
         "kmv_token_overlap": q_kmv_token_overlap,
@@ -5906,6 +5971,38 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM nation
             UNION ALL
             SELECT 'N:' || n_nationkey, 'rdf:type', 'Nation'
+            FROM nation WHERE n_nationkey % 2 = 0),
+        """,
+    )
+
+    # OWL-lite entailment: same nation ABox + literal TBox, the
+    # module-generated lattice/closure/typing twin
+    from kg_microbe_merge_spark.operators.entailment import (
+        owl_entailment_sql,
+    )
+
+    _owl_tbox_values = ",\n                ".join(
+        f"('{s}', '{p}', '{o}')" for s, p, o in _OWL_TBOX
+    )
+    sql["owl_entailment"] = owl_entailment_sql(
+        "abox",
+        "tbox",
+        prelude_ctes=f"""
+        tbox AS (
+            SELECT * FROM (VALUES
+                {_owl_tbox_values})
+            AS t(subject, predicate, object)),
+        abox AS (
+            SELECT 'N:' || n_nationkey AS subject,
+                   'located_in' AS predicate,
+                   'R:' || n_regionkey AS object
+            FROM nation
+            UNION ALL
+            SELECT DISTINCT 'R:' || n_regionkey, 'part_of', 'ROOT'
+            FROM nation
+            UNION ALL
+            SELECT 'N:' || n_nationkey, 'adjacent_to',
+                   'N:' || (n_nationkey + 1)
             FROM nation WHERE n_nationkey % 2 = 0),
         """,
     )

@@ -148,6 +148,7 @@ HEADLINE = [
     "rdfs_entailment",
     "semantic_similarity",
     "bgp_property_paths",
+    "owl_entailment",
 ]
 
 

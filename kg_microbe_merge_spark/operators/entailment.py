@@ -57,6 +57,11 @@ SUBPROP_PRED = "rdfs:subPropertyOf"
 DOMAIN_PRED = "rdfs:domain"
 RANGE_PRED = "rdfs:range"
 
+#: OWL-lite property-semantics vocabulary (see :func:`owl_saturate`).
+INVERSE_PRED = "owl:inverseOf"
+SYMMETRIC_CLASS = "owl:SymmetricProperty"
+TRANSITIVE_CLASS = "owl:TransitiveProperty"
+
 _SCHEMA_PREDS = (SUBCLASS_PRED, SUBPROP_PRED, DOMAIN_PRED, RANGE_PRED)
 
 
@@ -82,7 +87,13 @@ def split_tbox(
         F.col(predicate_col).alias("predicate"),
         F.col(object_col).alias("object"),
     )
-    is_schema = F.col("predicate").isin(*_SCHEMA_PREDS)
+    is_schema = (
+        F.col("predicate").isin(*_SCHEMA_PREDS, INVERSE_PRED)
+        | (
+            (F.col("predicate") == TYPE_PRED)
+            & F.col("object").isin(SYMMETRIC_CLASS, TRANSITIVE_CLASS)
+        )
+    )
     return t.filter(is_schema), t.filter(~is_schema)
 
 
@@ -226,6 +237,424 @@ def rdfs_entailment(
             "left_anti",
         )
     return out.distinct()
+
+
+def _closure_by_pred(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
+    """Per-predicate transitive closure of a (subject, predicate,
+    object) relation by path doubling — the multi-relation twin of
+    :func:`..closure.transitive_closure` (predicate rides in the join
+    key, so ALL transitive predicates close in the same log-round
+    loop instead of one driver loop per predicate)."""
+    r = edges.select("subject", "predicate", "object").distinct().localCheckpoint(
+        eager=True
+    )
+    n = r.count()
+    for _ in range(max_iterations):
+        if n == 0:
+            return r
+        two = (
+            r.alias("a")
+            .join(
+                r.alias("b"),
+                (F.col("a.object") == F.col("b.subject"))
+                & (F.col("a.predicate") == F.col("b.predicate")),
+            )
+            .select(
+                F.col("a.subject").alias("subject"),
+                F.col("a.predicate").alias("predicate"),
+                F.col("b.object").alias("object"),
+            )
+        )
+        r = r.unionByName(two).distinct().localCheckpoint(eager=True)
+        n_next = r.count()
+        if n_next == n:
+            return r
+        n = n_next
+    raise UnsupportedTBoxError(
+        f"transitive-property closure still growing after "
+        f"{max_iterations} doubling rounds"
+    )
+
+
+def owl_saturate(
+    triples: DataFrame,
+    tbox: DataFrame,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """OWL-lite property saturation: ``owl:inverseOf``,
+    ``owl:SymmetricProperty``, ``owl:TransitiveProperty`` applied to a
+    triple set, returning the input plus every derived triple.
+
+    Rule order is a PROVEN fixpoint for any combination of the three:
+    (1) inverse + symmetric over the asserted triples, (2) one
+    per-predicate transitive closure over the transitive predicates'
+    edges (predicate rides in the doubling join key — all transitive
+    predicates close together), (3) inverse + symmetric once more over
+    the closure's new rows. Step 3 exists because OWL applies
+    inverseOf/symmetry to ENTAILED triples too — the inverse of a
+    closure is the closure of the inverse, so one post-pass suffices;
+    a symmetric relation's closure is already symmetric, so the
+    re-application is idempotent there. No loop over the ABox, ever.
+
+    100 TB shape: inverse/symmetric are broadcast-joined row-local
+    rewrites (one scan each); the closure touches ONLY the transitive
+    predicates' edge subset (pushed predicate-IN filter). The closure's
+    output-size honesty from operators/closure.py applies per
+    transitive predicate."""
+    tb = tbox.select("subject", "predicate", "object")
+    inv = tb.filter(F.col("predicate") == INVERSE_PRED).select(
+        F.col("subject").alias("p"), F.col("object").alias("q")
+    )
+    # inverseOf is symmetric in p/q: apply both directions
+    inv_both = inv.unionByName(
+        inv.select(F.col("q").alias("p"), F.col("p").alias("q"))
+    ).distinct()
+    sym = tb.filter(
+        (F.col("predicate") == TYPE_PRED)
+        & (F.col("object") == SYMMETRIC_CLASS)
+    ).select(F.col("subject").alias("p"))
+    trans = tb.filter(
+        (F.col("predicate") == TYPE_PRED)
+        & (F.col("object") == TRANSITIVE_CLASS)
+    ).select(F.col("subject").alias("p"))
+
+    def _inv_sym(t: DataFrame) -> DataFrame:
+        inverted = (
+            t.join(F.broadcast(inv_both), t["predicate"] == inv_both["p"])
+            .select(
+                F.col("object").alias("subject"),
+                F.col("q").alias("predicate"),
+                F.col("subject").alias("object"),
+            )
+        )
+        mirrored = (
+            t.join(F.broadcast(sym), t["predicate"] == sym["p"])
+            .select(
+                F.col("object").alias("subject"),
+                "predicate",
+                F.col("subject").alias("object"),
+            )
+        )
+        return t.unionByName(inverted).unionByName(mirrored)
+
+    a = triples.select("subject", "predicate", "object")
+    step1 = _inv_sym(a).distinct()
+    t_edges = step1.join(
+        F.broadcast(trans), step1["predicate"] == trans["p"]
+    ).select("subject", "predicate", "object")
+    closed = _closure_by_pred(t_edges, max_iterations)
+    return _inv_sym(step1.unionByName(closed)).distinct()
+
+
+def _pred_implications(tb: DataFrame, max_iterations: int = 30) -> DataFrame:
+    """Closed SIGNED predicate-implication lattice: (p, psign, q, qsign)
+    meaning every p-triple (reversed when psign = -1) is also a
+    q-triple (reversed when qsign = -1). Generators: ``p ⊑ q`` gives
+    sign-preserving edges; ``inverseOf`` sign-flipping edges both ways;
+    ``SymmetricProperty`` a self sign-flip. Closing this TINY graph
+    (nodes = predicates × {+1,-1}) TBox-side is what makes the ABox
+    mapping ONE broadcast join — the complete replacement for
+    iterating rdfs7/inverse/symmetric to a fixpoint over 100 TB."""
+    sub = tb.filter(F.col("predicate") == SUBPROP_PRED)
+    inv = tb.filter(F.col("predicate") == INVERSE_PRED)
+    sym = tb.filter(
+        (F.col("predicate") == TYPE_PRED)
+        & (F.col("object") == SYMMETRIC_CLASS)
+    )
+    gen = None
+    for e in (
+        sub.select(
+            F.col("subject").alias("p"), F.lit(1).alias("ps"),
+            F.col("object").alias("q"), F.lit(1).alias("qs"),
+        ),
+        sub.select(
+            F.col("subject").alias("p"), F.lit(-1).alias("ps"),
+            F.col("object").alias("q"), F.lit(-1).alias("qs"),
+        ),
+        inv.select(
+            F.col("subject").alias("p"), F.lit(1).alias("ps"),
+            F.col("object").alias("q"), F.lit(-1).alias("qs"),
+        ),
+        inv.select(
+            F.col("subject").alias("p"), F.lit(-1).alias("ps"),
+            F.col("object").alias("q"), F.lit(1).alias("qs"),
+        ),
+        inv.select(
+            F.col("object").alias("p"), F.lit(1).alias("ps"),
+            F.col("subject").alias("q"), F.lit(-1).alias("qs"),
+        ),
+        inv.select(
+            F.col("object").alias("p"), F.lit(-1).alias("ps"),
+            F.col("subject").alias("q"), F.lit(1).alias("qs"),
+        ),
+        sym.select(
+            F.col("subject").alias("p"), F.lit(1).alias("ps"),
+            F.col("subject").alias("q"), F.lit(-1).alias("qs"),
+        ),
+        sym.select(
+            F.col("subject").alias("p"), F.lit(-1).alias("ps"),
+            F.col("subject").alias("q"), F.lit(1).alias("qs"),
+        ),
+    ):
+        gen = e if gen is None else gen.unionByName(e)
+    r = gen.distinct().localCheckpoint(eager=True)
+    n = r.count()
+    for _ in range(max_iterations):
+        if n == 0:
+            return r
+        two = (
+            r.alias("a")
+            .join(
+                r.alias("b"),
+                (F.col("a.q") == F.col("b.p"))
+                & (F.col("a.qs") == F.col("b.ps")),
+            )
+            .select(
+                F.col("a.p").alias("p"), F.col("a.ps").alias("ps"),
+                F.col("b.q").alias("q"), F.col("b.qs").alias("qs"),
+            )
+        )
+        r = r.unionByName(two).distinct().localCheckpoint(eager=True)
+        n_next = r.count()
+        if n_next == n:
+            return r
+        n = n_next
+    raise UnsupportedTBoxError(
+        "predicate-implication lattice still growing after "
+        f"{max_iterations} doubling rounds"
+    )
+
+
+def _apply_implications(t: DataFrame, impl: DataFrame) -> DataFrame:
+    """t ∪ every triple implied by the closed lattice: one broadcast
+    join; forward implications keep (s, o), sign-flipping ones swap."""
+    derived = (
+        t.join(
+            F.broadcast(impl.filter(F.col("ps") == 1)),
+            t["predicate"] == F.col("p"),
+        )
+        .select(
+            F.when(F.col("qs") == 1, F.col("subject"))
+            .otherwise(F.col("object"))
+            .alias("subject"),
+            F.col("q").alias("predicate"),
+            F.when(F.col("qs") == 1, F.col("object"))
+            .otherwise(F.col("subject"))
+            .alias("object"),
+        )
+    )
+    return t.unionByName(derived)
+
+
+def rdfs_owl_entailment(
+    abox: DataFrame,
+    tbox: DataFrame,
+    type_pred: str = TYPE_PRED,
+    include_asserted: bool = True,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """RDFS-lite + OWL-lite property semantics (``owl:inverseOf``,
+    ``owl:SymmetricProperty``, ``owl:TransitiveProperty``), COMPLETE
+    for the whole {subPropertyOf, inverseOf, symmetric, transitive,
+    domain, range, subClassOf} fragment without an ABox fixpoint:
+
+    1. close the signed predicate-implication lattice TBox-side
+       (:func:`_pred_implications` — subsumes rdfs5/7 + inverse +
+       symmetric and every interleaving of them),
+    2. map the ABox once through the broadcast lattice,
+    3. per-predicate path-doubling closure over the transitive
+       predicates' edges (their input sets are complete after step 2,
+       so one closure suffices — compositions of any implied-in edges
+       are compositions of input edges),
+    4. map the closure's pairs through the lattice once more (OWL
+       applies inverse/symmetry/subproperty to ENTAILED triples; the
+       inverse/image of a closure is the closure of the inverse/image,
+       so one post-pass is the fixpoint),
+    5. domain/range + class-hierarchy typing over the saturated set
+       (rdfs2/3/9 — every edge already exists under every implied
+       predicate, so the plain broadcast domain/range joins see them).
+
+    The only profile guard is inherited from :func:`rdfs_entailment`:
+    ``rdf:type`` must stay out of the property lattice and carry no
+    domain/range, keeping the typing stratum last."""
+    tb = tbox.select("subject", "predicate", "object")
+    bad = tb.filter(
+        (
+            F.col("predicate").isin(SUBPROP_PRED, INVERSE_PRED)
+            & (
+                (F.col("subject") == type_pred)
+                | (F.col("object") == type_pred)
+            )
+        )
+        | (
+            F.col("predicate").isin(DOMAIN_PRED, RANGE_PRED)
+            & (F.col("subject") == type_pred)
+        )
+    )
+    if bad.limit(1).count() > 0:
+        raise UnsupportedTBoxError(
+            "TBox places rdf:type in the property lattice or gives it "
+            "a domain/range — the typing stratum must stay last; use a "
+            "fixpoint Datalog materializer"
+        )
+    impl = _pred_implications(tb, max_iterations)
+    trans = tb.filter(
+        (F.col("predicate") == TYPE_PRED)
+        & (F.col("object") == TRANSITIVE_CLASS)
+    ).select(F.col("subject").alias("p"))
+
+    a = abox.select("subject", "predicate", "object").filter(
+        F.col("subject").isNotNull()
+        & F.col("predicate").isNotNull()
+        & F.col("object").isNotNull()
+    )
+    mapped = _apply_implications(a, impl).distinct()
+    t_edges = mapped.join(
+        F.broadcast(trans), mapped["predicate"] == trans["p"]
+    ).select("subject", "predicate", "object")
+    closed = _closure_by_pred(t_edges, max_iterations)
+    sat = _apply_implications(mapped.unionByName(closed), impl).distinct()
+
+    # typing stratum over the saturated set
+    drc_tbox = tb.filter(
+        F.col("predicate").isin(DOMAIN_PRED, RANGE_PRED, SUBCLASS_PRED)
+    )
+    out = (
+        rdfs_entailment(sat, drc_tbox, type_pred, True, max_iterations)
+        .unionByName(tb)
+        .unionByName(
+            # rdfs5 materialized: the PURE subPropertyOf closure (the
+            # mixed lattice also proves p ⊑ q via inverse chains, but
+            # materializing those as schema triples would overshoot
+            # plain RDFS/OWL-RL scm rules — instances already flow
+            # through the lattice either way)
+            transitive_closure(
+                tb.filter(F.col("predicate") == SUBPROP_PRED).select(
+                    F.col("subject").alias("src"),
+                    F.col("object").alias("dst"),
+                ),
+                max_iterations=max_iterations,
+            ).select(
+                F.col("src").alias("subject"),
+                F.lit(SUBPROP_PRED).alias("predicate"),
+                F.col("dst").alias("object"),
+            )
+        )
+        .distinct()
+    )
+    if include_asserted:
+        return out
+    asserted = a.unionByName(tb)
+    return out.join(
+        asserted, ["subject", "predicate", "object"], "left_anti"
+    )
+
+
+def owl_entailment_sql(
+    abox_cte: str,
+    tbox_cte: str,
+    type_pred: str = TYPE_PRED,
+    prelude_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`rdfs_owl_entailment` (asserted included):
+    the same algorithm — recursive closure of the signed predicate-
+    implication lattice, one lattice mapping of the ABox, per-predicate
+    transitive closure, one post-closure mapping, then domain/range +
+    subclass typing — as recursive CTEs."""
+    return f"""
+WITH RECURSIVE
+{prelude_ctes}
+sp(src, dst) AS (
+    SELECT subject, object FROM {tbox_cte} WHERE predicate = '{SUBPROP_PRED}'
+    UNION
+    SELECT sp.src, t.object FROM sp
+    JOIN {tbox_cte} t ON sp.dst = t.subject AND t.predicate = '{SUBPROP_PRED}'),
+sc(src, dst) AS (
+    SELECT subject, object FROM {tbox_cte} WHERE predicate = '{SUBCLASS_PRED}'
+    UNION
+    SELECT sc.src, t.object FROM sc
+    JOIN {tbox_cte} t ON sc.dst = t.subject AND t.predicate = '{SUBCLASS_PRED}'),
+a AS (
+    SELECT subject, predicate, object FROM {abox_cte}
+    WHERE subject IS NOT NULL AND predicate IS NOT NULL AND object IS NOT NULL),
+gen(p, ps, q, qs) AS (
+    SELECT subject, 1, object, 1 FROM {tbox_cte}
+    WHERE predicate = '{SUBPROP_PRED}'
+    UNION
+    SELECT subject, -1, object, -1 FROM {tbox_cte}
+    WHERE predicate = '{SUBPROP_PRED}'
+    UNION
+    SELECT subject, 1, object, -1 FROM {tbox_cte}
+    WHERE predicate = '{INVERSE_PRED}'
+    UNION
+    SELECT subject, -1, object, 1 FROM {tbox_cte}
+    WHERE predicate = '{INVERSE_PRED}'
+    UNION
+    SELECT object, 1, subject, -1 FROM {tbox_cte}
+    WHERE predicate = '{INVERSE_PRED}'
+    UNION
+    SELECT object, -1, subject, 1 FROM {tbox_cte}
+    WHERE predicate = '{INVERSE_PRED}'
+    UNION
+    SELECT subject, 1, subject, -1 FROM {tbox_cte}
+    WHERE predicate = '{type_pred}' AND object = '{SYMMETRIC_CLASS}'
+    UNION
+    SELECT subject, -1, subject, 1 FROM {tbox_cte}
+    WHERE predicate = '{type_pred}' AND object = '{SYMMETRIC_CLASS}'),
+lat(p, ps, q, qs) AS (
+    SELECT p, ps, q, qs FROM gen
+    UNION
+    SELECT lat.p, lat.ps, gen.q, gen.qs FROM lat
+    JOIN gen ON lat.q = gen.p AND lat.qs = gen.ps),
+trans AS (
+    SELECT subject AS p FROM {tbox_cte}
+    WHERE predicate = '{type_pred}' AND object = '{TRANSITIVE_CLASS}'),
+mapped AS (
+    SELECT * FROM a
+    UNION
+    SELECT CASE WHEN l.qs = 1 THEN a.subject ELSE a.object END,
+           l.q,
+           CASE WHEN l.qs = 1 THEN a.object ELSE a.subject END
+    FROM a JOIN lat l ON a.predicate = l.p AND l.ps = 1),
+tedges AS (
+    SELECT m.* FROM mapped m JOIN trans t ON m.predicate = t.p),
+closed(subject, predicate, object) AS (
+    SELECT subject, predicate, object FROM tedges
+    UNION
+    SELECT c.subject, c.predicate, e.object FROM closed c
+    JOIN tedges e ON c.object = e.subject AND c.predicate = e.predicate),
+sat_pre AS (
+    SELECT * FROM mapped UNION SELECT * FROM closed),
+sat AS (
+    SELECT * FROM sat_pre
+    UNION
+    SELECT CASE WHEN l.qs = 1 THEN s.subject ELSE s.object END,
+           l.q,
+           CASE WHEN l.qs = 1 THEN s.object ELSE s.subject END
+    FROM sat_pre s JOIN lat l ON s.predicate = l.p AND l.ps = 1),
+dom_types AS (
+    SELECT s.subject, '{type_pred}' AS predicate, t.object
+    FROM sat s JOIN {tbox_cte} t
+    ON s.predicate = t.subject AND t.predicate = '{DOMAIN_PRED}'),
+rng_types AS (
+    SELECT s.object AS subject, '{type_pred}' AS predicate, t.object
+    FROM sat s JOIN {tbox_cte} t
+    ON s.predicate = t.subject AND t.predicate = '{RANGE_PRED}'),
+types AS (
+    SELECT * FROM sat WHERE predicate = '{type_pred}'
+    UNION ALL SELECT * FROM dom_types
+    UNION ALL SELECT * FROM rng_types),
+super_types AS (
+    SELECT ty.subject, '{type_pred}' AS predicate, sc.dst AS object
+    FROM types ty JOIN sc ON ty.object = sc.src)
+SELECT DISTINCT subject, predicate, object FROM (
+    SELECT * FROM sat
+    UNION ALL SELECT * FROM types
+    UNION ALL SELECT * FROM super_types
+    UNION ALL SELECT src, '{SUBPROP_PRED}', dst FROM sp
+    UNION ALL SELECT src, '{SUBCLASS_PRED}', dst FROM sc
+    UNION ALL SELECT subject, predicate, object FROM {tbox_cte})
+"""
 
 
 def entailment_sql(

@@ -10,13 +10,19 @@ import pytest
 
 from kg_microbe_merge_spark.operators.entailment import (
     DOMAIN_PRED,
+    INVERSE_PRED,
     RANGE_PRED,
     SUBCLASS_PRED,
     SUBPROP_PRED,
+    SYMMETRIC_CLASS,
+    TRANSITIVE_CLASS,
     TYPE_PRED,
     UnsupportedTBoxError,
     entailment_sql,
+    owl_entailment_sql,
+    owl_saturate,
     rdfs_entailment,
+    rdfs_owl_entailment,
     split_tbox,
 )
 
@@ -132,6 +138,139 @@ def test_lite_profile_guard(spark):
         tbox = spark.createDataFrame(TBOX + [bad_row], T)
         with pytest.raises(UnsupportedTBoxError):
             rdfs_entailment(abox, tbox)
+
+
+OWL_TBOX = TBOX + [
+    ("treated_by", INVERSE_PRED, "treats"),
+    ("interacts_with", TYPE_PRED, SYMMETRIC_CLASS),
+    ("part_of", TYPE_PRED, TRANSITIVE_CLASS),
+    ("part_of", RANGE_PRED, "Whole"),
+]
+
+OWL_ABOX = ABOX + [
+    ("x9", "treated_by", "d9"),
+    ("d1", "interacts_with", "d2"),
+    ("m1", "part_of", "m2"),
+    ("m2", "part_of", "m3"),
+    ("m3", "part_of", "m4"),
+]
+
+
+def _owl_model(abox, tbox):
+    """Naive fixpoint over RDFS + the three OWL property rules."""
+    triples = set(abox) | set(tbox)
+    changed = True
+    while changed:
+        base = _model(triples, ())  # RDFS fixpoint over everything
+        new = set(base)
+        inv = {}
+        for s, p, o in base:
+            if p == INVERSE_PRED:
+                inv[s] = o
+                inv[o] = s
+        syms = {s for s, p, o in base if p == TYPE_PRED and o == SYMMETRIC_CLASS}
+        trs = {s for s, p, o in base if p == TYPE_PRED and o == TRANSITIVE_CLASS}
+        for s, p, o in base:
+            if p in inv:
+                new.add((o, inv[p], s))
+            if p in syms:
+                new.add((o, p, s))
+            if p in trs:
+                for s2, p2, o2 in base:
+                    if p2 == p and s2 == o:
+                        new.add((s, p, o2))
+        changed = new != triples
+        triples = new
+    return triples
+
+
+def test_owl_rules_vs_fixpoint_model(spark):
+    abox = spark.createDataFrame(OWL_ABOX, T)
+    tbox = spark.createDataFrame(OWL_TBOX, T)
+    got = set(_triples(rdfs_owl_entailment(abox, tbox)))
+    assert got == _owl_model(OWL_ABOX, OWL_TBOX)
+    # inverse both ways, incl. on rdfs7-lifted instances
+    assert ("x1", "treated_by", "d1") in got
+    assert ("d9", "treats", "x9") in got
+    assert ("d9", "rdf:type", "Drug") in got  # domain through inverse
+    # symmetric
+    assert ("d2", "interacts_with", "d1") in got
+    # transitive closure + its range types
+    assert ("m1", "part_of", "m4") in got
+    assert ("m4", "rdf:type", "Whole") in got
+    # inverse applies to ENTAILED (closure) triples too: none declared
+    # for part_of, but treats' closure via subprop must not leak
+    assert ("m4", "part_of", "m1") not in got
+
+
+def test_owl_vs_duckdb_oracle(spark):
+    abox = spark.createDataFrame(OWL_ABOX, T)
+    tbox = spark.createDataFrame(OWL_TBOX, T)
+    got = _triples(rdfs_owl_entailment(abox, tbox))
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE abox ({T.replace(' string', ' VARCHAR')})")
+    con.execute(f"CREATE TABLE tbox ({T.replace(' string', ' VARCHAR')})")
+    con.executemany("INSERT INTO abox VALUES (?, ?, ?)", OWL_ABOX)
+    con.executemany("INSERT INTO tbox VALUES (?, ?, ?)", OWL_TBOX)
+    oracle = sorted(
+        map(tuple, con.execute(owl_entailment_sql("abox", "tbox")).fetchall())
+    )
+    assert got == oracle
+
+
+def test_owl_saturate_inverse_of_closure(spark):
+    """OWL semantics: inverseOf applies to entailed triples — the
+    post-closure inverse pass must emit the inverse of every CLOSURE
+    pair, not just asserted ones."""
+    tbox = spark.createDataFrame(
+        [
+            ("anc", TYPE_PRED, TRANSITIVE_CLASS),
+            ("desc", INVERSE_PRED, "anc"),
+        ],
+        T,
+    )
+    abox = spark.createDataFrame(
+        [("a", "anc", "b"), ("b", "anc", "c")], T
+    )
+    got = set(_triples(owl_saturate(abox, tbox)))
+    assert ("a", "anc", "c") in got
+    assert ("c", "desc", "a") in got  # inverse of a DERIVED pair
+
+
+def test_owl_subprop_interplay_complete(spark):
+    """The lattice handles every interleaving of subPropertyOf with
+    inverse/symmetric — including OWL-derived triples that then need
+    lifting (the case a naive lift-then-saturate stratification
+    misses): treated_by's inverse output lands on treats, which has
+    superproperties; a symmetric predicate's mirror lifts too."""
+    abox = spark.createDataFrame(OWL_ABOX, T)
+    tbox_rows = OWL_TBOX + [("interacts_with", SUBPROP_PRED, "related_to")]
+    tbox = spark.createDataFrame(tbox_rows, T)
+    got = set(_triples(rdfs_owl_entailment(abox, tbox)))
+    assert got == _owl_model(OWL_ABOX, tbox_rows)
+    # inverse-derived treats-edge lifted through its superproperties
+    assert ("d9", "affects", "x9") in got
+    assert ("d9", "related_to", "x9") in got
+    # symmetric mirror lifted through the new superproperty
+    assert ("d2", "related_to", "d1") in got
+    # and typed through the lifted superproperty's domain (affects)
+    assert ("d9", TYPE_PRED, "Agent") in got
+
+
+def test_owl_type_guard(spark):
+    abox = spark.createDataFrame(OWL_ABOX, T)
+    tbox = spark.createDataFrame(
+        OWL_TBOX + [(TYPE_PRED, SUBPROP_PRED, "related_to")], T
+    )
+    with pytest.raises(UnsupportedTBoxError):
+        rdfs_owl_entailment(abox, tbox)
+
+
+def test_owl_split_tbox(spark):
+    all_rows = spark.createDataFrame(OWL_ABOX + OWL_TBOX, T)
+    tbox, abox = split_tbox(all_rows)
+    assert sorted(map(tuple, tbox.collect())) == sorted(OWL_TBOX)
+    assert sorted(map(tuple, abox.collect())) == sorted(OWL_ABOX)
 
 
 def test_plan_broadcast_only(spark):
