@@ -2368,6 +2368,33 @@ def q_owl_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfs_owl_entailment(abox, tbox)
 
 
+def q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths (operators/sssp.py):
+    frontier Bellman-Ford — per round ONE frontier⋈edges join +
+    map-side min agg + outer merge, improvement-only frontier, exact
+    ≤max_hops-edge semantics. Graph: the chain+skip doc DAG with
+    deterministic integer weights (chain w = doc_id%7+1, skip w = 1 —
+    skips genuinely shortcut), sources = block heads. Oracle:
+    independent bounded-walk path enumeration (module-generated) vs
+    the engine's relaxation."""
+    from kg_microbe_merge_spark.operators.sssp import sssp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pos = F.col("doc_id") % 16
+    chain = d.filter(pos < 15).select(
+        F.col("doc_id").alias("subject"),
+        (F.col("doc_id") + 1).alias("object"),
+        (F.col("doc_id") % 7 + 1).alias("weight"),
+    )
+    skip = d.filter((pos % 4 == 0) & (pos < 14)).select(
+        F.col("doc_id").alias("subject"),
+        (F.col("doc_id") + 2).alias("object"),
+        F.lit(1).alias("weight"),
+    )
+    sources = d.filter(pos == 0).select(F.col("doc_id").alias("id"))
+    return sssp(chain.unionByName(skip), sources, max_hops=20)
+
+
 def q_bgp_property_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL property paths in the BGP compiler (plans/bgp.py):
     ``skip/next+`` — a sequence step joined to a transitive closure
@@ -3775,7 +3802,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DataFrame algebra + closure, plans/bgp.py — recursive-CTE oracle)
     and owl_entailment (OWL-lite inverseOf/symmetric/transitive via a
     signed predicate-implication lattice, operators/entailment.py —
-    module-generated recursive-CTE twin).
+    module-generated recursive-CTE twin) and weighted_sssp (frontier
+    Bellman-Ford shortest paths, operators/sssp.py — independent
+    bounded-walk-enumeration oracle).
     q1_pricing_summary had green round-1 AND round-2 driver rows and
     ceded its slot to the new rdfs_entailment KG-reasoning query: its
     scan-pruned partial/final aggregation shape stays gated via
@@ -3787,6 +3816,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_similarity": q_semantic_similarity,
         "bgp_property_paths": q_bgp_property_paths,
         "owl_entailment": q_owl_entailment,
+        "weighted_sssp": q_weighted_sssp,
         "q1_pricing_summary": q_q1_pricing_summary,
         "ktruss_3": q_ktruss,
         "kmv_token_overlap": q_kmv_token_overlap,
@@ -6006,6 +6036,23 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM nation WHERE n_nationkey % 2 = 0),
         """,
     )
+
+    # weighted SSSP: same chain+skip graph with weights, independent
+    # bounded-walk enumeration (module-generated)
+    from kg_microbe_merge_spark.operators.sssp import sssp_sql
+
+    sql["weighted_sssp"] = f"""
+        WITH RECURSIVE
+        e AS (
+            SELECT doc_id AS s, doc_id + 1 AS d, doc_id % 7 + 1 AS w
+            FROM documents WHERE doc_id % 16 < 15
+            UNION ALL
+            SELECT doc_id, doc_id + 2, 1
+            FROM documents WHERE doc_id % 16 % 4 = 0 AND doc_id % 16 < 14),
+        src AS (SELECT doc_id AS id FROM documents WHERE doc_id % 16 = 0),
+        {sssp_sql('e', 'src', 20)}
+        SELECT id, dist FROM sssp_result
+    """
 
     # property paths: skip/next+ over the chain+skip doc DAG —
     # recursive-CTE closure + one sequence join, DISTINCT

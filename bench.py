@@ -149,6 +149,7 @@ HEADLINE = [
     "semantic_similarity",
     "bgp_property_paths",
     "owl_entailment",
+    "weighted_sssp",
 ]
 
 

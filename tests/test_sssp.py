@@ -1,0 +1,107 @@
+"""Weighted SSSP (operators/sssp.py): hand-checked relaxation, the
+bounded ≤max_hops-edge semantics, undirected mode, networkx Dijkstra
+oracle on a random weighted digraph, and the DuckDB bounded-walk twin."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from kg_microbe_merge_spark.operators.sssp import sssp, sssp_sql
+
+E = "subject string, object string, weight long"
+
+ROWS = [
+    ("a", "b", 4),
+    ("a", "c", 1),
+    ("c", "b", 1),
+    ("b", "d", 1),
+    ("c", "d", 10),
+    ("x", "y", 2),  # disconnected from a
+]
+
+
+def _dist(df):
+    return {r["id"]: r["dist"] for r in df.collect()}
+
+
+def _src(spark, *ids):
+    return spark.createDataFrame([(i,) for i in ids], "id string")
+
+
+def test_hand_graph(spark):
+    g = spark.createDataFrame(ROWS, E)
+    got = _dist(sssp(g, _src(spark, "a"), max_hops=10))
+    # b via c (1+1=2) beats direct (4); d via c,b (3) beats c,d (11)
+    assert got == {"a": 0, "b": 2, "c": 1, "d": 3}
+
+
+def test_bounded_hop_semantics(spark):
+    g = spark.createDataFrame(ROWS, E)
+    # with 1 hop only, b costs 4 (direct) and d is via b/c 2-edge: absent
+    got = _dist(sssp(g, _src(spark, "a"), max_hops=1))
+    assert got == {"a": 0, "b": 4, "c": 1}
+    # 2 hops: b improves through c; d reachable at 4+1 / 1+10 / (c,b,d)=3 needs 3 edges
+    got = _dist(sssp(g, _src(spark, "a"), max_hops=2))
+    assert got == {"a": 0, "b": 2, "c": 1, "d": 5}
+    assert _dist(sssp(g, _src(spark, "a"), max_hops=0)) == {"a": 0}
+    with pytest.raises(ValueError):
+        sssp(g, _src(spark, "a"), max_hops=-1)
+
+
+def test_multi_source_and_undirected(spark):
+    g = spark.createDataFrame(ROWS, E)
+    got = _dist(sssp(g, _src(spark, "a", "x"), max_hops=10))
+    assert got["x"] == 0 and got["y"] == 2 and got["d"] == 3
+    und = _dist(
+        sssp(g, _src(spark, "d"), max_hops=10, directed=False)
+    )
+    # d-b 1, then b-c 1 (2), then c-a 1 (3); x/y stay unreachable
+    assert und == {"d": 0, "b": 1, "c": 2, "a": 3}
+
+
+def test_negative_weight_bounded(spark):
+    g = spark.createDataFrame(
+        [("a", "b", 5), ("a", "c", 10), ("b", "c", -8)], E
+    )
+    got = _dist(sssp(g, _src(spark, "a"), max_hops=5))
+    assert got == {"a": 0, "b": 5, "c": -3}
+
+
+def test_random_graph_vs_networkx_and_duckdb(spark):
+    networkx = pytest.importorskip("networkx")
+    rng = random.Random(31)
+    n = 40
+    rows = sorted(
+        {
+            (f"v{rng.randrange(n)}", f"v{rng.randrange(n)}", rng.randrange(1, 20))
+            for _ in range(120)
+        }
+    )
+    rows = [(s, d, w) for s, d, w in rows if s != d]
+    g = spark.createDataFrame(rows, E)
+    got = _dist(sssp(g, _src(spark, "v0"), max_hops=n))
+
+    G = networkx.DiGraph()
+    for s, d, w in rows:
+        if not G.has_edge(s, d) or G[s][d]["weight"] > w:
+            G.add_edge(s, d, weight=w)
+    want = networkx.single_source_dijkstra_path_length(G, "v0", weight="weight")
+    if "v0" not in want:
+        want["v0"] = 0
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (s VARCHAR, d VARCHAR, w BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+    oracle = dict(
+        con.execute(f"""
+            WITH RECURSIVE
+            src AS (SELECT 'v0' AS id),
+            {sssp_sql('e', 'src', n)}
+            SELECT id, dist FROM sssp_result
+        """).fetchall()
+    )
+    assert got == oracle
