@@ -2368,6 +2368,29 @@ def q_owl_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfs_owl_entailment(abox, tbox)
 
 
+def q_kg_incremental_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental transitive-closure fold (operators/closure.py
+    incremental_closure): the chain edges close first (the snapshot),
+    then the skip edges fold in as the delta — work proportional to
+    the NEW paths, snapshot never re-closed (the upsert/incremental-CC
+    fold-not-rebuild shape). Oracle: the full recursive-CTE re-closure
+    over chain ∪ skip — fold ≡ re-closure by pure set semantics."""
+    from kg_microbe_merge_spark.operators.closure import (
+        incremental_closure,
+        transitive_closure,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pos = F.col("doc_id") % 16
+    chain = d.filter(pos < 15).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    skip = d.filter((pos % 4 == 0) & (pos < 14)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 2).alias("dst")
+    )
+    return incremental_closure(transitive_closure(chain), skip)
+
+
 def q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted multi-source shortest paths (operators/sssp.py):
     frontier Bellman-Ford — per round ONE frontier⋈edges join +
@@ -3804,7 +3827,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     signed predicate-implication lattice, operators/entailment.py —
     module-generated recursive-CTE twin) and weighted_sssp (frontier
     Bellman-Ford shortest paths, operators/sssp.py — independent
-    bounded-walk-enumeration oracle).
+    bounded-walk-enumeration oracle) and kg_incremental_closure (delta
+    fold into a closed reachability relation, operators/closure.py —
+    fold ≡ full re-closure invariant oracle).
     q1_pricing_summary had green round-1 AND round-2 driver rows and
     ceded its slot to the new rdfs_entailment KG-reasoning query: its
     scan-pruned partial/final aggregation shape stays gated via
@@ -3817,6 +3842,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_property_paths": q_bgp_property_paths,
         "owl_entailment": q_owl_entailment,
         "weighted_sssp": q_weighted_sssp,
+        "kg_incremental_closure": q_kg_incremental_closure,
         "q1_pricing_summary": q_q1_pricing_summary,
         "ktruss_3": q_ktruss,
         "kmv_token_overlap": q_kmv_token_overlap,
@@ -6036,6 +6062,20 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM nation WHERE n_nationkey % 2 = 0),
         """,
     )
+
+    # incremental closure fold ≡ full re-closure (invariant-as-oracle,
+    # same edge formula as subclass_closure)
+    sql["kg_incremental_closure"] = f"""
+        WITH RECURSIVE
+        e AS (
+            SELECT doc_id AS src, doc_id + 1 AS dst
+            FROM documents WHERE doc_id % 16 < 15
+            UNION ALL
+            SELECT doc_id AS src, doc_id + 2 AS dst
+            FROM documents WHERE doc_id % 16 % 4 = 0 AND doc_id % 16 < 14),
+        {closure_sql('e')}
+        SELECT src, dst FROM r
+    """
 
     # weighted SSSP: same chain+skip graph with weights, independent
     # bounded-walk enumeration (module-generated)

@@ -150,6 +150,7 @@ HEADLINE = [
     "bgp_property_paths",
     "owl_entailment",
     "weighted_sssp",
+    "kg_incremental_closure",
 ]
 
 

@@ -1,6 +1,8 @@
 """Transitive closure / reachability by iterative path doubling — the
 ontology-ancestor operator (Biolink ``subclass_of``+, SPARQL property
-path ``p+``).
+path ``p+``) — plus the DELTA fold (:func:`incremental_closure`) that
+keeps a closed relation current as edge batches arrive, with work
+proportional to the new paths instead of the graph.
 
 The reference's Biolink category world is a subsumption hierarchy; KG
 consumers constantly ask "all ancestors of X" (category rollups,
@@ -123,6 +125,80 @@ def ancestor_counts(
             F.coalesce("n_ancestors", F.lit(0)).alias("n_ancestors"),
             F.coalesce("n_descendants", F.lit(0)).alias("n_descendants"),
         )
+    )
+
+
+def incremental_closure(
+    closed: DataFrame,
+    delta: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Fold a DELTA edge batch into an already-closed reachability
+    relation without recomputing it: returns
+    ``transitive_closure(closed ∪ delta)`` with work proportional to
+    the NEW paths, not the graph.
+
+    Why it's cheap: ``closed`` is transitively closed, so every new
+    pair decomposes into closed-segments alternating with delta edges.
+    The frontier loop seeds with the delta (pre/post-extended by one
+    closed hop each side) and each round extends the NEW pairs by one
+    more closed-or-new segment on either side — rounds are bounded by
+    the number of delta edges on the longest new path (delta-sized),
+    never the graph diameter. The snapshot is scanned per round only
+    as the static join side; it is never re-closed — the same
+    fold-not-rebuild shape as ``operators/upsert`` and
+    ``kg_incremental_cc``, for the same resumability reason.
+
+    Oracle invariant (the gate): fold ≡ full re-closure over all
+    edges. Pure set semantics makes them identical."""
+    acc = (
+        closed.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        delta.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .join(acc, ["src", "dst"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    # invariant each round: acc ∩ frontier = ∅, acc ∪ frontier is the
+    # discovered-so-far pair set, frontier is its newest layer
+    for _ in range(max_iterations):
+        if frontier.limit(1).count() == 0:
+            return acc
+        known = acc.unionByName(frontier)
+        left_ext = (
+            known.alias("a")
+            .join(frontier.alias("f"), F.col("a.dst") == F.col("f.src"))
+            .select(
+                F.col("a.src").alias("src"), F.col("f.dst").alias("dst")
+            )
+        )
+        right_ext = (
+            frontier.alias("f")
+            .join(known.alias("a"), F.col("f.dst") == F.col("a.src"))
+            .select(
+                F.col("f.src").alias("src"), F.col("a.dst").alias("dst")
+            )
+        )
+        acc = known.localCheckpoint(eager=True)
+        frontier = (
+            left_ext.unionByName(right_ext)
+            .distinct()
+            .join(acc, ["src", "dst"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise ClosureConvergenceError(
+        f"incremental closure still growing after {max_iterations} rounds"
     )
 
 

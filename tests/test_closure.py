@@ -11,6 +11,7 @@ from kg_microbe_merge_spark.operators.closure import (
     ClosureConvergenceError,
     ancestor_counts,
     closure_sql,
+    incremental_closure,
     transitive_closure,
 )
 
@@ -90,6 +91,51 @@ def test_ancestor_counts(spark):
     assert got == {
         1: (3, 0), 2: (2, 1), 3: (1, 2), 4: (0, 3)
     }
+
+
+def test_incremental_fold_equals_full_reclosure(spark):
+    """The oracle invariant: folding a delta into a closed relation ≡
+    re-closing everything, across chain-bridging, cycle-forming,
+    duplicate and empty deltas."""
+    import random
+
+    rng = random.Random(41)
+    base_edges = sorted(
+        {(rng.randrange(0, j), j) for j in range(1, 60) for _ in range(2)}
+    )
+    # delta: forward bridges + a back edge (forms cycles) + a dup
+    delta_edges = [(3, 45), (61, 62), (50, 2), base_edges[0]]
+    closed = transitive_closure(spark.createDataFrame(base_edges, E))
+    folded = incremental_closure(
+        closed, spark.createDataFrame(delta_edges, E)
+    )
+    full = transitive_closure(
+        spark.createDataFrame(sorted(set(base_edges) | set(delta_edges)), E)
+    )
+    assert _pairs(folded) == _pairs(full)
+
+
+def test_incremental_noop_and_empty_delta(spark):
+    chain = spark.createDataFrame([(1, 2), (2, 3)], E)
+    closed = transitive_closure(chain)
+    want = _pairs(closed)
+    # delta already entailed by the closure: nothing changes
+    dup = spark.createDataFrame([(1, 3)], E)
+    assert _pairs(incremental_closure(closed, dup)) == want
+    empty = spark.createDataFrame([], E)
+    assert _pairs(incremental_closure(closed, empty)) == want
+
+
+def test_incremental_chained_folds(spark):
+    """Two successive folds ≡ one re-closure over everything — the
+    resumability property (each fold's output is a valid snapshot)."""
+    c = transitive_closure(spark.createDataFrame([(1, 2), (3, 4)], E))
+    c = incremental_closure(c, spark.createDataFrame([(2, 3)], E))
+    c = incremental_closure(c, spark.createDataFrame([(4, 5)], E))
+    full = transitive_closure(
+        spark.createDataFrame([(1, 2), (3, 4), (2, 3), (4, 5)], E)
+    )
+    assert _pairs(c) == _pairs(full)
 
 
 def test_convergence_guard(spark):
