@@ -2418,6 +2418,54 @@ def q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(chain.unionByName(skip), sources, max_hops=20)
 
 
+def q_kg_incremental_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entailment maintenance (operators/entailment.py
+    incremental_entailment): the even-nationkey half of the owl gate
+    ABox entails first (the snapshot), then the odd located_in edges +
+    the adjacency edges fold in as the delta — every stratum folds
+    (lattice mapping of the delta only, incremental per-predicate
+    closure against the snapshot's closed pairs, typing of new rows
+    only). Oracle: the full re-entailment twin over ALL rows — fold ≡
+    re-entailment by monotonicity."""
+    from kg_microbe_merge_spark.operators.entailment import (
+        incremental_entailment,
+        rdfs_owl_entailment,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    located = n.select(
+        F.concat(F.lit("N:"), F.col("n_nationkey")).alias("subject"),
+        F.lit("located_in").alias("predicate"),
+        F.concat(F.lit("R:"), F.col("n_regionkey")).alias("object"),
+        (F.col("n_nationkey") % 2 == 0).alias("_init"),
+    )
+    roots = (
+        n.select(F.col("n_regionkey").alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("R:"), F.col("k")).alias("subject"),
+            F.lit("part_of").alias("predicate"),
+            F.lit("ROOT").alias("object"),
+            F.lit(True).alias("_init"),
+        )
+    )
+    adj = n.filter(F.col("n_nationkey") % 2 == 0).select(
+        F.concat(F.lit("N:"), F.col("n_nationkey")).alias("subject"),
+        F.lit("adjacent_to").alias("predicate"),
+        F.concat(F.lit("N:"), F.col("n_nationkey") + 1).alias("object"),
+        F.lit(False).alias("_init"),
+    )
+    rows = located.unionByName(roots).unionByName(adj)
+    tbox = spark.createDataFrame(
+        _OWL_TBOX, "subject string, predicate string, object string"
+    )
+    init = rows.filter(F.col("_init")).drop("_init")
+    delta = rows.filter(~F.col("_init")).drop("_init")
+    return incremental_entailment(
+        rdfs_owl_entailment(init, tbox), delta, tbox
+    )
+
+
 def q_bgp_property_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL property paths in the BGP compiler (plans/bgp.py):
     ``skip/next+`` — a sequence step joined to a transitive closure
@@ -3829,7 +3877,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Bellman-Ford shortest paths, operators/sssp.py — independent
     bounded-walk-enumeration oracle) and kg_incremental_closure (delta
     fold into a closed reachability relation, operators/closure.py —
-    fold ≡ full re-closure invariant oracle).
+    fold ≡ full re-closure invariant oracle) and
+    kg_incremental_entailment (delta ABox fold into a materialized
+    entailment, operators/entailment.py — fold ≡ full re-entailment
+    invariant oracle).
     q1_pricing_summary had green round-1 AND round-2 driver rows and
     ceded its slot to the new rdfs_entailment KG-reasoning query: its
     scan-pruned partial/final aggregation shape stays gated via
@@ -3843,6 +3894,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_entailment": q_owl_entailment,
         "weighted_sssp": q_weighted_sssp,
         "kg_incremental_closure": q_kg_incremental_closure,
+        "kg_incremental_entailment": q_kg_incremental_entailment,
         "q1_pricing_summary": q_q1_pricing_summary,
         "ktruss_3": q_ktruss,
         "kmv_token_overlap": q_kmv_token_overlap,
@@ -6093,6 +6145,10 @@ def _all_oracle_sql() -> dict[str, str]:
         {sssp_sql('e', 'src', 20)}
         SELECT id, dist FROM sssp_result
     """
+
+    # incremental entailment fold ≡ full re-entailment over all rows
+    # (invariant-as-oracle: same twin as owl_entailment)
+    sql["kg_incremental_entailment"] = sql["owl_entailment"]
 
     # property paths: skip/next+ over the chain+skip doc DAG —
     # recursive-CTE closure + one sequence join, DISTINCT

@@ -151,6 +151,7 @@ HEADLINE = [
     "owl_entailment",
     "weighted_sssp",
     "kg_incremental_closure",
+    "kg_incremental_entailment",
 ]
 
 

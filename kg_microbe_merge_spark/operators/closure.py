@@ -153,6 +153,19 @@ def incremental_closure(
 
     Oracle invariant (the gate): fold ≡ full re-closure over all
     edges. Pure set semantics makes them identical."""
+    from .guards import constraint_propagation_disabled
+
+    with constraint_propagation_disabled(closed.sparkSession):
+        return _fold_closure(closed, delta, src_col, dst_col, max_iterations)
+
+
+def _fold_closure(
+    closed: DataFrame,
+    delta: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_iterations: int,
+) -> DataFrame:
     acc = (
         closed.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -170,11 +183,15 @@ def incremental_closure(
         .join(acc, ["src", "dst"], "left_anti")
         .localCheckpoint(eager=True)
     )
+    grew = False
     # invariant each round: acc ∩ frontier = ∅, acc ∪ frontier is the
     # discovered-so-far pair set, frontier is its newest layer
     for _ in range(max_iterations):
         if frontier.limit(1).count() == 0:
-            return acc
+            # checkpoint the layered union so the caller's plan stands
+            # alone outside the constraint-conf scope
+            return acc.localCheckpoint(eager=True) if grew else acc
+        grew = True
         known = acc.unionByName(frontier)
         left_ext = (
             known.alias("a")
@@ -190,7 +207,11 @@ def incremental_closure(
                 F.col("f.src").alias("src"), F.col("a.dst").alias("dst")
             )
         )
-        acc = known.localCheckpoint(eager=True)
+        # acc stays a plain union of already-checkpointed layers (a
+        # checkpoint OF the union would re-materialize what the layers
+        # already hold, and trips Catalyst attribute-rebinding when
+        # snapshot and delta share lineage)
+        acc = known
         frontier = (
             left_ext.unionByName(right_ext)
             .distinct()

@@ -550,6 +550,194 @@ def rdfs_owl_entailment(
     )
 
 
+def _incremental_closure_by_pred(
+    closed: DataFrame, delta: DataFrame, max_iterations: int = 30
+) -> DataFrame:
+    """Per-predicate incremental reachability fold — the
+    (subject, predicate, object) twin of
+    :func:`..closure.incremental_closure` (predicate rides in every
+    join key). ``closed`` must be per-predicate transitively closed;
+    returns ``_closure_by_pred(closed ∪ delta)`` with work
+    proportional to the new paths."""
+    from .guards import constraint_propagation_disabled
+
+    keys = ["subject", "predicate", "object"]
+    with constraint_propagation_disabled(closed.sparkSession):
+        return _fold_closure_by_pred(closed, delta, keys, max_iterations)
+
+
+def _fold_closure_by_pred(
+    closed: DataFrame, delta: DataFrame, keys, max_iterations: int
+) -> DataFrame:
+    acc = closed.select(*keys).distinct().localCheckpoint(eager=True)
+    frontier = (
+        delta.select(*keys)
+        .distinct()
+        .join(acc, keys, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    grew = False
+    for _ in range(max_iterations):
+        if frontier.limit(1).count() == 0:
+            # checkpoint the layered union so the caller's plan is a
+            # plain scan (independent of the constraint-conf scope)
+            return acc.localCheckpoint(eager=True) if grew else acc
+        grew = True
+        known = acc.unionByName(frontier)
+        left_ext = (
+            known.alias("a")
+            .join(
+                frontier.alias("f"),
+                (F.col("a.object") == F.col("f.subject"))
+                & (F.col("a.predicate") == F.col("f.predicate")),
+            )
+            .select(
+                F.col("a.subject").alias("subject"),
+                F.col("a.predicate").alias("predicate"),
+                F.col("f.object").alias("object"),
+            )
+        )
+        right_ext = (
+            frontier.alias("f")
+            .join(
+                known.alias("a"),
+                (F.col("f.object") == F.col("a.subject"))
+                & (F.col("f.predicate") == F.col("a.predicate")),
+            )
+            .select(
+                F.col("f.subject").alias("subject"),
+                F.col("f.predicate").alias("predicate"),
+                F.col("a.object").alias("object"),
+            )
+        )
+        # acc stays a plain union of already-checkpointed layers — a
+        # checkpoint OF the union both re-materializes data the layers
+        # already hold and trips Catalyst attribute-rebinding when the
+        # two sides share lineage (e.g. snapshot and delta split from
+        # one DataFrame)
+        acc = known
+        frontier = (
+            left_ext.unionByName(right_ext)
+            .distinct()
+            .join(acc, keys, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise UnsupportedTBoxError(
+        "incremental transitive-property closure still growing after "
+        f"{max_iterations} rounds"
+    )
+
+
+def incremental_entailment(
+    prev: DataFrame,
+    delta_abox: DataFrame,
+    tbox: DataFrame,
+    type_pred: str = TYPE_PRED,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Fold a DELTA ABox batch into a previously materialized
+    entailment: returns ``rdfs_owl_entailment(abox ∪ delta, tbox)``
+    given ``prev = rdfs_owl_entailment(abox, tbox)``, with ABox-side
+    work proportional to the delta.
+
+    Every stratum folds instead of rebuilding (RDFS/OWL rules are
+    monotone, so the previous output never retracts):
+
+    1. the delta maps through the SAME broadcast implication lattice
+       (TBox unchanged between batches — recompute it, it's tiny),
+    2. the transitive predicates' NEW edges fold into the previous
+       closed subset via :func:`_incremental_closure_by_pred` — the
+       snapshot's closed pairs are joined against, never re-closed,
+    3. the post-closure lattice mapping and the typing stratum
+       (domain/range + subclass) run on the NEW rows only — broadcast
+       joins against the same tiny closures,
+    4. output = prev ∪ new rows, one distinct.
+
+    The oracle invariant (the gate): fold ≡ full re-entailment. This
+    is the checkpoint-resume story for KG reasoning: a snapshot plus
+    any number of delta batches lands on exactly the from-scratch
+    result."""
+    from .guards import constraint_propagation_disabled
+
+    tb = tbox.select("subject", "predicate", "object")
+    # cut the snapshot's lineage once up front: the fold must join
+    # against prev repeatedly without replaying (or re-resolving) its
+    # producing plan — this IS the "snapshot materialized once" shape,
+    # and it avoids Catalyst attribute-reuse clashes between the
+    # snapshot's plan and the delta's (both may share scans/closures)
+    p = prev.select("subject", "predicate", "object").localCheckpoint(
+        eager=True
+    )
+    with constraint_propagation_disabled(prev.sparkSession):
+        return _fold_entailment(p, delta_abox, tb, type_pred, max_iterations)
+
+
+def _fold_entailment(
+    p: DataFrame,
+    delta_abox: DataFrame,
+    tb: DataFrame,
+    type_pred: str,
+    max_iterations: int,
+) -> DataFrame:
+    impl = _pred_implications(tb, max_iterations)
+    trans = tb.filter(
+        (F.col("predicate") == TYPE_PRED)
+        & (F.col("object") == TRANSITIVE_CLASS)
+    ).select(F.col("subject").alias("p"))
+
+    # fresh attribute ids for the delta: snapshot and delta routinely
+    # split from ONE DataFrame (a flagged scan), so without the alias
+    # round-trip both join sides carry identical expression ids and
+    # Catalyst's rebinding over checkpointed subplans fails
+    d = delta_abox.select(
+        F.col("subject").alias("_ds"),
+        F.col("predicate").alias("_dp"),
+        F.col("object").alias("_do"),
+    ).select(
+        F.col("_ds").alias("subject"),
+        F.col("_dp").alias("predicate"),
+        F.col("_do").alias("object"),
+    ).filter(
+        F.col("subject").isNotNull()
+        & F.col("predicate").isNotNull()
+        & F.col("object").isNotNull()
+    )
+    mapped_delta = _apply_implications(d, impl).distinct()
+
+    prev_t = p.join(
+        F.broadcast(trans), p["predicate"] == trans["p"]
+    ).select("subject", "predicate", "object")
+    delta_t = mapped_delta.join(
+        F.broadcast(trans), mapped_delta["predicate"] == trans["p"]
+    ).select("subject", "predicate", "object")
+    closed = _incremental_closure_by_pred(prev_t, delta_t, max_iterations)
+    closed_new = closed.join(
+        prev_t, ["subject", "predicate", "object"], "left_anti"
+    )
+
+    new_rows = (
+        _apply_implications(
+            mapped_delta.unionByName(closed_new), impl
+        )
+        .distinct()
+        .join(p, ["subject", "predicate", "object"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    # typing stratum over the new rows only (the previous output
+    # already carries its own types)
+    drc_tbox = tb.filter(
+        F.col("predicate").isin(DOMAIN_PRED, RANGE_PRED, SUBCLASS_PRED)
+    )
+    typed_new = rdfs_entailment(
+        new_rows, drc_tbox, type_pred, True, max_iterations
+    )
+    # eager checkpoint: the returned snapshot must stand alone outside
+    # the constraint-conf scope (and it IS the next fold's base)
+    return (
+        p.unionByName(typed_new).distinct().localCheckpoint(eager=True)
+    )
+
+
 def owl_entailment_sql(
     abox_cte: str,
     tbox_cte: str,

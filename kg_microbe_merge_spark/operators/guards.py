@@ -10,7 +10,29 @@ bucketed alternative instead of a hung job.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
+
+
+@contextmanager
+def constraint_propagation_disabled(spark):
+    """Scope-disable ``spark.sql.constraintPropagation.enabled``.
+
+    The incremental fold operators union checkpointed join outputs
+    round over round; Catalyst's Union constraint rewriting can hit
+    ``NoSuchElementException: key not found: <attr>`` on such plans
+    (stale constraint attributes across checkpointed children). The
+    folds build their plans — and eagerly checkpoint their result, so
+    nothing lazy escapes the scope — with inference off; every other
+    query keeps constraint propagation."""
+    key = "spark.sql.constraintPropagation.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 class TooLargeForBruteForce(ValueError):

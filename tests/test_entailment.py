@@ -273,6 +273,73 @@ def test_owl_split_tbox(spark):
     assert sorted(map(tuple, abox.collect())) == sorted(OWL_ABOX)
 
 
+def test_incremental_fold_equals_full(spark):
+    """Fold ≡ full re-entailment across a delta that exercises every
+    stratum: a new edge on a transitive chain (extends the closure), a
+    new inverse-generating edge, a new symmetric edge, and a new typed
+    instance — plus chained folds (snapshot validity)."""
+    tbox = spark.createDataFrame(OWL_TBOX, T)
+    base = OWL_ABOX[:4]  # through (x9, treated_by, d9)
+    delta1 = OWL_ABOX[4:6]  # interacts_with + first part_of
+    delta2 = OWL_ABOX[6:]  # rest of the part_of chain
+    from kg_microbe_merge_spark.operators.entailment import (
+        incremental_entailment,
+    )
+
+    prev = rdfs_owl_entailment(spark.createDataFrame(base, T), tbox)
+    s1 = incremental_entailment(
+        prev, spark.createDataFrame(delta1, T), tbox
+    )
+    want1 = rdfs_owl_entailment(
+        spark.createDataFrame(base + delta1, T), tbox
+    )
+    assert sorted(map(tuple, s1.collect())) == sorted(
+        map(tuple, want1.collect())
+    )
+    s2 = incremental_entailment(
+        s1, spark.createDataFrame(delta2, T), tbox
+    )
+    want2 = rdfs_owl_entailment(
+        spark.createDataFrame(OWL_ABOX, T), tbox
+    )
+    assert sorted(map(tuple, s2.collect())) == sorted(
+        map(tuple, want2.collect())
+    )
+    # already-entailed delta is a no-op
+    s3 = incremental_entailment(
+        s2, spark.createDataFrame(OWL_ABOX[:2], T), tbox
+    )
+    assert sorted(map(tuple, s3.collect())) == sorted(
+        map(tuple, want2.collect())
+    )
+
+
+def test_incremental_closure_extension(spark):
+    """A delta edge that BRIDGES two previously-closed transitive
+    chains must produce all cross pairs — the snapshot's closed pairs
+    compose with the new edge on both sides."""
+    from kg_microbe_merge_spark.operators.entailment import (
+        incremental_entailment,
+    )
+
+    tbox = spark.createDataFrame(
+        [("part_of", TYPE_PRED, TRANSITIVE_CLASS)], T
+    )
+    base = [
+        ("a1", "part_of", "a2"),
+        ("a2", "part_of", "a3"),
+        ("b1", "part_of", "b2"),
+        ("b2", "part_of", "b3"),
+    ]
+    prev = rdfs_owl_entailment(spark.createDataFrame(base, T), tbox)
+    out = incremental_entailment(
+        prev, spark.createDataFrame([("a3", "part_of", "b1")], T), tbox
+    )
+    got = set(_triples(out))
+    assert ("a1", "part_of", "b3") in got
+    assert ("a2", "part_of", "b2") in got
+
+
 def test_plan_broadcast_only(spark):
     """Every rule join is a broadcast hash join: no SortMergeJoin and
     no ShuffledHashJoin anywhere in the physical plan — the only wide
