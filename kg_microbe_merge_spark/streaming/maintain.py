@@ -607,3 +607,71 @@ def fold_kmv_batch(
     if cur is not None:
         sk = kmv_merge(cur, sk, group_cols, kk)
     _publish(sk, sketch_dir, marker=_meta_marker(meta))
+
+
+def fold_entailment_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    snapshot_dir: str,
+    tbox: DataFrame,
+    keep_versions: int = 1,
+) -> None:
+    """Fold one ABox triple-delta batch into the versioned MATERIALIZED
+    ENTAILMENT snapshot — streaming reasoning maintenance
+    (operators/entailment.incremental_entailment; RDFS + OWL-lite
+    property semantics). The first batch materializes from scratch;
+    every later batch folds in O(delta new-path work) with the
+    snapshot joined but never re-derived. Idempotent (an
+    already-entailed delta is a no-op — monotone rules), so the
+    at-least-once foreachBatch contract yields exactly-once effect,
+    the same argument as :func:`fold_batch`. The TBox is a parameter:
+    reasoning schemas version independently of the data stream — a
+    TBox change means re-materializing, not folding."""
+    from ..operators.entailment import (
+        incremental_entailment,
+        rdfs_owl_entailment,
+    )
+
+    if not batch.take(1):
+        return
+    snapshot = read_snapshot(spark, snapshot_dir)
+    if snapshot is not None:
+        new_snap = incremental_entailment(snapshot, batch, tbox)
+    else:
+        new_snap = rdfs_owl_entailment(batch, tbox)
+    _publish(new_snap, snapshot_dir, keep_versions=keep_versions)
+
+
+def run_entailment_stream(
+    spark: SparkSession,
+    delta_dir: str,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    tbox: DataFrame,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    keep_versions: int = 1,
+):
+    """Launch the ABox-delta stream → entailed-snapshot maintenance
+    query (file source standing in for an Iceberg/queue source, the
+    :func:`run_kg_maintenance_stream` pattern). After draining any
+    prefix of the stream, the snapshot equals the one-shot
+    ``rdfs_owl_entailment`` over all rows seen so far."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    deltas = reader.parquet(delta_dir)
+
+    def _fold(batch: DataFrame, epoch_id: int) -> None:
+        fold_entailment_batch(
+            spark, batch, snapshot_dir, tbox, keep_versions=keep_versions
+        )
+
+    writer = (
+        deltas.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
