@@ -2368,6 +2368,27 @@ def q_owl_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfs_owl_entailment(abox, tbox)
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (operators/profile.py): row count +
+    per-column nulls / EXACT distinct / native-type min-max over five
+    orders columns in a single Expand-based aggregation (one hash
+    exchange + one single-partition gather, plan-asserted). The exact
+    twin the HLL/KMV sketch family is judged against; feeds broadcast
+    and salt decisions. Oracle: per-column independent re-derivation."""
+    from kg_microbe_merge_spark.operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+
+
 def q_kg_incremental_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental transitive-closure fold (operators/closure.py
     incremental_closure): the chain edges close first (the snapshot),
@@ -3880,7 +3901,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fold ≡ full re-closure invariant oracle) and
     kg_incremental_entailment (delta ABox fold into a materialized
     entailment, operators/entailment.py — fold ≡ full re-entailment
-    invariant oracle).
+    invariant oracle) and table_profile (one-pass per-column exact
+    profiler, operators/profile.py — per-column re-derivation oracle).
     q1_pricing_summary had green round-1 AND round-2 driver rows and
     ceded its slot to the new rdfs_entailment KG-reasoning query: its
     scan-pruned partial/final aggregation shape stays gated via
@@ -3895,6 +3917,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sssp": q_weighted_sssp,
         "kg_incremental_closure": q_kg_incremental_closure,
         "kg_incremental_entailment": q_kg_incremental_entailment,
+        "table_profile": q_table_profile,
         "q1_pricing_summary": q_q1_pricing_summary,
         "ktruss_3": q_ktruss,
         "kmv_token_overlap": q_kmv_token_overlap,
@@ -6113,6 +6136,15 @@ def _all_oracle_sql() -> dict[str, str]:
                    'N:' || (n_nationkey + 1)
             FROM nation WHERE n_nationkey % 2 = 0),
         """,
+    )
+
+    # table profiler: per-column independent re-derivation
+    from kg_microbe_merge_spark.operators.profile import profile_sql
+
+    sql["table_profile"] = profile_sql(
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+         "o_orderpriority"],
     )
 
     # incremental closure fold ≡ full re-closure (invariant-as-oracle,

@@ -152,6 +152,7 @@ HEADLINE = [
     "weighted_sssp",
     "kg_incremental_closure",
     "kg_incremental_entailment",
+    "table_profile",
 ]
 
 
