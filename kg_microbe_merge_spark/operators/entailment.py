@@ -31,9 +31,10 @@ the 100 TB. Every rule join here is ABox ⋈ broadcast(TBox-closure) —
 the ABox is scanned ONCE per pass with zero shuffle (plan-asserted in
 tests/test_entailment.py); the only wide operation in the whole
 operator is the final ``distinct`` on the output triples, and that is
-irreducible (entailment IS a set). TBox closures use
-:func:`..closure.transitive_closure` (path doubling, log rounds) —
-negligible at ontology scale and already oracle-proven.
+irreducible (entailment IS a set). TBox closures are computed DRIVER-
+side (:func:`_closure_pairs_py` — the TBox is broadcast-class by
+contract, so its closure costs zero Spark jobs; ABox-scale closures
+stay distributed via :func:`_closure_by_pred`).
 
 Output-size honesty: entailment multiplies rows by the hierarchy
 depth along each triple's predicate/class chain (Biolink: ≤ ~10).
@@ -47,8 +48,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from .closure import transitive_closure
 
 #: RDFS-lite vocabulary (CURIE forms; callers override per KG dialect).
 TYPE_PRED = "rdf:type"
@@ -97,6 +96,40 @@ def split_tbox(
     return t.filter(is_schema), t.filter(~is_schema)
 
 
+def _closure_pairs_py(pairs: list[tuple]) -> list[tuple]:
+    """Driver-side transitive closure of TBox-sized (src, dst) pairs —
+    plain BFS per source. The TBox is broadcast-class BY CONTRACT
+    (every rule join here broadcasts these closures anyway), so
+    closing it on the driver replaces ~2 log-rounds × 2 Spark jobs of
+    the distributed doubling loop with zero jobs — the same
+    dimension-data-inlined-at-the-driver pattern as the IVF centroids
+    and the entity-linking dictionary. ABox-scale closures stay
+    distributed (:func:`_closure_by_pred`, :mod:`..closure`)."""
+    adj: dict = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+    out = []
+    for s in adj:
+        seen, stack = set(), list(adj[s])
+        while stack:
+            d = stack.pop()
+            if d not in seen:
+                seen.add(d)
+                stack.extend(adj.get(d, ()))
+        out.extend((s, d) for d in seen)
+    return sorted(out)
+
+
+def _tbox_closure_df(pairs_df: DataFrame) -> DataFrame:
+    """(src, dst) closure of a TBox-sized relation, computed driver-
+    side (see :func:`_closure_pairs_py`) and returned as a DataFrame
+    for the broadcast rule joins."""
+    rows = [(r["src"], r["dst"]) for r in pairs_df.collect()]
+    return pairs_df.sparkSession.createDataFrame(
+        _closure_pairs_py(rows), "src string, dst string"
+    )
+
+
 def rdfs_entailment(
     abox: DataFrame,
     tbox: DataFrame,
@@ -139,13 +172,9 @@ def rdfs_entailment(
             "stratification; use a fixpoint Datalog materializer"
         )
 
-    # TBox closures (rdfs5 / rdfs11) — path doubling over tiny inputs.
-    subprop_c = transitive_closure(
-        _pairs(SUBPROP_PRED), max_iterations=max_iterations
-    )
-    subclass_c = transitive_closure(
-        _pairs(SUBCLASS_PRED), max_iterations=max_iterations
-    )
+    # TBox closures (rdfs5 / rdfs11) — driver-side over tiny inputs.
+    subprop_c = _tbox_closure_df(_pairs(SUBPROP_PRED))
+    subclass_c = _tbox_closure_df(_pairs(SUBCLASS_PRED))
     domains = _pairs(DOMAIN_PRED).withColumnRenamed("dst", "cls")
     ranges = _pairs(RANGE_PRED).withColumnRenamed("dst", "cls")
 
@@ -397,31 +426,16 @@ def _pred_implications(tb: DataFrame, max_iterations: int = 30) -> DataFrame:
         ),
     ):
         gen = e if gen is None else gen.unionByName(e)
-    r = gen.distinct().localCheckpoint(eager=True)
-    n = r.count()
-    for _ in range(max_iterations):
-        if n == 0:
-            return r
-        two = (
-            r.alias("a")
-            .join(
-                r.alias("b"),
-                (F.col("a.q") == F.col("b.p"))
-                & (F.col("a.qs") == F.col("b.ps")),
-            )
-            .select(
-                F.col("a.p").alias("p"), F.col("a.ps").alias("ps"),
-                F.col("b.q").alias("q"), F.col("b.qs").alias("qs"),
-            )
-        )
-        r = r.unionByName(two).distinct().localCheckpoint(eager=True)
-        n_next = r.count()
-        if n_next == n:
-            return r
-        n = n_next
-    raise UnsupportedTBoxError(
-        "predicate-implication lattice still growing after "
-        f"{max_iterations} doubling rounds"
+    # close the lattice DRIVER-SIDE: it is (predicates × 2)-sized by
+    # construction (see _closure_pairs_py's contract argument) — BFS
+    # here replaces log-rounds × 2 Spark jobs per entailment call
+    rows = [
+        ((r["p"], r["ps"]), (r["q"], r["qs"])) for r in gen.collect()
+    ]
+    closed = _closure_pairs_py(rows)
+    return tb.sparkSession.createDataFrame(
+        [(p, ps, q, qs) for (p, ps), (q, qs) in closed],
+        "p string, ps int, q string, qs int",
     )
 
 
@@ -528,12 +542,11 @@ def rdfs_owl_entailment(
             # materializing those as schema triples would overshoot
             # plain RDFS/OWL-RL scm rules — instances already flow
             # through the lattice either way)
-            transitive_closure(
+            _tbox_closure_df(
                 tb.filter(F.col("predicate") == SUBPROP_PRED).select(
                     F.col("subject").alias("src"),
                     F.col("object").alias("dst"),
-                ),
-                max_iterations=max_iterations,
+                )
             ).select(
                 F.col("src").alias("subject"),
                 F.lit(SUBPROP_PRED).alias("predicate"),
