@@ -280,6 +280,11 @@ def bgp_query(
     filters: list[str] | None = None,
     optional: list[list[tuple[str, str, str]]] | None = None,
     union: list[list[tuple[str, str, str]]] | None = None,
+    values: dict[str, list] | None = None,
+    distinct: bool = False,
+    order_by: list[str] | None = None,
+    limit: int | None = None,
+    offset: int = 0,
 ) -> DataFrame:
     """Evaluate a basic-graph-pattern query (SPARQL subset).
 
@@ -296,6 +301,24 @@ def bgp_query(
     SPARQL's ``{A} UNION {B}``) and the combined set joins the
     mandatory patterns on shared variables. Output columns are the
     variable names without the ``?``.
+
+    Solution modifiers (SPARQL SELECT semantics, applied in the
+    standard order VALUES → FILTER → SELECT → DISTINCT → ORDER BY →
+    OFFSET/LIMIT):
+
+    * ``values``: ``{"?var": [v1, v2, …]}`` inline bindings — each
+      variable's allowed-value list joins in as a broadcast IN-style
+      constraint (single-var VALUES clauses; multi-var VALUES rows are
+      expressible as a filters entry).
+    * ``distinct``: SELECT DISTINCT over the projected variables.
+    * ``order_by``: variables, ``"?v"`` ascending or ``"-?v"``
+      descending — a global sort (range-partitioned total order; at
+      100 TB pair it with ``limit`` so Spark plans the bounded
+      TakeOrderedAndProject instead).
+    * ``limit`` / ``offset``: OFFSET is applied via the same sorted
+      window the reference's LIMIT/OFFSET batching used — requires
+      ``order_by`` when nonzero (unordered OFFSET is meaningless in a
+      distributed engine, and SPARQL says so too).
     """
     if not patterns:
         raise ValueError("at least one triple pattern required")
@@ -321,7 +344,33 @@ def bgp_query(
                 f"patterns: {group}"
             )
         out = out.join(t, on=shared, how="left")
+    for var, allowed in (values or {}).items():
+        name = var[1:] if var.startswith("?") else var
+        if name not in var_order:
+            raise ValueError(f"VALUES variable {var!r} is not bound")
+        out = out.filter(F.col(f"_v_{name}").isin(*allowed))
     for f in filters or []:
         out = out.filter(_compile_filter(f))
     sel = [v[1:] if v.startswith("?") else v for v in (select or var_order)]
-    return out.select(*[F.col(f"_v_{v}").alias(v) for v in sel])
+    out = out.select(*[F.col(f"_v_{v}").alias(v) for v in sel])
+    if distinct:
+        out = out.distinct()
+    if order_by:
+        keys = []
+        for o in order_by:
+            desc = o.startswith("-")
+            name = o.lstrip("-")
+            name = name[1:] if name.startswith("?") else name
+            if name not in sel:
+                raise ValueError(
+                    f"ORDER BY variable {o!r} is not in the projection"
+                )
+            keys.append(F.col(name).desc() if desc else F.col(name).asc())
+        out = out.orderBy(*keys)
+    if offset:
+        if not order_by:
+            raise ValueError("OFFSET without ORDER BY is nondeterministic")
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
