@@ -2436,7 +2436,10 @@ def q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("weight"),
     )
     sources = d.filter(pos == 0).select(F.col("doc_id").alias("id"))
-    return sssp(chain.unionByName(skip), sources, max_hops=20)
+    return sssp(
+        chain.unionByName(skip), sources, max_hops=20,
+        with_predecessor=True,
+    )
 
 
 def q_kg_incremental_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6163,7 +6166,10 @@ def _all_oracle_sql() -> dict[str, str]:
 
     # weighted SSSP: same chain+skip graph with weights, independent
     # bounded-walk enumeration (module-generated)
-    from kg_microbe_merge_spark.operators.sssp import sssp_sql
+    from kg_microbe_merge_spark.operators.sssp import (
+        sssp_pred_sql,
+        sssp_sql,
+    )
 
     sql["weighted_sssp"] = f"""
         WITH RECURSIVE
@@ -6174,8 +6180,10 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT doc_id, doc_id + 2, 1
             FROM documents WHERE doc_id % 16 % 4 = 0 AND doc_id % 16 < 14),
         src AS (SELECT doc_id AS id FROM documents WHERE doc_id % 16 = 0),
-        {sssp_sql('e', 'src', 20)}
-        SELECT id, dist FROM sssp_result
+        {sssp_sql('e', 'src', 20)},
+        {sssp_pred_sql('e')}
+        SELECT r.id, r.dist, p.pred
+        FROM sssp_result r LEFT JOIN sssp_pred p ON r.id = p.id
     """
 
     # incremental entailment fold ≡ full re-entailment over all rows

@@ -51,11 +51,26 @@ def sssp(
     dst: str = "object",
     weight: str = "weight",
     directed: bool = True,
+    with_predecessor: bool = False,
 ) -> DataFrame:
     """Return ``(id, dist)``: minimum total edge weight from any node
     in ``sources`` (1-column DataFrame of ids) to every node reachable
     within ``max_hops`` edges. Source nodes appear with dist 0. NULL
-    endpoints/weights are dropped."""
+    endpoints/weights are dropped.
+
+    ``with_predecessor=True`` adds a ``pred`` column — an optimal
+    previous node on a shortest path, derived POST-HOC from the final
+    distance table: ``pred(v) = min{ p : dist(p) + w(p,v) = dist(v) }``
+    (one extra edges⋈dist⋈dist join + a min agg — round structure
+    untouched). The min-id tie-break makes reconstruction
+    deterministic cross-engine; walking ``pred`` links backwards
+    always descends ``dist``, so it reaches a source in ≤ max_hops
+    steps. Sources have NULL pred unless a zero-total-weight path
+    enters them (then that optimal predecessor is reported — it is
+    one). Under the hop-BOUNDED semantics (stopped at max_hops before
+    convergence) a reported pred may sit on a path longer than the
+    bound — the equation above is the documented contract either
+    way."""
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
     e = edges.select(
@@ -112,6 +127,24 @@ def sssp(
                 .localCheckpoint(eager=True)
             )
             frontier = improved
+        if with_predecessor:
+            dp = dist.select(
+                F.col("id").alias("_p"), F.col("dist").alias("_pd")
+            )
+            dv = dist.select(
+                F.col("id").alias("_v"), F.col("dist").alias("_vd")
+            )
+            preds = (
+                e.join(dp, e["_s"] == dp["_p"])
+                .join(
+                    dv,
+                    (F.col("_d") == dv["_v"])
+                    & (F.col("_pd") + F.col("_w") == dv["_vd"]),
+                )
+                .groupBy(F.col("_v").alias("id"))
+                .agg(F.min("_p").alias("pred"))
+            )
+            dist = dist.join(preds, "id", "left")
     finally:
         e.unpersist()
     return dist
@@ -135,4 +168,22 @@ def sssp_sql(
         sssp_result AS (
             SELECT node AS id, min(dist) AS dist
             FROM walk GROUP BY node)
+    """
+
+
+def sssp_pred_sql(edges_cte: str) -> str:
+    """Predecessor twin: appends a ``sssp_pred`` CTE after
+    :func:`sssp_sql`'s CTEs — ``pred(v) = min p with dist(p) + w = dist(v)``
+    over the RAW edge list (a heavier parallel edge can never satisfy
+    the optimality equation, so collapsing to min weight first — as
+    the engine does — changes nothing). Select
+    ``r.id, r.dist, p.pred`` via LEFT JOIN for the full result."""
+    return f"""
+        sssp_pred AS (
+            SELECT r2.id AS id, min(e.s) AS pred
+            FROM {edges_cte} e
+            JOIN sssp_result r1 ON e.s = r1.id
+            JOIN sssp_result r2 ON e.d = r2.id
+            AND r1.dist + e.w = r2.dist
+            GROUP BY r2.id)
     """

@@ -9,7 +9,11 @@ import random
 import duckdb
 import pytest
 
-from kg_microbe_merge_spark.operators.sssp import sssp, sssp_sql
+from kg_microbe_merge_spark.operators.sssp import (
+    sssp,
+    sssp_pred_sql,
+    sssp_sql,
+)
 
 E = "subject string, object string, weight long"
 
@@ -68,6 +72,68 @@ def test_negative_weight_bounded(spark):
     )
     got = _dist(sssp(g, _src(spark, "a"), max_hops=5))
     assert got == {"a": 0, "b": 5, "c": -3}
+
+
+def test_predecessors(spark):
+    g = spark.createDataFrame(ROWS, E)
+    got = {
+        r["id"]: (r["dist"], r["pred"])
+        for r in sssp(
+            g, _src(spark, "a"), max_hops=10, with_predecessor=True
+        ).collect()
+    }
+    # b's optimal path is a->c->b; d's is a->c->b->d
+    assert got == {
+        "a": (0, None),
+        "b": (2, "c"),
+        "c": (1, "a"),
+        "d": (3, "b"),
+    }
+    # tie-break: two optimal predecessors -> smallest id wins
+    g2 = spark.createDataFrame(
+        [("a", "m", 1), ("a", "z", 1), ("m", "t", 1), ("z", "t", 1)], E
+    )
+    got2 = {
+        r["id"]: r["pred"]
+        for r in sssp(
+            g2, _src(spark, "a"), max_hops=5, with_predecessor=True
+        ).collect()
+    }
+    assert got2["t"] == "m"
+    # walking preds reconstructs a path: t <- m <- a
+    assert got2["m"] == "a" and got2["a"] is None
+
+
+def test_predecessors_vs_duckdb(spark):
+    rng = random.Random(57)
+    rows = sorted(
+        {
+            (f"v{rng.randrange(25)}", f"v{rng.randrange(25)}", rng.randrange(1, 9))
+            for _ in range(70)
+        }
+    )
+    rows = [(s, d, w) for s, d, w in rows if s != d]
+    g = spark.createDataFrame(rows, E)
+    got = sorted(
+        (r["id"], r["dist"], r["pred"])
+        for r in sssp(
+            g, _src(spark, "v0"), max_hops=25, with_predecessor=True
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (s VARCHAR, d VARCHAR, w BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+    oracle = sorted(
+        map(tuple, con.execute(f"""
+            WITH RECURSIVE
+            src AS (SELECT 'v0' AS id),
+            {sssp_sql('e', 'src', 25)},
+            {sssp_pred_sql('e')}
+            SELECT r.id, r.dist, p.pred
+            FROM sssp_result r LEFT JOIN sssp_pred p ON r.id = p.id
+        """).fetchall())
+    )
+    assert got == oracle
 
 
 def test_random_graph_vs_networkx_and_duckdb(spark):
