@@ -2490,6 +2490,40 @@ def q_kg_incremental_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bgp_over_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reasoning-aware querying: the BGP compiler (plans/bgp.py) over
+    the MATERIALIZED entailment (operators/entailment.py) — ask for
+    part_of facts and each subject's types, and the lifted
+    located_in→part_of edges plus the domain/subclass-derived types
+    answer. Same nation ABox + TBox as the gated rdfs_entailment;
+    oracle: the pattern join SQL over the module-generated entailment
+    twin as a derived table."""
+    from kg_microbe_merge_spark.operators.entailment import rdfs_entailment
+    from kg_microbe_merge_spark.plans.bgp import bgp_query
+
+    n = _t(spark, sf_dir, "nation")
+    abox = n.select(
+        F.concat(F.lit("N:"), F.col("n_nationkey")).alias("subject"),
+        F.lit("located_in").alias("predicate"),
+        F.concat(F.lit("R:"), F.col("n_regionkey")).alias("object"),
+    ).unionByName(
+        n.filter(F.col("n_nationkey") % 2 == 0).select(
+            F.concat(F.lit("N:"), F.col("n_nationkey")).alias("subject"),
+            F.lit("rdf:type").alias("predicate"),
+            F.lit("Nation").alias("object"),
+        )
+    )
+    tbox = spark.createDataFrame(
+        _ENTAIL_TBOX, "subject string, predicate string, object string"
+    )
+    entailed = rdfs_entailment(abox, tbox)
+    return bgp_query(
+        entailed,
+        [("?x", "part_of", "?y"), ("?x", "rdf:type", "?t")],
+        select=["?x", "?y", "?t"],
+    )
+
+
 def q_bgp_property_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL property paths in the BGP compiler (plans/bgp.py):
     ``skip/next+`` — a sequence step joined to a transitive closure
@@ -3905,7 +3939,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     kg_incremental_entailment (delta ABox fold into a materialized
     entailment, operators/entailment.py — fold ≡ full re-entailment
     invariant oracle) and table_profile (one-pass per-column exact
-    profiler, operators/profile.py — per-column re-derivation oracle).
+    profiler, operators/profile.py — per-column re-derivation oracle)
+    and bgp_over_entailment (reasoning-aware BGP querying over the
+    materialized entailment — pattern-join SQL over the entailment
+    twin as a derived table).
     q1_pricing_summary had green round-1 AND round-2 driver rows and
     ceded its slot to the new rdfs_entailment KG-reasoning query: its
     scan-pruned partial/final aggregation shape stays gated via
@@ -3916,6 +3953,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semantic_similarity": q_semantic_similarity,
         "bgp_property_paths": q_bgp_property_paths,
+        "bgp_over_entailment": q_bgp_over_entailment,
         "owl_entailment": q_owl_entailment,
         "weighted_sssp": q_weighted_sssp,
         "kg_incremental_closure": q_kg_incremental_closure,
@@ -6189,6 +6227,16 @@ def _all_oracle_sql() -> dict[str, str]:
     # incremental entailment fold ≡ full re-entailment over all rows
     # (invariant-as-oracle: same twin as owl_entailment)
     sql["kg_incremental_entailment"] = sql["owl_entailment"]
+
+    # BGP over the materialized entailment: pattern joins over the
+    # entailment twin as a derived table
+    sql["bgp_over_entailment"] = f"""
+        SELECT e1.subject AS x, e1.object AS y, e2.object AS t
+        FROM ({sql['rdfs_entailment']}) e1
+        JOIN ({sql['rdfs_entailment']}) e2
+        ON e1.subject = e2.subject AND e2.predicate = 'rdf:type'
+        WHERE e1.predicate = 'part_of'
+    """
 
     # property paths: skip/next+ over the chain+skip doc DAG —
     # recursive-CTE closure + one sequence join, DISTINCT

@@ -153,6 +153,7 @@ HEADLINE = [
     "kg_incremental_closure",
     "kg_incremental_entailment",
     "table_profile",
+    "bgp_over_entailment",
 ]
 
 
