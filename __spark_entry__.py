@@ -2490,6 +2490,24 @@ def q_kg_incremental_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_corrupt_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding negative sampling
+    (operators/negatives.corrupt_triples): type-consistent filtered
+    corruption over the distinct lineitem KG edges — per-predicate
+    pools dense-indexed once, broadcast sizes, row-local hash draws,
+    ONE (predicate, idx) equi-join, one true-triple anti join. Oracle:
+    module-generated twin (identical hash/index/filter order)."""
+    from kg_microbe_merge_spark.operators.negatives import corrupt_triples
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.concat(F.lit("P:"), F.col("l_partkey")).alias("subject"),
+        F.col("l_returnflag").alias("predicate"),
+        F.concat(F.lit("S:"), F.col("l_suppkey")).alias("object"),
+    ).distinct()
+    return corrupt_triples(t, k=2)
+
+
 def q_bgp_over_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reasoning-aware querying: the BGP compiler (plans/bgp.py) over
     the MATERIALIZED entailment (operators/entailment.py) — ask for
@@ -3942,7 +3960,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     profiler, operators/profile.py — per-column re-derivation oracle)
     and bgp_over_entailment (reasoning-aware BGP querying over the
     materialized entailment — pattern-join SQL over the entailment
-    twin as a derived table).
+    twin as a derived table) and kg_corrupt_triples (type-consistent
+    filtered KG-embedding negative sampling,
+    operators/negatives.corrupt_triples — module-generated twin).
     q1_pricing_summary had green round-1 AND round-2 driver rows and
     ceded its slot to the new rdfs_entailment KG-reasoning query: its
     scan-pruned partial/final aggregation shape stays gated via
@@ -3954,6 +3974,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_similarity": q_semantic_similarity,
         "bgp_property_paths": q_bgp_property_paths,
         "bgp_over_entailment": q_bgp_over_entailment,
+        "kg_corrupt_triples": q_kg_corrupt_triples,
         "owl_entailment": q_owl_entailment,
         "weighted_sssp": q_weighted_sssp,
         "kg_incremental_closure": q_kg_incremental_closure,
@@ -6227,6 +6248,23 @@ def _all_oracle_sql() -> dict[str, str]:
     # incremental entailment fold ≡ full re-entailment over all rows
     # (invariant-as-oracle: same twin as owl_entailment)
     sql["kg_incremental_entailment"] = sql["owl_entailment"]
+
+    # KG negative sampling: module-generated corruption twin
+    from kg_microbe_merge_spark.operators.negatives import (
+        corrupt_triples_sql,
+    )
+
+    sql["kg_corrupt_triples"] = corrupt_triples_sql(
+        "tr",
+        2,
+        prelude_ctes="""
+        tr AS (
+            SELECT DISTINCT 'P:' || l_partkey AS subject,
+                   l_returnflag AS predicate,
+                   'S:' || l_suppkey AS object
+            FROM lineitem),
+        """,
+    )
 
     # BGP over the materialized entailment: pattern joins over the
     # entailment twin as a derived table

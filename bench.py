@@ -154,6 +154,7 @@ HEADLINE = [
     "kg_incremental_entailment",
     "table_profile",
     "bgp_over_entailment",
+    "kg_corrupt_triples",
 ]
 
 

@@ -128,3 +128,143 @@ def negative_samples(
         % F.lit(cdf.total),
     )
     return drawn.withColumn(out_col, _pick(F.col("_u"))).drop("_u")
+
+
+def corrupt_triples(
+    triples: DataFrame,
+    k: int = 2,
+    corrupt: str = "object",
+    salt: str = "corrupt",
+) -> DataFrame:
+    """KG-embedding training negatives: for every positive
+    (subject, predicate, object) and draw index j ∈ [0, k), corrupt
+    one end with a deterministic draw from the SAME predicate's
+    observed entity pool — the type-consistent ("constrained")
+    corruption protocol of the TransE family, filtered: draws that
+    reproduce the positive's own end or collide with ANY true triple
+    are dropped (so a positive can yield < k rows — the standard
+    filtered setting; the (j) column says which draws survived).
+
+    Output: (subject, predicate, object, j, negative) where
+    ``negative`` replaces the corrupted end.
+
+    100 TB shape: the per-predicate pool is DISTINCT observed ends —
+    entity-dimension-sized (the vocab-CDF class), never the triple
+    count. Pool members get dense per-predicate indices by ONE
+    predicate-partitioned row_number window (bounded by the dimension,
+    same justification as the CDF collect); pool sizes broadcast (one
+    row per predicate); each draw is a row-local
+    ``hash60(s,p,o,j,salt) mod pool_size`` and ONE equi-join on
+    (predicate, idx) — the draw key spreads across idx, so hub
+    predicates fan out instead of hot-keying. The true-triple filter
+    is one anti join on the corrupted triple."""
+    if corrupt not in ("object", "subject"):
+        raise ValueError(f"corrupt must be 'object' or 'subject': {corrupt}")
+    end = corrupt
+    t = triples.select("subject", "predicate", "object")
+    pool = (
+        t.select("predicate", F.col(end).alias("_cand"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("predicate").orderBy("_cand")
+    pool_idx = pool.select(
+        "predicate", "_cand", (F.row_number().over(w) - 1).alias("_idx")
+    )
+    sizes = pool_idx.groupBy("predicate").agg(
+        (F.max("_idx") + 1).alias("_n")
+    )
+    draws = (
+        t.join(F.broadcast(sizes), "predicate")
+        .select(
+            "subject",
+            "predicate",
+            "object",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+            F.col("_n"),
+        )
+        .withColumn(
+            "_idx",
+            F.pmod(
+                hash60(
+                    F.concat_ws(
+                        ":",
+                        F.col("subject"),
+                        F.col("predicate"),
+                        F.col("object"),
+                        F.col("j").cast("string"),
+                        F.lit(salt),
+                    )
+                ),
+                F.col("_n"),
+            ),
+        )
+    )
+    cand = draws.join(pool_idx, ["predicate", "_idx"]).select(
+        "subject", "predicate", "object", "j",
+        F.col("_cand").alias("negative"),
+    )
+    cand = cand.filter(F.col("negative") != F.col(end))
+    other = "object" if end == "subject" else "subject"
+    true_key = (
+        t.select(
+            F.col(other).alias("_o"),
+            "predicate",
+            F.col(end).alias("negative"),
+        )
+        .withColumnRenamed("_o", other)
+    )
+    return cand.join(
+        true_key, [other, "predicate", "negative"], "left_anti"
+    ).select("subject", "predicate", "object", "j", "negative")
+
+
+def corrupt_triples_sql(
+    triples_cte: str,
+    k: int,
+    corrupt: str = "object",
+    salt: str = "corrupt",
+    prelude_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`corrupt_triples` over a CTE providing
+    (subject, predicate, object); ``prelude_ctes`` (e.g.
+    ``"tr AS (...),"``) lets callers define that CTE in the same
+    WITH block."""
+    end = corrupt
+    other = "object" if end == "subject" else "subject"
+    from ..functions.hashing import hash60_sql
+
+    h = hash60_sql(
+        "t.subject || ':' || t.predicate || ':' || t.object || ':' "
+        f"|| j::VARCHAR || ':{salt}'"
+    )
+    return f"""
+        WITH {prelude_ctes}
+        pool AS (
+            SELECT DISTINCT predicate, {end} AS cand FROM {triples_cte}),
+        pool_idx AS (
+            SELECT predicate, cand,
+                   row_number() OVER (PARTITION BY predicate ORDER BY cand) - 1 AS idx
+            FROM pool),
+        sizes AS (
+            SELECT predicate, count(*) AS n FROM pool GROUP BY predicate),
+        draws AS (
+            SELECT t.subject, t.predicate, t.object, j,
+                   {h} % s.n AS idx
+            FROM {triples_cte} t
+            JOIN sizes s ON t.predicate = s.predicate
+            CROSS JOIN (SELECT unnest(range({k})) AS j)),
+        cand AS (
+            SELECT d.subject, d.predicate, d.object, d.j,
+                   p.cand AS negative
+            FROM draws d
+            JOIN pool_idx p ON d.predicate = p.predicate AND d.idx = p.idx
+            WHERE p.cand <> d.{end})
+        SELECT c.subject, c.predicate, c.object, CAST(c.j AS INT) AS j,
+               c.negative
+        FROM cand c
+        ANTI JOIN {triples_cte} x
+        ON c.{other} = x.{other} AND c.predicate = x.predicate
+        AND c.negative = x.{end}
+    """
