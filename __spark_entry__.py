@@ -2508,6 +2508,31 @@ def q_kg_corrupt_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corrupt_triples(t, k=2)
 
 
+def q_linkpred_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking evaluation (operators/linkpred.ranking_metrics): MRR /
+    Hits@k WITHOUT a window — true score via one equi-join, rank = 1 +
+    map-side count of strictly-better rows under the deterministic
+    (score desc, candidate asc) order, integer reciprocal-rank micro.
+    Queries = nations, candidates = their suppliers scored by a
+    deterministic integer formula (ties included — the tie-break path
+    is exercised), truth = each nation's min-suppkey supplier. Oracle:
+    module-generated twin."""
+    from kg_microbe_merge_spark.operators.linkpred import ranking_metrics
+
+    sup = _t(spark, sf_dir, "supplier")
+    scored = sup.select(
+        F.concat(F.lit("N:"), F.col("s_nationkey")).alias("query"),
+        F.concat(F.lit("S:"), F.col("s_suppkey")).alias("candidate"),
+        ((F.col("s_suppkey") * 37) % 1000).alias("score_micro"),
+    )
+    truth = sup.groupBy(
+        F.concat(F.lit("N:"), F.col("s_nationkey")).alias("query")
+    ).agg(
+        F.concat(F.lit("S:"), F.min("s_suppkey")).alias("candidate")
+    )
+    return ranking_metrics(scored, truth)
+
+
 def q_bgp_over_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reasoning-aware querying: the BGP compiler (plans/bgp.py) over
     the MATERIALIZED entailment (operators/entailment.py) — ask for
@@ -3975,6 +4000,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_property_paths": q_bgp_property_paths,
         "bgp_over_entailment": q_bgp_over_entailment,
         "kg_corrupt_triples": q_kg_corrupt_triples,
+        "linkpred_ranking": q_linkpred_ranking,
         "owl_entailment": q_owl_entailment,
         "weighted_sssp": q_weighted_sssp,
         "kg_incremental_closure": q_kg_incremental_closure,
@@ -6248,6 +6274,27 @@ def _all_oracle_sql() -> dict[str, str]:
     # incremental entailment fold ≡ full re-entailment over all rows
     # (invariant-as-oracle: same twin as owl_entailment)
     sql["kg_incremental_entailment"] = sql["owl_entailment"]
+
+    # ranking evaluation: module-generated rank/MRR twin
+    from kg_microbe_merge_spark.operators.linkpred import (
+        ranking_metrics_sql,
+    )
+
+    sql["linkpred_ranking"] = ranking_metrics_sql(
+        "scored",
+        "tr",
+        prelude_ctes="""
+        scored AS (
+            SELECT 'N:' || s_nationkey AS query,
+                   'S:' || s_suppkey AS candidate,
+                   (s_suppkey * 37) % 1000 AS score_micro
+            FROM supplier),
+        tr AS (
+            SELECT 'N:' || s_nationkey AS query,
+                   'S:' || min(s_suppkey) AS candidate
+            FROM supplier GROUP BY s_nationkey),
+        """,
+    )
 
     # KG negative sampling: module-generated corruption twin
     from kg_microbe_merge_spark.operators.negatives import (

@@ -155,6 +155,7 @@ HEADLINE = [
     "table_profile",
     "bgp_over_entailment",
     "kg_corrupt_triples",
+    "linkpred_ranking",
 ]
 
 

@@ -119,3 +119,111 @@ def link_prediction_scores(
             / F.lit(MICRO)
         ).alias("jaccard"),
     )
+
+
+def ranking_metrics(
+    scored: DataFrame,
+    truth: DataFrame,
+    hits_at: tuple = (1, 3, 10),
+    query_col: str = "query",
+    cand_col: str = "candidate",
+    score_col: str = "score_micro",
+) -> DataFrame:
+    """Per-query ranking evaluation for link prediction / entity
+    linking / retrieval: ``(query, rank, rr_micro, hits_1, hits_3,
+    hits_10)`` where ``rank`` is the true candidate's position under
+    the DETERMINISTIC total order (score desc, candidate asc) and
+    ``rr_micro = floor(1e6/rank + 0.5)`` (the repo's integer
+    reciprocal-rank protocol — MRR is then a mean of exact BIGINTs).
+
+    ``scored``: (query, candidate, score_micro BIGINT) — integer
+    scores by contract (micro-scale upstream; ties then break
+    identically in every engine). ``truth``: (query, candidate) with
+    one true candidate per query. Queries whose true candidate is
+    absent from ``scored`` produce no row (the caller decides whether
+    absence means rank ∞ — report coverage separately). The filtered
+    protocol is the CALLER's duty: drop known-true candidates from
+    ``scored`` first (see :func:`..negatives.corrupt_triples`).
+
+    Scale: rank is computed WITHOUT a window — one equi-join pulls the
+    true candidate's score per query, one map-side-combinable count
+    aggregation counts strictly-better rows. Shuffles on query only;
+    candidate lists never sort."""
+    s = scored.select(
+        F.col(query_col).alias("q"),
+        F.col(cand_col).alias("c"),
+        F.col(score_col).cast("long").alias("sc"),
+    )
+    t = truth.select(
+        F.col(query_col).alias("q"), F.col(cand_col).alias("tc")
+    )
+    true_scores = s.join(t, "q").filter(F.col("c") == F.col("tc")).select(
+        "q", F.col("tc"), F.col("sc").alias("tsc")
+    )
+    better = (
+        s.join(true_scores, "q")
+        .filter(
+            (F.col("sc") > F.col("tsc"))
+            | ((F.col("sc") == F.col("tsc")) & (F.col("c") < F.col("tc")))
+        )
+        .groupBy("q")
+        .agg(F.count("*").alias("_nb"))
+    )
+    ranked = (
+        true_scores.join(better, "q", "left")
+        .select(
+            F.col("q").alias("query"),
+            (F.coalesce(F.col("_nb"), F.lit(0)) + 1).alias("rank"),
+        )
+    )
+    rank = F.col("rank")
+    out = ranked.select(
+        "query",
+        "rank",
+        F.floor((F.lit(2_000_000) + rank) / (rank * 2))
+        .cast("bigint")
+        .alias("rr_micro"),
+        *[
+            (rank <= k).cast("int").alias(f"hits_{k}")
+            for k in hits_at
+        ],
+    )
+    return out
+
+
+def ranking_metrics_sql(
+    scored_cte: str,
+    truth_cte: str,
+    hits_at: tuple = (1, 3, 10),
+    prelude_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`ranking_metrics` over CTEs providing
+    (query, candidate, score_micro) and (query, candidate);
+    ``prelude_ctes`` lets callers define those CTEs in the same WITH
+    block."""
+    hits = ",\n               ".join(
+        f"CAST(rank <= {k} AS INT) AS hits_{k}" for k in hits_at
+    )
+    return f"""
+        WITH {prelude_ctes}
+        ts AS (
+            SELECT s.query AS q, s.candidate AS tc,
+                   s.score_micro AS tsc
+            FROM {scored_cte} s JOIN {truth_cte} t
+            ON s.query = t.query AND s.candidate = t.candidate),
+        nb AS (
+            SELECT ts.q, count(*) AS n
+            FROM {scored_cte} s JOIN ts ON s.query = ts.q
+            WHERE s.score_micro > ts.tsc
+            OR (s.score_micro = ts.tsc AND s.candidate < ts.tc)
+            GROUP BY ts.q),
+        ranked AS (
+            SELECT ts.q AS query,
+                   1 + coalesce(nb.n, 0) AS rank
+            FROM ts LEFT JOIN nb ON ts.q = nb.q)
+        SELECT query, rank,
+               CAST(floor((2000000 + rank) / (rank * 2.0)) AS BIGINT)
+                   AS rr_micro,
+               {hits}
+        FROM ranked
+    """
