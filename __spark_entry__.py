@@ -3987,7 +3987,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     materialized entailment — pattern-join SQL over the entailment
     twin as a derived table) and kg_corrupt_triples (type-consistent
     filtered KG-embedding negative sampling,
-    operators/negatives.corrupt_triples — module-generated twin).
+    operators/negatives.corrupt_triples — module-generated twin) and
+    linkpred_ranking (windowless MRR/Hits@k ranking evaluation,
+    operators/linkpred.ranking_metrics — module-generated twin).
     q1_pricing_summary had green round-1 AND round-2 driver rows and
     ceded its slot to the new rdfs_entailment KG-reasoning query: its
     scan-pruned partial/final aggregation shape stays gated via
