@@ -205,6 +205,43 @@ def _cmd_export_rdf(args: argparse.Namespace) -> None:
     print(f"wrote N-Triples to {args.output}")
 
 
+def _cmd_entail(args: argparse.Namespace) -> None:
+    """Materialize the RDFS(-lite, optionally +OWL property semantics)
+    entailment of a merged KG's edge triples (operators/entailment.py).
+    Schema rows (subClassOf / subPropertyOf / domain / range / OWL
+    property declarations) come from ``--tbox`` when given, else are
+    split out of the edge stream itself (mixed data+schema graphs)."""
+    from .operators.entailment import (
+        rdfs_entailment,
+        rdfs_owl_entailment,
+        split_tbox,
+    )
+    from .sources.kgx import read_kgx_tsv, write_tsv_dir, write_tsv_single
+
+    spark = get_spark(app_name="kg-entail")
+    edges_tsv = os.path.join(args.kg_dir, "merged_kg_edges_full.tsv")
+    if not os.path.exists(edges_tsv):
+        edges_tsv = os.path.join(args.kg_dir, "merged_kg_edges.tsv")
+    triples = read_kgx_tsv(spark, [edges_tsv]).select(
+        "subject", "predicate", "object"
+    )
+    if args.tbox:
+        tbox = read_kgx_tsv(spark, [args.tbox]).select(
+            "subject", "predicate", "object"
+        )
+        abox = triples
+    else:
+        tbox, abox = split_tbox(triples)
+    fn = rdfs_owl_entailment if args.owl else rdfs_entailment
+    out = fn(abox, tbox, include_asserted=not args.derived_only)
+    out = out.orderBy("subject", "predicate", "object")
+    if args.single_file:
+        write_tsv_single(out, args.output)
+    else:
+        write_tsv_dir(out, args.output)
+    print(f"wrote entailed triples to {args.output}")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="kg_microbe_merge_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -264,6 +301,21 @@ def main(argv: list[str] | None = None) -> None:
     rdf.add_argument("--base", default="https://kg.example/")
     rdf.add_argument("--single-file", action="store_true")
     rdf.set_defaults(fn=_cmd_export_rdf)
+
+    en = sub.add_parser(
+        "entail",
+        help="materialize RDFS(-lite)/OWL-lite entailment of a merged KG",
+    )
+    en.add_argument("--kg-dir", required=True)
+    en.add_argument("--output", required=True)
+    en.add_argument("--tbox", default=None,
+                    help="schema-triple TSV; default: split from the edges")
+    en.add_argument("--owl", action="store_true",
+                    help="also apply owl:inverseOf/Symmetric/Transitive")
+    en.add_argument("--derived-only", action="store_true",
+                    help="emit only the strictly derived triples")
+    en.add_argument("--single-file", action="store_true")
+    en.set_defaults(fn=_cmd_entail)
 
     s = sub.add_parser("sql", help="ad-hoc SQL over a merged KG")
     s.add_argument("query")

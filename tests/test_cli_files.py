@@ -331,3 +331,53 @@ def test_cli_export_rdf(spark, tmp_path):
     assert (f"{b}X:1", f"{b}biolink:related_to", f"{b}X:2") in rows
     assert (f"{b}X:1", RDFS_LABEL, "name-priority") in rows
     assert any(s == f"{b}X:1" and p == RDF_TYPE for s, p, _ in rows)
+
+
+def test_cli_entail_end_to_end(spark, tmp_path):
+    """`entail` materializes the RDFS/OWL closure of a merged KG's
+    edge triples: mixed data+schema TSV in, entailed TSV out — both
+    the split-from-edges and --owl paths."""
+    from kg_microbe_merge_spark.cli import main
+
+    kg = tmp_path / "kg"
+    kg.mkdir()
+    (kg / "merged_kg_edges.tsv").write_text(
+        "subject\tpredicate\tobject\n"
+        "D:1\ttreats\tX:1\n"
+        "X:9\ttreated_by\tD:9\n"
+        "treats\trdfs:subPropertyOf\taffects\n"
+        "treats\trdfs:domain\tDrug\n"
+        "treated_by\towl:inverseOf\ttreats\n"
+        "Drug\trdfs:subClassOf\tChemical\n"
+    )
+    out = str(tmp_path / "entailed.tsv")
+    main(["entail", "--kg-dir", str(kg), "--output", out,
+          "--single-file"])
+    rows = {
+        tuple(line.split("\t"))
+        for line in open(out).read().strip().split("\n")[1:]
+    }
+    assert ("D:1", "affects", "X:1") in rows  # rdfs7
+    assert ("D:1", "rdf:type", "Chemical") in rows  # rdfs2 + rdfs9
+    assert ("D:9", "treats", "X:9") not in rows  # owl off by default
+
+    out2 = str(tmp_path / "entailed_owl.tsv")
+    main(["entail", "--kg-dir", str(kg), "--output", out2, "--owl",
+          "--single-file"])
+    rows2 = {
+        tuple(line.split("\t"))
+        for line in open(out2).read().strip().split("\n")[1:]
+    }
+    assert ("D:9", "treats", "X:9") in rows2  # inverse
+    assert ("D:9", "rdf:type", "Chemical") in rows2  # typed through it
+    assert rows < rows2
+
+    # --derived-only excludes every asserted row
+    out3 = str(tmp_path / "derived.tsv")
+    main(["entail", "--kg-dir", str(kg), "--output", out3,
+          "--derived-only", "--single-file"])
+    rows3 = {
+        tuple(line.split("\t"))
+        for line in open(out3).read().strip().split("\n")[1:]
+    }
+    assert rows3 and ("D:1", "treats", "X:1") not in rows3
