@@ -2508,6 +2508,50 @@ def q_kg_corrupt_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corrupt_triples(t, k=2)
 
 
+def q_er_fs_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter ER scoring (operators/er_scoring.py): smoothed
+    per-feature m/u rates from ONE global aggregation over a labeled
+    pair sample, micro-nat log weights, then ZERO-join row-local
+    scoring (weights inlined as literal CASE branches,
+    plan-asserted). Pairs: adjacent-custkey customers in the same
+    nation; features: same market segment, same account-balance sign;
+    deterministic pseudo-labels. Oracle: module-generated end-to-end
+    twin (identical smoothing, ln operand order, floor-micro rule)."""
+    from kg_microbe_merge_spark.operators.er_scoring import (
+        fs_score,
+        fs_weights,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    labeled = (
+        a.join(
+            b,
+            (F.col("b.c_custkey") == F.col("a.c_custkey") + 1)
+            & (F.col("b.c_nationkey") == F.col("a.c_nationkey")),
+        )
+        .select(
+            F.concat(F.lit("C:"), F.col("a.c_custkey")).alias("a"),
+            F.concat(F.lit("C:"), F.col("b.c_custkey")).alias("b"),
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            .cast("int")
+            .alias("seg_eq"),
+            (
+                F.signum(F.col("a.c_acctbal"))
+                == F.signum(F.col("b.c_acctbal"))
+            )
+            .cast("int")
+            .alias("bal_eq"),
+            (F.col("a.c_custkey") % 3 == 0).cast("int").alias("is_match"),
+        )
+    )
+    w = fs_weights(labeled, ["seg_eq", "bal_eq"])
+    pairs = labeled.select("a", "b", "seg_eq", "bal_eq")
+    return fs_score(pairs, w, upper_micro=200_000, lower_micro=-200_000)
+
+
 def q_linkpred_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking evaluation (operators/linkpred.ranking_metrics): MRR /
     Hits@k WITHOUT a window — true score via one equi-join, rank = 1 +
@@ -3989,7 +4033,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     filtered KG-embedding negative sampling,
     operators/negatives.corrupt_triples — module-generated twin) and
     linkpred_ranking (windowless MRR/Hits@k ranking evaluation,
-    operators/linkpred.ranking_metrics — module-generated twin).
+    operators/linkpred.ranking_metrics — module-generated twin) and
+    er_fs_scoring (Fellegi-Sunter probabilistic ER scoring,
+    operators/er_scoring.py — module-generated end-to-end twin).
     q1_pricing_summary had green round-1 AND round-2 driver rows and
     ceded its slot to the new rdfs_entailment KG-reasoning query: its
     scan-pruned partial/final aggregation shape stays gated via
@@ -4003,6 +4049,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_over_entailment": q_bgp_over_entailment,
         "kg_corrupt_triples": q_kg_corrupt_triples,
         "linkpred_ranking": q_linkpred_ranking,
+        "er_fs_scoring": q_er_fs_scoring,
         "owl_entailment": q_owl_entailment,
         "weighted_sssp": q_weighted_sssp,
         "kg_incremental_closure": q_kg_incremental_closure,
@@ -6276,6 +6323,30 @@ def _all_oracle_sql() -> dict[str, str]:
     # incremental entailment fold ≡ full re-entailment over all rows
     # (invariant-as-oracle: same twin as owl_entailment)
     sql["kg_incremental_entailment"] = sql["owl_entailment"]
+
+    # Fellegi-Sunter ER scoring: module-generated end-to-end twin
+    from kg_microbe_merge_spark.operators.er_scoring import fs_sql
+
+    sql["er_fs_scoring"] = fs_sql(
+        "lab",
+        "p",
+        ["seg_eq", "bal_eq"],
+        200_000,
+        -200_000,
+        prelude_ctes="""
+        lab AS (
+            SELECT 'C:' || a.c_custkey AS a,
+                   'C:' || b.c_custkey AS b,
+                   CAST(a.c_mktsegment = b.c_mktsegment AS INT) AS seg_eq,
+                   CAST(sign(a.c_acctbal) = sign(b.c_acctbal) AS INT)
+                       AS bal_eq,
+                   CAST(a.c_custkey % 3 = 0 AS INT) AS is_match
+            FROM customer a JOIN customer b
+            ON b.c_custkey = a.c_custkey + 1
+            AND b.c_nationkey = a.c_nationkey),
+        p AS (SELECT a, b, seg_eq, bal_eq FROM lab),
+        """,
+    )
 
     # ranking evaluation: module-generated rank/MRR twin
     from kg_microbe_merge_spark.operators.linkpred import (

@@ -156,6 +156,7 @@ HEADLINE = [
     "bgp_over_entailment",
     "kg_corrupt_triples",
     "linkpred_ranking",
+    "er_fs_scoring",
 ]
 
 
