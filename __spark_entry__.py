@@ -2508,6 +2508,26 @@ def q_kg_corrupt_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corrupt_triples(t, k=2)
 
 
+def q_schema_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotient-graph schema summary (operators/stats.schema_summary):
+    the instance KG collapsed to its TYPE graph — (subject_category,
+    predicate, object_category, n_edges, n_subjects, n_objects) via
+    two id-equi node joins + one grouped count; missing endpoints
+    surface as 'Unknown' (the +32 object shift guarantees some).
+    Nodes: the A3 merge output; oracle: A3 merge SQL as the node CTE +
+    the module-generated twin."""
+    from kg_microbe_merge_spark.operators.stats import schema_summary
+
+    nodes = nodes_merge(_kgx_nodes_from_lineitem(spark, sf_dir), ["R"])
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("L:"), F.col("o_orderkey")).alias("subject"),
+        F.concat(F.lit("rel:"), F.col("o_orderstatus")).alias("predicate"),
+        F.concat(F.lit("L:"), F.col("o_orderkey") + 32).alias("object"),
+    )
+    return schema_summary(nodes, edges)
+
+
 def q_er_fs_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi–Sunter ER scoring (operators/er_scoring.py): smoothed
     per-feature m/u rates from ONE global aggregation over a labeled
@@ -4035,7 +4055,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     linkpred_ranking (windowless MRR/Hits@k ranking evaluation,
     operators/linkpred.ranking_metrics — module-generated twin) and
     er_fs_scoring (Fellegi-Sunter probabilistic ER scoring,
-    operators/er_scoring.py — module-generated end-to-end twin).
+    operators/er_scoring.py — module-generated end-to-end twin) and
+    schema_summary (quotient-graph TYPE-graph summarization,
+    operators/stats.schema_summary — A3-node-CTE + module twin).
     q1_pricing_summary had green round-1 AND round-2 driver rows and
     ceded its slot to the new rdfs_entailment KG-reasoning query: its
     scan-pruned partial/final aggregation shape stays gated via
@@ -4050,6 +4072,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_corrupt_triples": q_kg_corrupt_triples,
         "linkpred_ranking": q_linkpred_ranking,
         "er_fs_scoring": q_er_fs_scoring,
+        "schema_summary": q_schema_summary,
         "owl_entailment": q_owl_entailment,
         "weighted_sssp": q_weighted_sssp,
         "kg_incremental_closure": q_kg_incremental_closure,
@@ -6323,6 +6346,19 @@ def _all_oracle_sql() -> dict[str, str]:
     # incremental entailment fold ≡ full re-entailment over all rows
     # (invariant-as-oracle: same twin as owl_entailment)
     sql["kg_incremental_entailment"] = sql["owl_entailment"]
+
+    # schema summary: A3 merge SQL node CTE + module-generated twin
+    from kg_microbe_merge_spark.operators.stats import schema_summary_sql
+
+    sql["schema_summary"] = f"""
+        WITH n AS ({_A3_SQL}),
+        e AS (
+            SELECT 'L:' || o_orderkey AS subject,
+                   'rel:' || o_orderstatus AS predicate,
+                   'L:' || (o_orderkey + 32) AS object
+            FROM orders)
+        {schema_summary_sql('n', 'e')}
+    """
 
     # Fellegi-Sunter ER scoring: module-generated end-to-end twin
     from kg_microbe_merge_spark.operators.er_scoring import fs_sql

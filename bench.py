@@ -157,6 +157,7 @@ HEADLINE = [
     "kg_corrupt_triples",
     "linkpred_ranking",
     "er_fs_scoring",
+    "schema_summary",
 ]
 
 

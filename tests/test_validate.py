@@ -105,3 +105,54 @@ def test_curie(spark):
     )
     got = {r["id"] for r in curie_violations(nodes).collect()}
     assert got == {"nocolon", ":nolocal", "bad id:x", "p:with|pipe", None}
+
+
+def test_schema_summary(spark):
+    """Quotient-graph schema summary (operators/stats.schema_summary):
+    counts per type-edge, distinct endpoints, Unknown for missing or
+    NULL-category endpoints, DuckDB twin."""
+    import duckdb
+
+    from kg_microbe_merge_spark.operators.stats import (
+        schema_summary,
+        schema_summary_sql,
+    )
+
+    nodes = [
+        ("g1", "Gene"), ("g2", "Gene"), ("d1", "Disease"), ("x1", None),
+    ]
+    edges = [
+        ("g1", "causes", "d1"),
+        ("g2", "causes", "d1"),
+        ("g1", "causes", "missing"),
+        ("x1", "rel", "g1"),
+    ]
+    n = spark.createDataFrame(nodes, "id string, category string")
+    e = spark.createDataFrame(
+        edges, "subject string, predicate string, object string"
+    )
+    got = {
+        (r["subject_category"], r["predicate"], r["object_category"]): (
+            r["n_edges"], r["n_subjects"], r["n_objects"],
+        )
+        for r in schema_summary(n, e).collect()
+    }
+    assert got == {
+        ("Gene", "causes", "Disease"): (2, 2, 1),
+        ("Gene", "causes", "Unknown"): (1, 1, 1),
+        ("Unknown", "rel", "Gene"): (1, 1, 1),
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE n (id VARCHAR, category VARCHAR)")
+    con.executemany("INSERT INTO n VALUES (?, ?)", nodes)
+    con.execute(
+        "CREATE TABLE e (subject VARCHAR, predicate VARCHAR, object VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", edges)
+    oracle = {
+        (a, p, b): (ne, ns, no)
+        for a, p, b, ne, ns, no in con.execute(
+            schema_summary_sql("n", "e")
+        ).fetchall()
+    }
+    assert got == oracle
