@@ -2572,6 +2572,42 @@ def q_er_fs_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_score(pairs, w, upper_micro=200_000, lower_micro=-200_000)
 
 
+def q_er_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement-pattern counts (operators/er_scoring.agreement_patterns)
+    — the ≤ 2^k-row sufficient statistic the UNSUPERVISED Fellegi-
+    Sunter EM fit consumes (fs_em_weights runs its deterministic EM
+    loop driver-side over exactly this table; the fit itself is
+    pytest-proven against planted parameters since SQL cannot EM).
+    Same candidate pairs as er_fs_scoring."""
+    from kg_microbe_merge_spark.operators.er_scoring import (
+        agreement_patterns,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.c_custkey") == F.col("a.c_custkey") + 1)
+            & (F.col("b.c_nationkey") == F.col("a.c_nationkey")),
+        )
+        .select(
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            .cast("int")
+            .alias("seg_eq"),
+            (
+                F.signum(F.col("a.c_acctbal"))
+                == F.signum(F.col("b.c_acctbal"))
+            )
+            .cast("int")
+            .alias("bal_eq"),
+        )
+    )
+    return agreement_patterns(pairs, ["seg_eq", "bal_eq"])
+
+
 def q_linkpred_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking evaluation (operators/linkpred.ranking_metrics): MRR /
     Hits@k WITHOUT a window — true score via one equi-join, rank = 1 +
@@ -4057,7 +4093,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     er_fs_scoring (Fellegi-Sunter probabilistic ER scoring,
     operators/er_scoring.py — module-generated end-to-end twin) and
     schema_summary (quotient-graph TYPE-graph summarization,
-    operators/stats.schema_summary — A3-node-CTE + module twin).
+    operators/stats.schema_summary — A3-node-CTE + module twin) and
+    er_agreement_patterns (the ≤2^k-row sufficient statistic for the
+    unsupervised Fellegi-Sunter EM fit — grouped-count twin; the EM
+    loop itself is pytest-proven against planted parameters).
     q1_pricing_summary had green round-1 AND round-2 driver rows and
     ceded its slot to the new rdfs_entailment KG-reasoning query: its
     scan-pruned partial/final aggregation shape stays gated via
@@ -4072,6 +4111,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_corrupt_triples": q_kg_corrupt_triples,
         "linkpred_ranking": q_linkpred_ranking,
         "er_fs_scoring": q_er_fs_scoring,
+        "er_agreement_patterns": q_er_agreement_patterns,
         "schema_summary": q_schema_summary,
         "owl_entailment": q_owl_entailment,
         "weighted_sssp": q_weighted_sssp,
@@ -6383,6 +6423,18 @@ def _all_oracle_sql() -> dict[str, str]:
         p AS (SELECT a, b, seg_eq, bal_eq FROM lab),
         """,
     )
+
+    # EM sufficient statistic: plain grouped count twin
+    sql["er_agreement_patterns"] = """
+        SELECT CAST(a.c_mktsegment = b.c_mktsegment AS INT) AS seg_eq,
+               CAST(sign(a.c_acctbal) = sign(b.c_acctbal) AS INT)
+                   AS bal_eq,
+               count(*) AS n
+        FROM customer a JOIN customer b
+        ON b.c_custkey = a.c_custkey + 1
+        AND b.c_nationkey = a.c_nationkey
+        GROUP BY 1, 2
+    """
 
     # ranking evaluation: module-generated rank/MRR twin
     from kg_microbe_merge_spark.operators.linkpred import (

@@ -158,6 +158,7 @@ HEADLINE = [
     "linkpred_ranking",
     "er_fs_scoring",
     "schema_summary",
+    "er_agreement_patterns",
 ]
 
 

@@ -172,3 +172,114 @@ def fs_sql(
                     ELSE 'possible' END AS decision
         FROM {pairs_cte} p CROSS JOIN {w_join}
     """
+
+
+def agreement_patterns(
+    pairs: DataFrame, feature_cols: list[str]
+) -> DataFrame:
+    """(features…, n) — candidate-pair counts per agreement pattern.
+    ONE partially-aggregable grouped count; at most 2^k rows for k
+    features. This tiny table is ALL that EM needs (the E/M updates
+    depend on the data only through it), which is what makes
+    unsupervised Fellegi–Sunter a one-scan operator at 100 TB."""
+    if not feature_cols:
+        raise ValueError("agreement_patterns: no feature columns")
+    return pairs.groupBy(*feature_cols).agg(F.count("*").alias("n"))
+
+
+def fs_em_weights(
+    pairs: DataFrame,
+    feature_cols: list[str],
+    iterations: int = 25,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+):
+    """UNSUPERVISED Fellegi–Sunter: estimate the m/u rates by EM over
+    the agreement-pattern counts (Winkler's classic formulation — no
+    labels needed) and return ``(weights_df, params)`` where
+    ``weights_df`` matches :func:`fs_weights`'s weight columns (plus
+    micro-rate columns instead of exact ratios) and ``params`` is the
+    fitted ``{"p": …, "m": {...}, "u": {...}, "loglik": …}`` dict.
+
+    The EM loop runs DRIVER-side over the ≤ 2^k pattern rows (the
+    sufficient statistic — see :func:`agreement_patterns`), a fixed
+    ``iterations`` count with sorted pattern order, so the fit is
+    deterministic for a given input. Degenerate fits (a rate hitting
+    0/1) are clamped to [1e-6, 1-1e-6] before the log-weights.
+
+    Conditional-independence caveat (the known F-S assumption):
+    correlated features overweight; decorrelate upstream or use the
+    labeled :func:`fs_weights` when labels exist."""
+    import math
+
+    counts = sorted(
+        (
+            tuple(int(r[c]) for c in feature_cols),
+            int(r["n"]),
+        )
+        for r in agreement_patterns(pairs, feature_cols).collect()
+    )
+    if not counts:
+        raise ValueError("fs_em_weights: no pairs")
+    k = len(feature_cols)
+    p = init_p
+    m = [init_m] * k
+    u = [init_u] * k
+    loglik = float("-inf")
+    for _ in range(iterations):
+        # E-step: responsibility of the match class per pattern
+        resp = []
+        loglik = 0.0
+        for g, n in counts:
+            pm = p
+            pu = 1.0 - p
+            for i in range(k):
+                pm *= m[i] if g[i] else (1.0 - m[i])
+                pu *= u[i] if g[i] else (1.0 - u[i])
+            tot = pm + pu
+            resp.append(pm / tot if tot > 0 else 0.0)
+            loglik += n * math.log(tot) if tot > 0 else 0.0
+        # M-step
+        n_all = sum(n for _, n in counts)
+        n_match = sum(r * n for r, (_, n) in zip(resp, counts))
+        p = n_match / n_all
+        for i in range(k):
+            am = sum(
+                r * n for r, (g, n) in zip(resp, counts) if g[i]
+            )
+            au = sum(
+                (1.0 - r) * n for r, (g, n) in zip(resp, counts) if g[i]
+            )
+            m[i] = am / n_match if n_match > 0 else init_m
+            u[i] = au / (n_all - n_match) if n_all > n_match else init_u
+    eps = 1e-6
+    m = [min(max(x, eps), 1 - eps) for x in m]
+    u = [min(max(x, eps), 1 - eps) for x in u]
+    rows = []
+    for i, c in enumerate(feature_cols):
+        rows.append(
+            (
+                c,
+                int(math.floor(m[i] * MICRO + 0.5)),
+                int(math.floor(u[i] * MICRO + 0.5)),
+                int(math.floor(math.log(m[i] / u[i]) * MICRO + 0.5)),
+                int(
+                    math.floor(
+                        math.log((1 - m[i]) / (1 - u[i])) * MICRO + 0.5
+                    )
+                ),
+            )
+        )
+    weights_df = pairs.sparkSession.createDataFrame(
+        rows,
+        "feature string, m_micro long, u_micro long, "
+        "w_agree_micro long, w_disagree_micro long",
+    )
+    params = {
+        "p": p,
+        "m": dict(zip(feature_cols, m)),
+        "u": dict(zip(feature_cols, u)),
+        "loglik": loglik,
+    }
+    return weights_df, params

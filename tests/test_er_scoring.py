@@ -110,3 +110,67 @@ def test_scoring_plan_zero_joins(spark):
         .toString()
     )
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_em_recovers_planted_parameters(spark):
+    """Two planted classes (matches: features agree w.p. .9/.85;
+    unmatches: .15/.1; 20% prevalence) — EM over the pattern counts
+    must recover rates within a few points and separate the classes,
+    and its log-likelihood must be non-decreasing iteration over
+    iteration."""
+    import random
+
+    from kg_microbe_merge_spark.operators.er_scoring import (
+        agreement_patterns,
+        fs_em_weights,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(4000):
+        is_match = rng.random() < 0.2
+        f1 = int(rng.random() < (0.9 if is_match else 0.15))
+        f2 = int(rng.random() < (0.85 if is_match else 0.1))
+        rows.append((f"p{i}", f1, f2))
+    df = spark.createDataFrame(rows, "pid string, f1 int, f2 int")
+
+    pats = {
+        (r["f1"], r["f2"]): r["n"]
+        for r in agreement_patterns(df, ["f1", "f2"]).collect()
+    }
+    assert sum(pats.values()) == 4000 and len(pats) == 4
+
+    w, params = fs_em_weights(df, ["f1", "f2"], iterations=50)
+    assert abs(params["p"] - 0.2) < 0.08
+    assert abs(params["m"]["f1"] - 0.9) < 0.1
+    assert abs(params["u"]["f1"] - 0.15) < 0.1
+    wr = {r["feature"]: r for r in w.collect()}
+    assert wr["f1"]["w_agree_micro"] > 0 > wr["f1"]["w_disagree_micro"]
+
+    # monotone log-likelihood (EM guarantee)
+    prev = float("-inf")
+    for it in (1, 2, 5, 10, 25):
+        _, pr = fs_em_weights(df, ["f1", "f2"], iterations=it)
+        assert pr["loglik"] >= prev - 1e-9
+        prev = pr["loglik"]
+
+    # deterministic
+    _, p2 = fs_em_weights(df, ["f1", "f2"], iterations=50)
+    assert p2 == params
+
+
+def test_em_weights_drive_fs_score(spark):
+    """EM weights slot straight into fs_score (same column contract)."""
+    from kg_microbe_merge_spark.operators.er_scoring import (
+        fs_em_weights,
+        fs_score,
+    )
+
+    rows = [(f"p{i}", i % 2, (i // 2) % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "pid string, f1 int, f2 int")
+    w, _ = fs_em_weights(df, ["f1", "f2"], iterations=5)
+    out = fs_score(df, w, upper_micro=10**9, lower_micro=-(10**9))
+    assert out.count() == 40
+    assert set(out.select("decision").distinct().toPandas()["decision"]) <= {
+        "match", "possible", "nonmatch"
+    }
