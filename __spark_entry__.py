@@ -2572,6 +2572,41 @@ def q_er_fs_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_score(pairs, w, upper_micro=200_000, lower_micro=-200_000)
 
 
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation (operators/blocking.blocking_metrics):
+    pair completeness / pairs quality / reduction ratio as integer
+    micros over the adjacent-same-nation candidate scheme vs a
+    deterministic truth set that includes reachable pairs (+1 step,
+    custkey%3) and mostly-unreachable ones (+2 step, custkey%7).
+    Oracle: the same canonicalize/count/semi-join arithmetic in SQL."""
+    from kg_microbe_merge_spark.operators.blocking import blocking_metrics
+
+    c = _t(spark, sf_dir, "customer")
+    a, b = c.alias("a"), c.alias("b")
+    cand = a.join(
+        b,
+        (F.col("b.c_custkey") == F.col("a.c_custkey") + 1)
+        & (F.col("b.c_nationkey") == F.col("a.c_nationkey")),
+    ).select(
+        F.concat(F.lit("C:"), F.col("a.c_custkey")).alias("a"),
+        F.concat(F.lit("C:"), F.col("b.c_custkey")).alias("b"),
+    )
+    truth = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.concat(F.lit("C:"), F.col("c_custkey")).alias("a"),
+            F.concat(F.lit("C:"), F.col("c_custkey") + 1).alias("b"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 0).select(
+                F.concat(F.lit("C:"), F.col("c_custkey")).alias("a"),
+                F.concat(F.lit("C:"), F.col("c_custkey") + 2).alias("b"),
+            )
+        )
+    )
+    return blocking_metrics(cand, truth, n_records=c.count())
+
+
 def q_er_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agreement-pattern counts (operators/er_scoring.agreement_patterns)
     — the ≤ 2^k-row sufficient statistic the UNSUPERVISED Fellegi-
@@ -4096,7 +4131,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operators/stats.schema_summary — A3-node-CTE + module twin) and
     er_agreement_patterns (the ≤2^k-row sufficient statistic for the
     unsupervised Fellegi-Sunter EM fit — grouped-count twin; the EM
-    loop itself is pytest-proven against planted parameters).
+    loop itself is pytest-proven against planted parameters) and
+    blocking_eval (pair completeness / quality / reduction ratio,
+    operators/blocking.blocking_metrics — arithmetic twin).
     q1_pricing_summary had green round-1 AND round-2 driver rows and
     ceded its slot to the new rdfs_entailment KG-reasoning query: its
     scan-pruned partial/final aggregation shape stays gated via
@@ -4113,6 +4150,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_scoring": q_er_fs_scoring,
         "er_agreement_patterns": q_er_agreement_patterns,
         "schema_summary": q_schema_summary,
+        "blocking_eval": q_blocking_eval,
         "owl_entailment": q_owl_entailment,
         "weighted_sssp": q_weighted_sssp,
         "kg_incremental_closure": q_kg_incremental_closure,
@@ -6423,6 +6461,37 @@ def _all_oracle_sql() -> dict[str, str]:
         p AS (SELECT a, b, seg_eq, bal_eq FROM lab),
         """,
     )
+
+    # blocking evaluation: canonicalize/count/semi-join arithmetic twin
+    sql["blocking_eval"] = """
+        WITH cand AS (
+            SELECT DISTINCT
+                least('C:' || a.c_custkey, 'C:' || b.c_custkey) AS a,
+                greatest('C:' || a.c_custkey, 'C:' || b.c_custkey) AS b
+            FROM customer a JOIN customer b
+            ON b.c_custkey = a.c_custkey + 1
+            AND b.c_nationkey = a.c_nationkey),
+        tr AS (
+            SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+                SELECT 'C:' || c_custkey AS a,
+                       'C:' || (c_custkey + 1) AS b
+                FROM customer WHERE c_custkey % 3 = 0
+                UNION ALL
+                SELECT 'C:' || c_custkey, 'C:' || (c_custkey + 2)
+                FROM customer WHERE c_custkey % 7 = 0)),
+        k AS (
+            SELECT
+                (SELECT count(*) FROM cand) AS nc,
+                (SELECT count(*) FROM tr) AS nt,
+                (SELECT count(*) FROM cand SEMI JOIN tr USING (a, b)) AS nh,
+                (SELECT count(*) FROM customer) AS n)
+        SELECT nc AS n_candidates, nt AS n_truth, nh AS n_hit,
+               (2 * 1000000 * nh + nt) // (2 * nt) AS pc_micro,
+               (2 * 1000000 * nh + nc) // (2 * nc) AS pq_micro,
+               (2 * 1000000 * (n * (n - 1) // 2 - nc) + n * (n - 1) // 2)
+                   // (2 * (n * (n - 1) // 2)) AS rr_micro
+        FROM k
+    """
 
     # EM sufficient statistic: plain grouped count twin
     sql["er_agreement_patterns"] = """

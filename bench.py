@@ -159,6 +159,7 @@ HEADLINE = [
     "er_fs_scoring",
     "schema_summary",
     "er_agreement_patterns",
+    "blocking_eval",
 ]
 
 

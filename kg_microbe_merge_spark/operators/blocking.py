@@ -211,3 +211,67 @@ def sorted_neighborhood_sql(
         FROM snm_r a JOIN snm_r b
           ON b.rank > a.rank AND b.rank - a.rank <= {w}
     """
+
+
+
+#: integer micro scale for blocking_metrics (floor(x*1e6+0.5) via
+#: pure-integer (2*M*num + den) // (2*den))
+MICRO_I = 1_000_000
+
+
+def blocking_metrics(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_records: int,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Blocking-scheme evaluation (Christen's standard triple): ONE
+    row —
+
+    - ``pc_micro``  pair completeness (recall): found true pairs /
+      all true pairs;
+    - ``pq_micro``  pairs quality (precision): found true pairs /
+      candidates;
+    - ``rr_micro``  reduction ratio: 1 − candidates / (n·(n−1)/2).
+
+    All micro-integers (floor(x·1e6 + 0.5) on ratios of exact
+    BIGINTs); pairs canonicalize to (least, greatest) before matching
+    so direction never miscounts. Cost: two distinct counts + one
+    broadcast-size semi join — the truth set is labeled data, small by
+    nature; the candidate side streams."""
+    if n_records < 2:
+        raise ValueError("blocking_metrics: need n_records >= 2")
+
+    def _canon(df):
+        return df.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        ).distinct()
+
+    cand = _canon(candidates)
+    tr = _canon(truth)
+    n_cand = cand.count()
+    n_truth = tr.count()
+    n_hit = cand.join(F.broadcast(tr), ["a", "b"], "left_semi").count()
+    total_pairs = n_records * (n_records - 1) // 2
+
+    def _micro(num, den):
+        return int((2 * MICRO_I * num + den) // (2 * den)) if den else 0
+
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_cand,
+                n_truth,
+                n_hit,
+                _micro(n_hit, n_truth),
+                _micro(n_hit, n_cand),
+                _micro(total_pairs - n_cand, total_pairs),
+            )
+        ],
+        "n_candidates long, n_truth long, n_hit long, "
+        "pc_micro long, pq_micro long, rr_micro long",
+    )
+

@@ -179,3 +179,52 @@ def test_sorted_neighborhood_partitioning_invariance(spark):
         for r in sorted_neighborhood_pairs(df.coalesce(1), window=5).collect()
     )
     assert a == b
+
+
+def test_blocking_metrics(spark):
+    """Pair completeness / pairs quality / reduction ratio
+    (operators/blocking.blocking_metrics): hand values, direction
+    canonicalization, integer micro rounding, guard, DuckDB twin."""
+    import duckdb
+
+    from kg_microbe_merge_spark.operators.blocking import blocking_metrics
+
+    cand = [("r1", "r2"), ("r3", "r1"), ("r2", "r1"), ("r4", "r5")]
+    truth = [("r2", "r1"), ("r5", "r4"), ("r1", "r6")]
+    c = spark.createDataFrame(cand, "a string, b string")
+    t = spark.createDataFrame(truth, "a string, b string")
+    row = blocking_metrics(c, t, n_records=6).collect()[0]
+    # canonical candidates: {12, 13, 45} (duplicate direction folds)
+    assert row["n_candidates"] == 3
+    assert row["n_truth"] == 3 and row["n_hit"] == 2
+    assert row["pc_micro"] == 666667  # 2/3 round-half-up
+    assert row["pq_micro"] == 666667
+    assert row["rr_micro"] == 800000  # 1 - 3/15
+    import pytest
+
+    with pytest.raises(ValueError):
+        blocking_metrics(c, t, n_records=1)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", cand)
+    con.execute("CREATE TABLE t (a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", truth)
+    oracle = con.execute("""
+        WITH cc AS (
+            SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM c),
+        tt AS (
+            SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM t),
+        k AS (
+            SELECT
+                (SELECT count(*) FROM cc) AS nc,
+                (SELECT count(*) FROM tt) AS nt,
+                (SELECT count(*) FROM cc SEMI JOIN tt USING (a, b)) AS nh,
+                6 * 5 // 2 AS tot)
+        SELECT nc, nt, nh,
+               (2 * 1000000 * nh + nt) // (2 * nt) AS pc,
+               (2 * 1000000 * nh + nc) // (2 * nc) AS pq,
+               (2 * 1000000 * (tot - nc) + tot) // (2 * tot) AS rr
+        FROM k
+    """).fetchone()
+    assert tuple(row) == tuple(oracle)
