@@ -1243,6 +1243,128 @@ def q_bgp_filter_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_edges_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared customer/order/nation KG edge table (C owns O, C
+    located_in N) used by the BGP query-form gate queries."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("subject"),
+        F.lit("owns").alias("predicate"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("object"),
+    ).unionByName(
+        customer.select(
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("subject"),
+            F.lit("located_in").alias("predicate"),
+            F.concat(F.lit("N"), F.col("c_nationkey")).alias("object"),
+        )
+    )
+
+
+def q_bgp_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 GROUP BY + aggregates + HAVING (plans/bgp.bgp_aggregate)
+    evaluated inside the engine — one partial+final hash aggregation
+    over the OPTIONAL-extended solution multiset, never a driver-side
+    groupBy bolted onto a SELECT. COUNT(*) counts solutions (the dup
+    cardinality of the bag), COUNT(?o) skips OPTIONAL NULLs,
+    SAMPLE is pinned to MIN (deterministic-engine deviation,
+    documented in _compile_aggregate)."""
+    from kg_microbe_merge_spark.plans.bgp import bgp_aggregate
+
+    return bgp_aggregate(
+        _kg_edges_cn(spark, sf_dir),
+        [("?c", "located_in", "?n")],
+        optional=[[("?c", "owns", "?o")]],
+        group_by=["?n"],
+        aggregates={
+            "n_solutions": "COUNT(*)",
+            "n_orders": "COUNT(?o)",
+            "n_customers": "COUNT(DISTINCT ?c)",
+            "first_customer": "SAMPLE(?c)",
+            "max_order": "MAX(?o)",
+        },
+        having=["n_customers >= 2"],
+        order_by=["?n"],
+    )
+
+
+def q_bgp_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (plans/bgp.bgp_construct): instantiate a triple
+    template per solution and emit the resulting RDF graph (set
+    semantics — one distinct over the row-local template fan-out).
+    The OPTIONAL-unbound ?o skips only its own template triple (W3C
+    §16.2), so order-less customers still get their type/residency
+    triples."""
+    from kg_microbe_merge_spark.plans.bgp import bgp_construct
+
+    return bgp_construct(
+        _kg_edges_cn(spark, sf_dir),
+        [("?c", "located_in", "?n")],
+        optional=[[("?c", "owns", "?o")]],
+        template=[
+            ("?n", "has_resident", "?c"),
+            ("?c", "ordered", "?o"),
+            ("?c", "type", "Customer"),
+        ],
+    )
+
+
+def q_cypher_var_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher variable-length relationship (plans/cypher.py
+    ``-[:TYPE*1..3]->``): per-customer order chains (each order linked
+    to the customer's next order by o_orderkey) walked 1-3 hops —
+    bounded hops compile to chained equi-joins with per-length
+    distincts, endpoint-relation semantics (the documented Neo4j
+    deviation shared with the SPARQL path family). DuckDB twin builds
+    the same chain with lead() and unrolls the three lengths."""
+    from kg_microbe_merge_spark.plans.cypher import cypher_query
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (
+        orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.lead("o_orderkey").over(w).alias("nk"),
+        )
+        .filter(F.col("nk").isNotNull())
+        .select(
+            F.concat(F.lit("O"), F.col("k")).alias("subject"),
+            F.lit("next_order").alias("predicate"),
+            F.concat(F.lit("O"), F.col("nk")).alias("object"),
+        )
+    )
+    nodes = edges.select(
+        F.col("subject").alias("id"),
+        F.lit("biolink:Order").alias("category"),
+        F.col("subject").alias("name"),
+    ).distinct()
+    return cypher_query(
+        nodes,
+        edges,
+        "MATCH (x)-[:next_order*1..3]->(y) "
+        "RETURN x.id AS x, count(*) AS n",
+    )
+
+
+def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed densest-subgraph peeling (operators/densest.py,
+    Bahmani et al. 2012 — remove all nodes with deg*V <= 3*E per
+    round, keep the densest intermediate subgraph): the over-merge
+    blob detector for same_as/similarity graphs, run over the
+    order–supplier bipartite graph. Pure-BIGINT density protocol;
+    oracle GENERATED by the module (rounds unrolled as materialized
+    CTEs, identical integer best-round rule)."""
+    from kg_microbe_merge_spark.operators.densest import densest_subgraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("subject"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("object"),
+    )
+    return densest_subgraph(edges)
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood-overlap link prediction (operators/linkpred.py):
     common-neighbors / Adamic-Adar / Jaccard for non-adjacent 2-hop
@@ -4107,6 +4229,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recursive-CTE closure + module-generated ic/lin twins) and
     bgp_property_paths (SPARQL property paths ^ / | + * ? compiled to
     DataFrame algebra + closure, plans/bgp.py — recursive-CTE oracle)
+    and bgp_aggregates / bgp_construct (SPARQL 1.1 GROUP BY + COUNT/
+    SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT + HAVING, and CONSTRUCT
+    template instantiation with per-triple unbound-skip + RDF-set
+    semantics, plans/bgp.py — LEFT-JOIN solution-multiset twins)
+    and cypher_var_length (Cypher variable-length relationships
+    ``-[:T*lo..hi]->`` compiled to chained equi-joins / the
+    path-doubling closure, plans/cypher.py — lead()-chain unrolled
+    twin)
+    and densest_subgraph (Bahmani greedy peeling with the BIGINT
+    density protocol, operators/densest.py — module-generated
+    materialized-CTE unroll twin)
     and owl_entailment (OWL-lite inverseOf/symmetric/transitive via a
     signed predicate-implication lattice, operators/entailment.py —
     module-generated recursive-CTE twin) and weighted_sssp (frontier
@@ -4144,6 +4277,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semantic_similarity": q_semantic_similarity,
         "bgp_property_paths": q_bgp_property_paths,
+        "bgp_aggregates": q_bgp_aggregates,
+        "bgp_construct": q_bgp_construct,
+        "cypher_var_length": q_cypher_var_length,
+        "densest_subgraph": q_densest_subgraph,
         "bgp_over_entailment": q_bgp_over_entailment,
         "kg_corrupt_triples": q_kg_corrupt_triples,
         "linkpred_ranking": q_linkpred_ranking,
@@ -4792,6 +4929,90 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT n, cast(count(DISTINCT c) AS BIGINT) AS n_customers,
                cast(count(o) AS BIGINT) AS n_orders
         FROM m GROUP BY n
+    """
+
+    # SPARQL GROUP BY + aggregates + HAVING over the same solution
+    # multiset: COUNT(*) counts solutions, COUNT(?o) skips OPTIONAL
+    # NULLs, SAMPLE ≡ MIN (the engine's documented deterministic
+    # pinning), HAVING on the aggregate output
+    sql["bgp_aggregates"] = """
+        WITH edges AS (
+            SELECT 'C' || o_custkey AS subject, 'owns' AS predicate,
+                   'O' || o_orderkey AS object
+            FROM orders
+            UNION ALL
+            SELECT 'C' || c_custkey, 'located_in', 'N' || c_nationkey
+            FROM customer),
+        sol AS (
+            SELECT l.subject AS c, l.object AS n, o.object AS o
+            FROM edges l
+            LEFT JOIN edges o
+              ON o.predicate = 'owns' AND o.subject = l.subject
+            WHERE l.predicate = 'located_in')
+        SELECT n,
+               cast(count(*) AS BIGINT) AS n_solutions,
+               cast(count(o) AS BIGINT) AS n_orders,
+               cast(count(DISTINCT c) AS BIGINT) AS n_customers,
+               min(c) AS first_customer,
+               max(o) AS max_order
+        FROM sol GROUP BY n
+        HAVING count(DISTINCT c) >= 2
+    """
+
+    # SPARQL CONSTRUCT: per-solution template fan-out, unbound-variable
+    # triples skipped per template row, DISTINCT (RDF graph = set)
+    sql["bgp_construct"] = """
+        WITH edges AS (
+            SELECT 'C' || o_custkey AS subject, 'owns' AS predicate,
+                   'O' || o_orderkey AS object
+            FROM orders
+            UNION ALL
+            SELECT 'C' || c_custkey, 'located_in', 'N' || c_nationkey
+            FROM customer),
+        sol AS (
+            SELECT l.subject AS c, l.object AS n, o.object AS o
+            FROM edges l
+            LEFT JOIN edges o
+              ON o.predicate = 'owns' AND o.subject = l.subject
+            WHERE l.predicate = 'located_in'),
+        t AS (
+            SELECT n AS subject, 'has_resident' AS predicate,
+                   c AS object
+            FROM sol
+            UNION ALL
+            SELECT c, 'ordered', o FROM sol WHERE o IS NOT NULL
+            UNION ALL
+            SELECT c, 'type', 'Customer' FROM sol)
+        SELECT DISTINCT subject, predicate, object FROM t
+    """
+
+    # densest subgraph: module-generated twin (materialized-CTE unroll
+    # of the same integer peel; depth pinned <= 40 in test_densest)
+    from kg_microbe_merge_spark.operators.densest import densest_sql
+
+    sql["densest_subgraph"] = densest_sql(
+        "SELECT 'O' || l_orderkey AS src, 'S' || l_suppkey AS dst "
+        "FROM lineitem",
+        rounds=40,
+    )
+
+    # Cypher variable-length -[:next_order*1..3]-> over per-customer
+    # order chains: same lead() chain, three unrolled lengths, distinct
+    # endpoint-pair union, grouped count
+    sql["cypher_var_length"] = """
+        WITH e AS (
+            SELECT 'O' || o_orderkey AS s,
+                   'O' || lead(o_orderkey) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey) AS o
+            FROM orders),
+        l1 AS (SELECT DISTINCT s, o FROM e WHERE o IS NOT NULL),
+        l2 AS (SELECT DISTINCT a.s, b.o FROM l1 a JOIN l1 b ON a.o = b.s),
+        l3 AS (SELECT DISTINCT a.s, b.o FROM l2 a JOIN l1 b ON a.o = b.s),
+        u AS (SELECT s, o FROM l1 UNION
+              SELECT s, o FROM l2 UNION
+              SELECT s, o FROM l3)
+        SELECT s AS x, cast(count(*) AS BIGINT) AS n
+        FROM u GROUP BY s
     """
 
     # Cypher MATCH (c:Customer)-[:owns]->(o) WHERE c.name CONTAINS '11'

@@ -160,6 +160,10 @@ HEADLINE = [
     "schema_summary",
     "er_agreement_patterns",
     "blocking_eval",
+    "bgp_aggregates",
+    "bgp_construct",
+    "cypher_var_length",
+    "densest_subgraph",
 ]
 
 

@@ -273,6 +273,56 @@ def _compile_filter(expr: str) -> F.Column:
     return F.expr(_VAR_RE.sub(lambda m: f"_v_{m.group(1)}", expr))
 
 
+def _solutions(
+    edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    filters: list[str] | None = None,
+    optional: list[list[tuple[str, str, str]]] | None = None,
+    union: list[list[tuple[str, str, str]]] | None = None,
+    values: dict[str, list] | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """Build the solution multiset for a query: compile the mandatory
+    patterns, UNION alternatives, OPTIONAL groups, VALUES constraints
+    and FILTERs, returning the bindings under internal ``_v_<name>``
+    columns plus the first-appearance variable order. Shared by
+    ``SELECT`` (:func:`bgp_query`), ``GROUP BY``
+    (:func:`bgp_aggregate`), ``CONSTRUCT`` (:func:`bgp_construct`) and
+    ``ASK`` (:func:`bgp_ask`) — the W3C algebra layers all of these
+    over the same pattern-matching core."""
+    if not patterns:
+        raise ValueError("at least one triple pattern required")
+    var_order: list[str] = []
+    out = _compile_group(edges, patterns, var_order)
+    if union:
+        if len(union) < 2:
+            raise ValueError("UNION needs at least two alternative groups")
+        u: DataFrame | None = None
+        for group in union:
+            t = _compile_group(edges, group, var_order)
+            u = t if u is None else u.unionByName(
+                t, allowMissingColumns=True
+            )
+        shared = [c for c in u.columns if c in out.columns]
+        out = out.join(u, on=shared) if shared else out.crossJoin(u)
+    for group in optional or []:
+        t = _compile_group(edges, group, var_order)
+        shared = [c for c in t.columns if c in out.columns]
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the mandatory "
+                f"patterns: {group}"
+            )
+        out = out.join(t, on=shared, how="left")
+    for var, allowed in (values or {}).items():
+        name = var[1:] if var.startswith("?") else var
+        if name not in var_order:
+            raise ValueError(f"VALUES variable {var!r} is not bound")
+        out = out.filter(F.col(f"_v_{name}").isin(*allowed))
+    for f in filters or []:
+        out = out.filter(_compile_filter(f))
+    return out, var_order
+
+
 def bgp_query(
     edges: DataFrame,
     patterns: list[tuple[str, str, str]],
@@ -320,37 +370,10 @@ def bgp_query(
       ``order_by`` when nonzero (unordered OFFSET is meaningless in a
       distributed engine, and SPARQL says so too).
     """
-    if not patterns:
-        raise ValueError("at least one triple pattern required")
-    var_order: list[str] = []
-    out = _compile_group(edges, patterns, var_order)
-    if union:
-        if len(union) < 2:
-            raise ValueError("UNION needs at least two alternative groups")
-        u: DataFrame | None = None
-        for group in union:
-            t = _compile_group(edges, group, var_order)
-            u = t if u is None else u.unionByName(
-                t, allowMissingColumns=True
-            )
-        shared = [c for c in u.columns if c in out.columns]
-        out = out.join(u, on=shared) if shared else out.crossJoin(u)
-    for group in optional or []:
-        t = _compile_group(edges, group, var_order)
-        shared = [c for c in t.columns if c in out.columns]
-        if not shared:
-            raise ValueError(
-                "OPTIONAL group shares no variable with the mandatory "
-                f"patterns: {group}"
-            )
-        out = out.join(t, on=shared, how="left")
-    for var, allowed in (values or {}).items():
-        name = var[1:] if var.startswith("?") else var
-        if name not in var_order:
-            raise ValueError(f"VALUES variable {var!r} is not bound")
-        out = out.filter(F.col(f"_v_{name}").isin(*allowed))
-    for f in filters or []:
-        out = out.filter(_compile_filter(f))
+    out, var_order = _solutions(
+        edges, patterns, filters=filters, optional=optional,
+        union=union, values=values,
+    )
     sel = [v[1:] if v.startswith("?") else v for v in (select or var_order)]
     out = out.select(*[F.col(f"_v_{v}").alias(v) for v in sel])
     if distinct:
@@ -374,3 +397,235 @@ def bgp_query(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+# --------------------------------------------------------------------------
+# SPARQL 1.1 aggregation / CONSTRUCT / ASK over the same pattern core
+# --------------------------------------------------------------------------
+
+_AGG_RE = re.compile(
+    r"^\s*(COUNT|SUM|MIN|MAX|AVG|SAMPLE|GROUP_CONCAT)\s*\(\s*"
+    r"(DISTINCT\s+)?(\*|\?[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?:;\s*separator\s*=\s*'([^']*)')?\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+
+class AggregateSyntaxError(ValueError):
+    """Malformed SPARQL aggregate expression."""
+
+
+def _compile_aggregate(spec: str, alias: str) -> F.Column:
+    """Compile one SPARQL aggregate expression string to a Column.
+
+    Supported: ``COUNT(*)``, ``COUNT(?v)``, ``COUNT(DISTINCT ?v)``,
+    ``SUM/MIN/MAX/AVG(?v)`` (with optional DISTINCT), ``SAMPLE(?v)``
+    and ``GROUP_CONCAT(?v; separator='sep')``. Counts return BIGINT;
+    SUM over BIGINT bindings stays BIGINT (cast at the boundary so the
+    engine never widens to decimal/double behind the caller's back).
+
+    Deterministic-engine deviations (documented, intentional):
+    ``SAMPLE`` — the spec says "any value"; a distributed engine that
+    returns an arbitrary partition's value is unreproducible across
+    runs, so SAMPLE is pinned to MIN (a legal choice of "any").
+    ``GROUP_CONCAT`` — the spec concatenates in an undefined order;
+    pinned to the sorted-DISTINCT pipe-join convention the KGX merge
+    (A3) already uses, so repeated runs and both engines agree.
+    """
+    m = _AGG_RE.match(spec)
+    if not m:
+        raise AggregateSyntaxError(f"bad aggregate {spec!r}")
+    fn = m.group(1).upper()
+    distinct = bool(m.group(2))
+    term = m.group(3)
+    sep = m.group(4) if m.group(4) is not None else "|"
+    if term == "*":
+        if fn != "COUNT":
+            raise AggregateSyntaxError(f"{fn}(*) is not SPARQL: {spec!r}")
+        if distinct:
+            raise AggregateSyntaxError(
+                f"COUNT(DISTINCT *) unsupported (project variables): {spec!r}"
+            )
+        return F.count(F.lit(1)).alias(alias)
+    col = F.col(f"_v_{term[1:]}")
+    if fn == "COUNT":
+        return (F.countDistinct(col) if distinct else F.count(col)).alias(alias)
+    if distinct:
+        col = F.collect_set(col)
+        if fn == "SUM":
+            return F.aggregate(
+                F.array_sort(col), F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x.cast("bigint"),
+            ).alias(alias)
+        if fn == "AVG":
+            return (
+                F.aggregate(
+                    F.array_sort(col), F.lit(0).cast("double"),
+                    lambda acc, x: acc + x.cast("double"),
+                ) / F.size(col)
+            ).alias(alias)
+        if fn in ("MIN", "SAMPLE"):
+            return F.array_min(col).alias(alias)
+        if fn == "MAX":
+            return F.array_max(col).alias(alias)
+        if fn == "GROUP_CONCAT":
+            return F.array_join(F.array_sort(col), sep).alias(alias)
+    if fn == "SUM":
+        return F.sum(col).alias(alias)
+    if fn == "AVG":
+        return F.avg(col).alias(alias)
+    if fn in ("MIN", "SAMPLE"):
+        return F.min(col).alias(alias)
+    if fn == "MAX":
+        return F.max(col).alias(alias)
+    # GROUP_CONCAT without DISTINCT: still sorted for determinism, but
+    # keeps duplicates (bag), matching SPARQL cardinality
+    return F.array_join(F.array_sort(F.collect_list(col)), sep).alias(alias)
+
+
+def bgp_aggregate(
+    edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    group_by: list[str],
+    aggregates: dict[str, str],
+    having: list[str] | None = None,
+    filters: list[str] | None = None,
+    optional: list[list[tuple[str, str, str]]] | None = None,
+    union: list[list[tuple[str, str, str]]] | None = None,
+    values: dict[str, list] | None = None,
+    order_by: list[str] | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """SPARQL ``GROUP BY`` + aggregates + ``HAVING`` (SPARQL 1.1 §11)
+    over the BGP solution multiset.
+
+    ``group_by``: ``?var`` grouping keys (output columns keep the bare
+    name). ``aggregates``: ``{alias: "COUNT(DISTINCT ?o)", ...}`` —
+    see :func:`_compile_aggregate` for the supported forms.
+    ``having``: SQL expressions over the OUTPUT columns (group keys and
+    aggregate aliases), applied after aggregation — SPARQL's HAVING
+    scope. ``order_by``/``limit`` follow :func:`bgp_query` semantics
+    (``"?v"`` asc / ``"-?v"`` desc over output columns).
+
+    Scale: this is one hash aggregation over the join chain — Spark
+    runs it partial (map-side) + final, so a grouped query over a
+    10^12-edge BGP shuffles only per-group partial states. Hub group
+    keys are the same skew story as the A3 merge: route through
+    ``operators/skew.py`` diagnostics and salt if a key is measured
+    heavy.
+    """
+    if not group_by:
+        raise ValueError("GROUP BY needs at least one variable")
+    if not aggregates:
+        raise ValueError("at least one aggregate expression required")
+    out, var_order = _solutions(
+        edges, patterns, filters=filters, optional=optional,
+        union=union, values=values,
+    )
+    keys = [v[1:] if v.startswith("?") else v for v in group_by]
+    for k in keys:
+        if k not in var_order:
+            raise ValueError(f"GROUP BY variable ?{k} is not bound")
+    aggs = [_compile_aggregate(spec, alias)
+            for alias, spec in aggregates.items()]
+    out = out.groupBy(
+        *[F.col(f"_v_{k}").alias(k) for k in keys]
+    ).agg(*aggs)
+    for h in having or []:
+        out = out.filter(F.expr(h))
+    if order_by:
+        cols = []
+        for o in order_by:
+            desc = o.startswith("-")
+            name = o.lstrip("-")
+            name = name[1:] if name.startswith("?") else name
+            if name not in out.columns:
+                raise ValueError(f"ORDER BY {o!r} is not in the output")
+            cols.append(F.col(name).desc() if desc else F.col(name).asc())
+        out = out.orderBy(*cols)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def bgp_construct(
+    edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    template: list[tuple[str, str, str]],
+    filters: list[str] | None = None,
+    optional: list[list[tuple[str, str, str]]] | None = None,
+    union: list[list[tuple[str, str, str]]] | None = None,
+    values: dict[str, list] | None = None,
+) -> DataFrame:
+    """SPARQL ``CONSTRUCT``: instantiate a triple template per solution
+    and return the resulting graph as a ``(subject, predicate,
+    object)`` DataFrame.
+
+    W3C semantics implemented exactly: the output is an RDF *graph*
+    (set — one distinct pass over the instantiated triples), and a
+    template triple containing an unbound (NULL) variable for some
+    solution is silently skipped for that solution (SPARQL 1.1 §16.2
+    — the OPTIONAL-produced-NULL case).
+
+    The template fans each solution row into ``len(template)`` triples
+    row-locally (no join, no Python); the only exchange is the final
+    distinct on the 3-column output — at 10^12 scale that is the same
+    dedup the KGX edges merge (A4) already pays, and the result feeds
+    straight into ``operators/merge.edges_merge`` / the entailment
+    family as a normal edge table.
+    """
+    if not template:
+        raise ValueError("CONSTRUCT needs at least one template triple")
+    out, var_order = _solutions(
+        edges, patterns, filters=filters, optional=optional,
+        union=union, values=values,
+    )
+
+    def term_col(term: str) -> F.Column:
+        if _is_var(term):
+            name = term[1:]
+            if name not in var_order:
+                raise ValueError(
+                    f"CONSTRUCT template variable {term!r} is not bound"
+                )
+            return F.col(f"_v_{name}")
+        return F.lit(term)
+
+    triples = F.array(*[
+        F.struct(
+            term_col(s).alias("subject"),
+            term_col(p).alias("predicate"),
+            term_col(o).alias("object"),
+        )
+        for s, p, o in template
+    ])
+    return (
+        out.select(F.explode(triples).alias("t"))
+        .select("t.subject", "t.predicate", "t.object")
+        .filter(
+            F.col("subject").isNotNull()
+            & F.col("predicate").isNotNull()
+            & F.col("object").isNotNull()
+        )
+        .distinct()
+    )
+
+
+def bgp_ask(
+    edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    filters: list[str] | None = None,
+    optional: list[list[tuple[str, str, str]]] | None = None,
+    union: list[list[tuple[str, str, str]]] | None = None,
+    values: dict[str, list] | None = None,
+) -> bool:
+    """SPARQL ``ASK``: does at least one solution exist? Evaluated as
+    ``limit(1)`` over the solution plan — Spark's LocalLimit
+    short-circuits each task at its first row, so an ASK against a
+    10^12-edge graph stops as soon as any partition produces a match
+    rather than materializing the full join."""
+    out, _ = _solutions(
+        edges, patterns, filters=filters, optional=optional,
+        union=union, values=values,
+    )
+    return len(out.limit(1).collect()) > 0

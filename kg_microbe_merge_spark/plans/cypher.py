@@ -17,6 +17,10 @@ openCypher grammar):
 - path chains ``(a)-[:TYPE]->(b)-[r:TYPE2]->(c)`` and comma-separated
   patterns; relationship type matches ``predicate`` with/without
   ``biolink:``; ``<-[...]-`` reversed arrows
+- variable-length relationships ``-[:TYPE*]->``, ``-[*2]->``,
+  ``-[:T*1..3]->``, ``-[:T*2..]->`` (Neo4j bounds grammar; endpoint
+  RELATION semantics — see :func:`_var_length_pairs`; unbounded upper
+  bounds run the path-doubling transitive closure)
 - ``WHERE`` with AND-joined comparisons over ``var.prop``:
   ``= <> < <= > >= CONTAINS``, ``STARTS WITH``, ``IS [NOT] NULL``
 - ``RETURN [DISTINCT] items [ORDER BY ...] [LIMIT n]`` where an item is
@@ -45,7 +49,8 @@ from pyspark.sql import functions as F
 
 _NODE_RE = re.compile(r"\(\s*(\w*)\s*(?::\s*([\w:.]+)\s*)?\)")
 _REL_RE = re.compile(
-    r"(<?)-\s*\[\s*(\w*)\s*(?::\s*([\w:.]+)\s*)?\]\s*-(>?)"
+    r"(<?)-\s*\[\s*(\w*)\s*(?::\s*([\w:.]+)\s*)?"
+    r"(?:\s*\*\s*(?P<quant>(?:\d+)?\s*(?:\.\.\s*(?:\d+)?)?))?\s*\]\s*-(>?)"
 )
 _MATCH_RE = re.compile(
     r"^\s*MATCH\s+(?P<pattern>.+?)"
@@ -78,8 +83,8 @@ class CypherError(ValueError):
 @dataclass
 class _Parsed:
     node_labels: dict[str, str | None] = field(default_factory=dict)
-    rels: list[tuple[str, str, str | None, str]] = field(default_factory=list)
-    # (src_var, rel_var, rel_type, dst_var)
+    rels: list[tuple[str, str, str | None, str, tuple[int, int | None] | None]] = field(default_factory=list)
+    # (src_var, rel_var, rel_type, dst_var, var_length_bounds)
     where: list[tuple[str, str, str, str]] = field(default_factory=list)
     items: list[dict] = field(default_factory=list)
     distinct: bool = False
@@ -125,7 +130,7 @@ def _parse(query: str) -> _Parsed:
             rm = _REL_RE.match(path, pos)
             if not rm:
                 raise CypherError(f"expected -[...]-> at: {path[pos:]!r}")
-            back, rel_var, rel_type, fwd = rm.groups()
+            back, rel_var, rel_type, quant, fwd = rm.groups()
             if bool(back) == bool(fwd):
                 raise CypherError("relationship must be directed (-> or <-)")
             pos = rm.end()
@@ -136,7 +141,13 @@ def _parse(query: str) -> _Parsed:
             anon_n += cur.startswith(_ANON)
             pos = nm.end()
             src, dst = (prev, cur) if fwd else (cur, prev)
-            p.rels.append((src, rel_var or "", rel_type, dst))
+            bounds = _parse_quant(quant) if quant is not None else None
+            if bounds is not None and rel_var:
+                raise CypherError(
+                    "variable-length relationships cannot bind a "
+                    "relationship variable in this subset"
+                )
+            p.rels.append((src, rel_var or "", rel_type, dst, bounds))
             prev = cur
 
     if m.group("where"):
@@ -156,6 +167,25 @@ def _parse(query: str) -> _Parsed:
     p.order = m.group("order")
     p.limit = int(m.group("limit")) if m.group("limit") else None
     return p
+
+
+def _parse_quant(text: str) -> tuple[int, int | None]:
+    """Parse the bounds of a ``*`` variable-length quantifier:
+    ``""`` → (1, None), ``"3"`` → (3, 3), ``"1..3"`` → (1, 3),
+    ``"..3"`` → (1, 3), ``"2.."`` → (2, None). Neo4j's path-length
+    grammar, with ``*`` meaning 1..unbounded exactly as there."""
+    text = text.replace(" ", "")
+    if not text:
+        return (1, None)
+    if ".." not in text:
+        n = int(text)
+        return (n, n)
+    lo_s, hi_s = text.split("..", 1)
+    lo = int(lo_s) if lo_s else 1
+    hi = int(hi_s) if hi_s else None
+    if hi is not None and hi < lo:
+        raise CypherError(f"variable-length bounds out of order: *{text}")
+    return (lo, hi)
 
 
 def _reg_node(p: _Parsed, nm: re.Match, anon_n: int) -> str:
@@ -209,6 +239,79 @@ def _label_filter(col: F.Column, label: str) -> F.Column:
     return (col == label) | (col == f"biolink:{label}")
 
 
+def _var_length_pairs(
+    edges: DataFrame, rel_type: str | None, lo: int, hi: int | None
+) -> DataFrame:
+    """Endpoint-pair relation for a variable-length pattern
+    ``-[:TYPE*lo..hi]->`` — distinct ``(s, o)`` pairs connected by a
+    directed path of length in [lo, hi] over edges of the given type.
+
+    Subset semantics (documented lite deviation, matching the SPARQL
+    property-path family in plans/bgp.py): Neo4j enumerates PATHS
+    (bag, relationship-unique per path); this engine returns the
+    distinct endpoint RELATION — the answer set of "which pairs are
+    connected", which is what the pattern join consumes. Bounded hops
+    compile to ``hi`` chained equi-joins with a distinct per length
+    (frontier reuse, not re-derivation); an unbounded upper bound goes
+    through :func:`..operators.closure.transitive_closure` (path
+    doubling — ⌈log₂ depth⌉ rounds, output-size guard), prefixed by
+    ``lo-1`` fixed steps when ``lo > 1`` since paths of length ≥ lo
+    are exactly R^(lo-1) ∘ R⁺.
+    """
+    r = edges.select(
+        F.col("subject").alias("s"),
+        F.col("predicate").alias("p"),
+        F.col("object").alias("o"),
+    )
+    if rel_type:
+        r = r.filter(_label_filter(F.col("p"), rel_type))
+    r = r.select("s", "o").distinct()
+
+    def compose(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.alias("l")
+            .join(b.alias("r"), F.col("l.o") == F.col("r.s"))
+            .select(F.col("l.s").alias("s"), F.col("r.o").alias("o"))
+            .distinct()
+        )
+
+    if hi is not None and hi > 16:
+        raise CypherError(
+            f"variable-length upper bound {hi} > 16: use an unbounded "
+            "* (transitive closure) instead of a long join chain"
+        )
+    out: DataFrame | None = None
+    if hi is None:
+        from ..operators.closure import transitive_closure
+
+        plus = transitive_closure(r, "s", "o").select(
+            F.col("src").alias("s"), F.col("dst").alias("o")
+        )
+        if lo <= 1:
+            out = plus
+        else:
+            pre = r
+            for _ in range(lo - 2):
+                pre = compose(pre, r)
+            out = compose(pre, plus)
+    else:
+        cur = r
+        for length in range(1, hi + 1):
+            if length > 1:
+                cur = compose(cur, r)
+            if length >= lo:
+                out = cur if out is None else out.unionByName(cur).distinct()
+    if lo == 0:
+        ids = (
+            edges.select(F.col("subject").alias("s"))
+            .unionByName(edges.select(F.col("object").alias("s")))
+            .distinct()
+        )
+        identity = ids.select("s", F.col("s").alias("o"))
+        out = identity if out is None else out.unionByName(identity).distinct()
+    return out
+
+
 def cypher_query(
     nodes: DataFrame, edges: DataFrame, query: str
 ) -> DataFrame:
@@ -219,7 +322,7 @@ def cypher_query(
     needs_nodes: set[str] = {
         v for v, lbl in p.node_labels.items() if lbl is not None
     }
-    rel_vars = {rv for _, rv, _, _ in p.rels if rv}
+    rel_vars = {rv for _, rv, _, _, _ in p.rels if rv}
     for var, prop, _op, _rhs in p.where:
         if var not in rel_vars and var not in p.node_labels:
             raise CypherError(f"unknown variable in WHERE: {var!r}")
@@ -252,23 +355,29 @@ def cypher_query(
     out: DataFrame | None = None
     bound: set[str] = set()
     if p.rels:
-        for src, rel_var, rel_type, dst in p.rels:
-            t = edges.select(
-                F.col("subject").alias(f"_id_{src}"),
-                F.col("predicate").alias(
-                    f"_rel_{rel_var}" if rel_var else "_rel__drop"
-                ),
-                F.col("object").alias(f"_id_{dst}"),
-            )
-            if rel_type:
-                t = t.filter(
-                    _label_filter(
-                        F.col(f"_rel_{rel_var}" if rel_var else "_rel__drop"),
-                        rel_type,
-                    )
+        for src, rel_var, rel_type, dst, quant in p.rels:
+            if quant is not None:
+                t = _var_length_pairs(edges, rel_type, *quant).select(
+                    F.col("s").alias(f"_id_{src}"),
+                    F.col("o").alias(f"_id_{dst}"),
                 )
-            if not rel_var:
-                t = t.drop("_rel__drop")
+            else:
+                t = edges.select(
+                    F.col("subject").alias(f"_id_{src}"),
+                    F.col("predicate").alias(
+                        f"_rel_{rel_var}" if rel_var else "_rel__drop"
+                    ),
+                    F.col("object").alias(f"_id_{dst}"),
+                )
+                if rel_type:
+                    t = t.filter(
+                        _label_filter(
+                            F.col(f"_rel_{rel_var}" if rel_var else "_rel__drop"),
+                            rel_type,
+                        )
+                    )
+                if not rel_var:
+                    t = t.drop("_rel__drop")
             if out is None:
                 out = t
             else:

@@ -150,3 +150,120 @@ def test_matches_duckdb_oracle(spark):
         ORDER BY gname
     """).fetchall()
     assert [(r["gname"], r["did"]) for r in got] == want
+
+
+# --- variable-length relationships -----------------------------------
+
+
+def _chain_kg(spark):
+    # a -> b -> c -> d  (next), plus a shortcut a -> c (skip)
+    nodes = spark.createDataFrame(
+        [(x, "biolink:Thing", x.upper()) for x in "abcd"],
+        "id string, category string, name string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a", "next", "b"),
+            ("b", "next", "c"),
+            ("c", "next", "d"),
+            ("a", "skip", "c"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    return nodes, edges
+
+
+def test_var_length_bounded_range(spark):
+    nodes, edges = _chain_kg(spark)
+    out = cypher_query(
+        nodes, edges,
+        "MATCH (x)-[:next*1..2]->(y) RETURN x.id AS x, y.id AS y",
+    )
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    assert got == {("a", "b"), ("b", "c"), ("c", "d"),
+                   ("a", "c"), ("b", "d")}
+
+
+def test_var_length_exact_and_unbounded(spark):
+    nodes, edges = _chain_kg(spark)
+    out = cypher_query(
+        nodes, edges, "MATCH (x)-[:next*2]->(y) RETURN x.id AS x, y.id AS y"
+    )
+    assert {(r["x"], r["y"]) for r in out.collect()} == {
+        ("a", "c"), ("b", "d")
+    }
+    out = cypher_query(
+        nodes, edges, "MATCH (x)-[:next*]->(y) RETURN x.id AS x, y.id AS y"
+    )
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    assert got == {("a", "b"), ("a", "c"), ("a", "d"),
+                   ("b", "c"), ("b", "d"), ("c", "d")}
+
+
+def test_var_length_lower_bound_unbounded(spark):
+    nodes, edges = _chain_kg(spark)
+    out = cypher_query(
+        nodes, edges,
+        "MATCH (x)-[:next*2..]->(y) RETURN x.id AS x, y.id AS y",
+    )
+    assert {(r["x"], r["y"]) for r in out.collect()} == {
+        ("a", "c"), ("a", "d"), ("b", "d")
+    }
+
+
+def test_var_length_zero_includes_identity(spark):
+    nodes, edges = _chain_kg(spark)
+    out = cypher_query(
+        nodes, edges,
+        "MATCH (x)-[:skip*0..1]->(y) RETURN x.id AS x, y.id AS y",
+    )
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    assert got == {("a", "c")} | {(n, n) for n in "abcd"}
+
+
+def test_var_length_untyped_and_chain_composition(spark):
+    nodes, edges = _chain_kg(spark)
+    # any-type var-length into a typed fixed hop: x -*1..2-> y -next-> d
+    out = cypher_query(
+        nodes, edges,
+        "MATCH (x)-[*1..2]->(y)-[:next]->(z) "
+        "WHERE z.id = 'd' RETURN x.id AS x, y.id AS y",
+    )
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    # y=c via next-paths a->b->c, b->c, a->c(skip); all with z=d
+    assert got == {("a", "c"), ("b", "c")}
+
+
+def test_var_length_reversed_arrow(spark):
+    nodes, edges = _chain_kg(spark)
+    out = cypher_query(
+        nodes, edges,
+        "MATCH (x)<-[:next*1..3]-(y) WHERE x.id = 'd' "
+        "RETURN y.id AS y ORDER BY y",
+    )
+    assert [r["y"] for r in out.collect()] == ["a", "b", "c"]
+
+
+def test_var_length_count_aggregation(spark):
+    nodes, edges = _chain_kg(spark)
+    out = cypher_query(
+        nodes, edges,
+        "MATCH (x)-[:next*1..3]->(y) RETURN x.id AS x, count(*) AS n "
+        "ORDER BY x",
+    )
+    assert [(r["x"], r["n"]) for r in out.collect()] == [
+        ("a", 3), ("b", 2), ("c", 1)
+    ]
+
+
+def test_var_length_guards(spark):
+    nodes, edges = _chain_kg(spark)
+    with pytest.raises(CypherError, match="bind"):
+        cypher_query(nodes, edges,
+                     "MATCH (x)-[r:next*1..2]->(y) RETURN x.id")
+    with pytest.raises(CypherError, match="out of order"):
+        cypher_query(nodes, edges,
+                     "MATCH (x)-[:next*3..2]->(y) RETURN x.id")
+    with pytest.raises(CypherError, match="> 16"):
+        cypher_query(nodes, edges,
+                     "MATCH (x)-[:next*1..30]->(y) RETURN x.id")
