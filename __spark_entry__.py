@@ -1347,6 +1347,32 @@ def q_cypher_var_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 4-round LPA assignment over the
+    customer/order/nation graph (operators/labelprop.modularity —
+    the community-quality evaluation face of label_propagation).
+    Pure-BIGINT per-community terms (q_term_num = 4·m·e_c − d_c²,
+    shared q_den = 4m²) — no division, so the oracle (the unrolled
+    LPA twin as a derived table + the same relational stats) matches
+    bit for bit."""
+    from kg_microbe_merge_spark.operators.labelprop import (
+        label_propagation,
+        modularity,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("dst"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    edges = o.unionByName(c)
+    labels = label_propagation(edges, iterations=4)
+    return modularity(edges, labels)
+
+
 def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed densest-subgraph peeling (operators/densest.py,
     Bahmani et al. 2012 — remove all nodes with deg*V <= 3*E per
@@ -4240,6 +4266,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and densest_subgraph (Bahmani greedy peeling with the BIGINT
     density protocol, operators/densest.py — module-generated
     materialized-CTE unroll twin)
+    and modularity_communities (exact-BIGINT Newman modularity of the
+    LPA assignment, operators/labelprop.modularity — unrolled-LPA
+    derived-table twin)
     and owl_entailment (OWL-lite inverseOf/symmetric/transitive via a
     signed predicate-implication lattice, operators/entailment.py —
     module-generated recursive-CTE twin) and weighted_sssp (frontier
@@ -4281,6 +4310,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_construct": q_bgp_construct,
         "cypher_var_length": q_cypher_var_length,
         "densest_subgraph": q_densest_subgraph,
+        "modularity_communities": q_modularity_communities,
         "bgp_over_entailment": q_bgp_over_entailment,
         "kg_corrupt_triples": q_kg_corrupt_triples,
         "linkpred_ranking": q_linkpred_ranking,
@@ -4984,6 +5014,48 @@ def _all_oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT c, 'type', 'Customer' FROM sol)
         SELECT DISTINCT subject, predicate, object FROM t
+    """
+
+    # modularity of the LPA assignment: the unrolled LPA twin as a
+    # derived table + the same exact-integer per-community stats
+    sql["modularity_communities"] = f"""
+        WITH lab AS MATERIALIZED (
+            SELECT * FROM ({_labelprop_sql(iterations=4)}) t),
+        e0 AS (
+            SELECT 'C' || o_custkey AS x, 'O' || o_orderkey AS y
+            FROM orders
+            UNION ALL
+            SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer),
+        g AS MATERIALIZED (
+            SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+            FROM e0 WHERE x <> y),
+        mm AS (SELECT count(*) AS m FROM g),
+        deg AS (
+            SELECT n, count(*) AS deg FROM (
+                SELECT a AS n FROM g UNION ALL SELECT b FROM g)
+            GROUP BY n),
+        degc AS (
+            SELECT coalesce(l.community, d.n) AS community,
+                   count(*) AS n_nodes, sum(deg) AS degree_sum
+            FROM deg d LEFT JOIN lab l ON d.n = l.node
+            GROUP BY 1),
+        intra AS (
+            SELECT coalesce(la.community, g.a) AS community,
+                   count(*) AS intra_edges
+            FROM g
+            LEFT JOIN lab la ON g.a = la.node
+            LEFT JOIN lab lb ON g.b = lb.node
+            WHERE coalesce(la.community, g.a) = coalesce(lb.community, g.b)
+            GROUP BY 1)
+        SELECT d.community,
+               CAST(d.n_nodes AS BIGINT) AS n_nodes,
+               CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+               CAST(d.degree_sum AS BIGINT) AS degree_sum,
+               CAST(4 * mm.m * coalesce(i.intra_edges, 0)
+                    - d.degree_sum * d.degree_sum AS BIGINT) AS q_term_num,
+               CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
+        FROM degc d LEFT JOIN intra i ON d.community = i.community
+        CROSS JOIN mm
     """
 
     # densest subgraph: module-generated twin (materialized-CTE unroll

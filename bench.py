@@ -164,6 +164,7 @@ HEADLINE = [
     "bgp_construct",
     "cypher_var_length",
     "densest_subgraph",
+    "modularity_communities",
 ]
 
 

@@ -98,3 +98,101 @@ def host_authority(
         iterations=iterations,
         damping=damping,
     ).withColumnRenamed("node", "host")
+
+
+#: whole-anchor matches for (href, text) pairs — same double-quoted
+#: subset as HREF_RE; inner text without nested tags (nested-markup
+#: anchors are edge-extraction noise, not corruption)
+ANCHOR_RE = r'<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
+
+
+def extract_anchors(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """One row per anchor: ``(src_url, href, anchor_text)``.
+
+    Whole ``<a ...>text</a>`` matches are pulled with ONE JVM-side
+    ``regexp_extract_all`` + explode, then href/text are re-extracted
+    per element row-locally — still zero Python, one codegen stage,
+    one scan (``regexp_extract_all`` returns a single group, so
+    two-field extraction needs the per-element pass).
+    """
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    a = F.explode(
+        F.regexp_extract_all(html_str, F.lit(ANCHOR_RE), F.lit(0))
+    ).alias("a")
+    return (
+        df.select(F.col(url_col).alias("src_url"), a)
+        .select(
+            "src_url",
+            F.regexp_extract(F.col("a"), r'href="([^"]*)"', 1).alias(
+                "href"
+            ),
+            F.regexp_extract(F.col("a"), r">([^<]*)</a>", 1).alias(
+                "anchor_text"
+            ),
+        )
+    )
+
+
+def anchor_alias_dict(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    min_count: int = 2,
+    min_len: int = 2,
+    max_len: int = 64,
+) -> DataFrame:
+    """Induce an entity-linking alias dictionary from anchor text —
+    the web-scale bootstrap for ``functions/linking.py``'s broadcast
+    dictionary (the CrossWikis/Wikipedia-anchor recipe: how the web
+    NAMES a page is the best surface-form inventory for linking to
+    it).
+
+    Aliases are whitespace-normalized, lowercased anchor texts of
+    length [min_len, max_len]; each (alias, target-href) pair seen at
+    least ``min_count`` times becomes a dictionary row::
+
+        (alias, entity_id, prior, n_links, alias_total)
+
+    ``prior`` is the exact-integer micro commonness
+    (1_000_000 * n + total div 2) div total — P(entity | alias) in
+    micro units, directly usable by ``resolve_alias_dictionary`` /
+    ``link_mentions`` (max-prior resolution only needs monotone
+    scores; BIGINT keeps both engines bit-identical).
+
+    Shuffle shape: one pair-count aggregation (map-side combinable —
+    the Zipf head of repeated (alias, target) anchors collapses before
+    the exchange) + one alias-partition window over the already
+    dictionary-sized counts. The html column never crosses a shuffle.
+    """
+    from pyspark.sql import Window
+
+    pairs = extract_anchors(df, html_col=html_col, url_col=url_col)
+    alias = F.lower(
+        F.regexp_replace(F.trim(F.col("anchor_text")), r"\s+", " ")
+    )
+    counts = (
+        pairs.select(alias.alias("alias"), F.col("href").alias("entity_id"))
+        .filter(
+            (F.length("alias") >= min_len) & (F.length("alias") <= max_len)
+        )
+        .groupBy("alias", "entity_id")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+        .filter(F.col("n_links") >= min_count)
+    )
+    w = Window.partitionBy("alias")
+    return counts.select(
+        "alias",
+        "entity_id",
+        "n_links",
+        F.sum("n_links").over(w).alias("alias_total"),
+    ).select(
+        "alias",
+        "entity_id",
+        F.expr(
+            "(1000000 * n_links + alias_total div 2) div alias_total"
+        ).cast("bigint").alias("prior"),
+        "n_links",
+        "alias_total",
+    )

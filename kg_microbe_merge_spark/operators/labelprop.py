@@ -111,3 +111,95 @@ def community_sizes(labels: DataFrame) -> DataFrame:
     return labels.groupBy("community").agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+def modularity(
+    edges: DataFrame,
+    assignment: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity of a community ``assignment`` over the
+    undirected simple graph — the evaluation face of
+    :func:`label_propagation` (and of CC/SCC-derived partitions):
+    score a proposed community structure before acting on it.
+
+    Q = Σ_c [ e_c/m − (d_c/(2m))² ] where m = |E| (undirected,
+    deduped, self-loops dropped), e_c = intra-community edge count and
+    d_c = the community's degree sum. Returned EXACTLY, per community,
+    as pure BIGINTs — no division anywhere, so both engines agree bit
+    for bit and the caller sums q_term_num / q_den (one shared
+    denominator 4m²) only at presentation time::
+
+        (community, n_nodes, intra_edges, degree_sum,
+         q_term_num = 4·m·e_c − d_c², q_den = 4·m²)
+
+    ``assignment`` is (node, community); edge-incident nodes missing
+    from it count as their own singleton community (coalesce to the
+    node id — the LPA initial state, so a partial assignment degrades
+    gracefully instead of silently dropping edges).
+
+    Scale: one count action for m, then a degree aggregation, two
+    id-keyed assignment joins (the merge/coverage shuffle key) and one
+    grouped count per side — all map-side combinable; nothing is ever
+    quadratic in community size.
+    """
+    g = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = g.count()
+    lab = assignment.select(
+        F.col("node").alias("n"), F.col("community").alias("c")
+    )
+    deg = (
+        g.select(F.col("a").alias("n"))
+        .unionByName(g.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    degc = (
+        deg.join(lab, "n", "left")
+        .select(F.coalesce("c", "n").alias("community"), "deg")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("degree_sum"),
+        )
+    )
+    la = lab.select(F.col("n").alias("a"), F.col("c").alias("ca"))
+    lb = lab.select(F.col("n").alias("b"), F.col("c").alias("cb"))
+    intra = (
+        g.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("ca", "a").alias("ca"),
+            F.coalesce("cb", "b").alias("cb"),
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    return (
+        degc.join(intra, "community", "left")
+        .select(
+            "community",
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.coalesce("intra_edges", F.lit(0))
+            .cast("bigint")
+            .alias("intra_edges"),
+            F.col("degree_sum").cast("bigint").alias("degree_sum"),
+            (
+                F.lit(4 * m) * F.coalesce("intra_edges", F.lit(0))
+                - F.col("degree_sum") * F.col("degree_sum")
+            )
+            .cast("bigint")
+            .alias("q_term_num"),
+            F.lit(4 * m * m).cast("bigint").alias("q_den"),
+        )
+    )

@@ -99,13 +99,21 @@ def gen_doc(seed: int, doc_id: int) -> dict:
     anchors = ""
     for _ in range(rng.randint(1, 3)):
         if rng.random() < 0.6:
-            target = f"https://hub{rng.randrange(10):02d}.example/"
+            k = rng.randrange(10)
+            target = f"https://hub{k:02d}.example/"
+            # anchor TEXT is derived from the target (no extra rng
+            # draws, so text bytes of every (seed, doc_id) stay
+            # byte-identical) — gives anchor-alias induction
+            # (functions/links.anchor_alias_dict) real surface forms
+            text = f"Hub {k:02d} Portal"
         else:
+            n = rng.randrange(10, 400)
             target = (
-                f"https://site{rng.randrange(10, 400):03d}.example/"
+                f"https://site{n:03d}.example/"
                 f"p/{rng.randrange(1 << 20)}"
             )
-        anchors += f'<a href="{target}">more</a> '
+            text = f"Site {n:03d}"
+        anchors += f'<a href="{target}">{text}</a> '
     html = (
         "<html><head><title>Doc {d}</title>"
         "<script>var x = 'boilerplate';</script>"

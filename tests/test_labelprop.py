@@ -109,3 +109,95 @@ def test_partitioning_invariance(spark):
         for r in label_propagation(df.repartition(13)).collect()
     }
     assert a == b
+
+
+# --- modularity ------------------------------------------------------
+
+
+def _mod_df(spark, edges, assignment):
+    e = spark.createDataFrame(edges, "src string, dst string")
+    a = spark.createDataFrame(assignment, "node string, community string")
+    return e, a
+
+
+def _mod_twin(edges, assignment):
+    g = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    m = len(g)
+    lab = dict(assignment)
+    deg = {}
+    for a, b in g:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out = {}
+    for n, d in deg.items():
+        c = lab.get(n, n)
+        nn, ee, dd = out.get(c, (0, 0, 0))
+        out[c] = (nn + 1, ee, dd + d)
+    for a, b in g:
+        if lab.get(a, a) == lab.get(b, b):
+            c = lab.get(a, a)
+            nn, ee, dd = out[c]
+            out[c] = (nn, ee + 1, dd)
+    return {
+        c: (nn, ee, dd, 4 * m * ee - dd * dd, 4 * m * m)
+        for c, (nn, ee, dd) in out.items()
+    }
+
+
+def test_modularity_two_cliques_bridge(spark):
+    # two triangles joined by one bridge edge, communities = triangles
+    edges = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+             ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+             ("a1", "b1")]
+    assignment = [(n, n[0]) for n in
+                  ("a1", "a2", "a3", "b1", "b2", "b3")]
+    e, a = _mod_df(spark, edges, assignment)
+    from kg_microbe_merge_spark.operators.labelprop import modularity
+    got = {
+        r["community"]: (r["n_nodes"], r["intra_edges"], r["degree_sum"],
+                         r["q_term_num"], r["q_den"])
+        for r in modularity(e, a).collect()
+    }
+    assert got == _mod_twin(edges, assignment)
+    # m=7, each side: e_c=3, d_c=7 -> 4*7*3 - 49 = 35; Q = 70/196
+    assert got["a"] == (3, 3, 7, 35, 196)
+    q = sum(v[3] for v in got.values()) / got["a"][4]
+    assert abs(q - 70 / 196) < 1e-12
+
+
+def test_modularity_singleton_fallback_and_zero_intra(spark):
+    # unassigned node u becomes its own community; assignment putting
+    # every node in a distinct community has zero intra edges
+    edges = [("x", "y"), ("y", "z"), ("z", "u")]
+    assignment = [("x", "c1"), ("y", "c2"), ("z", "c3")]
+    e, a = _mod_df(spark, edges, assignment)
+    from kg_microbe_merge_spark.operators.labelprop import modularity
+    got = {
+        r["community"]: (r["n_nodes"], r["intra_edges"], r["degree_sum"],
+                         r["q_term_num"], r["q_den"])
+        for r in modularity(e, a).collect()
+    }
+    assert got == _mod_twin(edges, assignment)
+    assert set(got) == {"c1", "c2", "c3", "u"}
+    assert all(v[1] == 0 for v in got.values())
+
+
+def test_modularity_random_twin(spark):
+    import random as _r
+
+    rng = _r.Random(3)
+    edges = sorted({(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}")
+                    for _ in range(80)})
+    assignment = [(f"n{i}", f"c{i % 4}") for i in range(30)]
+    e, a = _mod_df(spark, edges, assignment)
+    from kg_microbe_merge_spark.operators.labelprop import modularity
+    got = {
+        r["community"]: (r["n_nodes"], r["intra_edges"], r["degree_sum"],
+                         r["q_term_num"], r["q_den"])
+        for r in modularity(e, a).collect()
+    }
+    assert got == _mod_twin(edges, assignment)
+    # perfect-partition identity: Σ q_term_num/q_den == Q in [-0.5, 1]
+    q = sum(v[3] for v in got.values()) / (4 * len(
+        {tuple(sorted(p)) for p in edges if p[0] != p[1]}) ** 2)
+    assert -0.5 <= q <= 1.0

@@ -95,3 +95,87 @@ def test_anchors_never_leak_into_extracted_text(spark):
     joined = "\n".join(texts)
     assert ".example/" not in joined
     assert "href" not in joined
+
+
+# --- anchor text + alias-dictionary induction ------------------------
+
+
+def _pages(spark):
+    rows = [
+        ("u1", '<p>x</p><a href="https://acme.example/">Acme Corp</a>'
+               '<a href="https://acme.example/">ACME  corp</a>'),
+        ("u2", '<a href="https://acme.example/">acme corp</a>'
+               '<a href="https://other.example/">Acme Corp</a>'),
+        ("u3", '<a href="https://acme.example/">acme corp</a>'
+               '<a class="x" href="https://other.example/">z</a>'
+               '<a href="https://other.example/"></a>'),
+        ("u4", "<p>no anchors here</p>"),
+    ]
+    return spark.createDataFrame(
+        [(u, h.encode()) for u, h in rows], "url string, html binary"
+    )
+
+
+def test_extract_anchors_href_and_text(spark):
+    from kg_microbe_merge_spark.functions.links import extract_anchors
+
+    got = {
+        (r["src_url"], r["href"], r["anchor_text"])
+        for r in extract_anchors(_pages(spark)).collect()
+    }
+    assert ("u1", "https://acme.example/", "Acme Corp") in got
+    assert ("u3", "https://other.example/", "z") in got
+    assert ("u3", "https://other.example/", "") in got
+    assert not any(u == "u4" for u, _, _ in got)
+    assert len(got) == 7
+
+
+def test_anchor_alias_dict_counts_and_prior(spark):
+    from kg_microbe_merge_spark.functions.links import anchor_alias_dict
+
+    out = anchor_alias_dict(_pages(spark), min_count=1).collect()
+    rows = {(r["alias"], r["entity_id"]):
+            (r["prior"], r["n_links"], r["alias_total"]) for r in out}
+    # "acme corp" (5× after normalization): 4× acme.example, 1× other
+    assert rows[("acme corp", "https://acme.example/")] == (800_000, 4, 5)
+    assert rows[("acme corp", "https://other.example/")] == (200_000, 1, 5)
+    # 1-char alias "z" and empty text filtered by min_len
+    assert not any(a == "z" or a == "" for a, _ in rows)
+    # min_count=2 keeps only the dominant pair
+    out2 = anchor_alias_dict(_pages(spark), min_count=2).collect()
+    assert [(r["alias"], r["entity_id"], r["prior"]) for r in out2] == [
+        ("acme corp", "https://acme.example/", 1_000_000)
+    ]
+
+
+def test_alias_dict_feeds_link_mentions(spark):
+    from kg_microbe_merge_spark.functions.linking import link_mentions
+    from kg_microbe_merge_spark.functions.links import anchor_alias_dict
+
+    aliases = anchor_alias_dict(_pages(spark), min_count=1)
+    triples = spark.createDataFrame(
+        [("acme corp", "makes", "widgets")],
+        "subj string, pred string, obj string",
+    )
+    out = link_mentions(triples, aliases).collect()
+    assert len(out) == 1
+    # ambiguous alias resolves to max-prior entity (the 800k one); the
+    # linked id replaces the surface form in place
+    assert out[0]["subj"] == "https://acme.example/"
+    assert out[0]["subj_score"] == 800_000
+    assert out[0]["obj"] == "surface:widgets"
+
+
+def test_corpus_anchor_aliases_point_at_their_hosts(spark):
+    from kg_microbe_merge_spark.functions.links import anchor_alias_dict
+    from kg_microbe_merge_spark.sources.corpus import generate_corpus
+
+    d = anchor_alias_dict(generate_corpus(spark, 300, seed=42),
+                          min_count=2).collect()
+    assert d
+    for r in d:
+        # "hub 03 portal" → hub03.example; "site 123" → site123.example
+        host_digits = "".join(ch for ch in r["entity_id"] if ch.isdigit())
+        alias_digits = "".join(ch for ch in r["alias"] if ch.isdigit())
+        assert alias_digits == host_digits
+        assert r["prior"] == 1_000_000  # derived text is unambiguous
