@@ -2940,15 +2940,9 @@ def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, key="id")
 
 
-def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic DeepWalk-style random walks (operators/walks.py)
-    over the symmetrized customer–order–nation–region–supplier KG:
-    rank-join formulation — every step is two 1:1 hash joins per live
-    walk (degree lookup, then (src, rnk) equi-join), hub adjacency
-    never multiplies rows. Oracle: the same ranked relation + portable
-    hash unrolled as chained CTEs."""
-    from kg_microbe_merge_spark.operators.walks import random_walks
-
+def _walk_graph(spark: SparkSession, sf_dir: str):
+    """Symmetrized customer–order–nation–region–supplier KG + start set
+    shared by the walk-family gate queries."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     supplier = _t(spark, sf_dir, "supplier")
@@ -2987,7 +2981,34 @@ def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("C"), F.col("c_custkey")).alias("id")
         )
     )
+    return edges, starts
+
+
+def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style random walks (operators/walks.py)
+    over the symmetrized customer–order–nation–region–supplier KG:
+    rank-join formulation — every step is two 1:1 hash joins per live
+    walk (degree lookup, then (src, rnk) equi-join), hub adjacency
+    never multiplies rows. Oracle: the same ranked relation + portable
+    hash unrolled as chained CTEs."""
+    from kg_microbe_merge_spark.operators.walks import random_walks
+
+    edges, starts = _walk_graph(spark, sf_dir)
     return random_walks(edges, starts, steps=4)
+
+
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order node2vec-biased walks
+    (operators/walks.node2vec_walks) over the same symmetrized KG:
+    deterministic rejection sampling (KnightKing formulation) — per
+    round two 1:1 rank-joins + one (prev, cand) edge-membership left
+    join, integer micro bias weights, last-round uniform fallback.
+    Oracle GENERATED by the module: steps × rounds unrolled as chained
+    CTEs with identical hash draws and CASE weight order."""
+    from kg_microbe_merge_spark.operators.walks import node2vec_walks
+
+    edges, starts = _walk_graph(spark, sf_dir)
+    return node2vec_walks(edges, starts, steps=3)
 
 
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4269,6 +4290,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and modularity_communities (exact-BIGINT Newman modularity of the
     LPA assignment, operators/labelprop.modularity — unrolled-LPA
     derived-table twin)
+    and node2vec_walks (second-order biased walks via deterministic
+    rejection sampling, operators/walks.node2vec_walks —
+    module-generated steps×rounds unrolled twin)
     and owl_entailment (OWL-lite inverseOf/symmetric/transitive via a
     signed predicate-implication lattice, operators/entailment.py —
     module-generated recursive-CTE twin) and weighted_sssp (frontier
@@ -4311,6 +4335,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cypher_var_length": q_cypher_var_length,
         "densest_subgraph": q_densest_subgraph,
         "modularity_communities": q_modularity_communities,
+        "node2vec_walks": q_node2vec_walks,
         "bgp_over_entailment": q_bgp_over_entailment,
         "kg_corrupt_triples": q_kg_corrupt_triples,
         "linkpred_ranking": q_linkpred_ranking,
@@ -6364,6 +6389,12 @@ def _all_oracle_sql() -> dict[str, str]:
 
     sql["kg_random_walks"] = random_walks_sql(
         _walk_edges_sql, _walk_starts_sql, steps=4
+    )
+
+    from kg_microbe_merge_spark.operators.walks import node2vec_walks_sql
+
+    sql["node2vec_walks"] = node2vec_walks_sql(
+        _walk_edges_sql, _walk_starts_sql, steps=3
     )
 
     sql["skipgram_pairs"] = f"""

@@ -165,6 +165,7 @@ HEADLINE = [
     "cypher_var_length",
     "densest_subgraph",
     "modularity_communities",
+    "node2vec_walks",
 ]
 
 

@@ -227,3 +227,259 @@ def walks_py(edges: list[tuple], starts: list, steps: int = 3, seed: str = "walk
             node = nbrs[r]
             rows.append((str(start), t, node))
     return rows
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int = 3,
+    w_return: int = 250_000,
+    w_near: int = 1_000_000,
+    w_far: int = 500_000,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    start_col: str = "id",
+    seed: str = "n2v",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Second-order (node2vec) biased walks by deterministic rejection
+    sampling — the KnightKing formulation, which keeps every step two
+    1:1 joins per live walk (skew-proof) instead of materializing
+    per-edge alias tables (O(E·avg_deg) state, hopeless at 10^12
+    edges).
+
+    Bias weights are node2vec's α with integer micro weights (no
+    floats, cross-engine exact): stepping from ``cur`` (having arrived
+    from ``prev``), a uniformly ranked candidate ``x`` carries
+
+    * ``w_return`` if ``x == prev``            (α = 1/p),
+    * ``w_near``   if ``(prev, x)`` is an edge (α = 1),
+    * ``w_far``    otherwise                   (α = 1/q),
+
+    and is ACCEPTED iff ``hash(walk:t:r:acc) % w_max < w``. Up to
+    ``rounds`` rejection rounds run per step; walks still undecided
+    after the last round take that round's candidate (a small uniform
+    admixture of ≤ (1 − E[w]/w_max)^rounds per step — the documented,
+    deterministic truncation of the unbounded rejection loop; with
+    default weights and rounds=3 it is ≈2%% of steps). The first step
+    has no ``prev`` and is uniform, per the node2vec definition.
+
+    Cost: each round is the two rank-join lookups of
+    :func:`random_walks` plus ONE (prev, x) edge-membership left join
+    — all 1:1-bounded per pending walk, and the pending set shrinks
+    geometrically across rounds.
+
+    Returns (walk_id, step, node) like :func:`random_walks`.
+    """
+    if not (w_return > 0 and w_near > 0 and w_far > 0):
+        raise ValueError("bias weights must be positive")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    w_max = max(w_return, w_near, w_far)
+    re_df = ranked_edges(edges, src=src, dst=dst, max_degree=max_degree)
+    re_df = re_df.persist()
+    deg_df = re_df.select("src", "deg").distinct().persist()
+    # (a, b) membership relation for the distance-1 test — the FULL
+    # edge set (not degree-capped): bias classification is about the
+    # real graph even when sampling caps hub adjacency
+    e_set = (
+        edges.select(F.col(src).alias("_ms"), F.col(dst).alias("_md"))
+        .distinct()
+        .withColumn("_is_near", F.lit(True))
+        .persist()
+    )
+
+    pos = starts.select(
+        F.col(start_col).cast("string").alias("walk_id"),
+        F.col(start_col).cast("string").alias("node"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+    out = pos.select("walk_id", F.lit(0).alias("step"), "node")
+    out = out.localCheckpoint(eager=True)
+    for t in range(1, steps + 1):
+        pending = pos
+        nxt = None
+        for r in range(1, rounds + 1):
+            step_hash = hash60(
+                F.concat_ws(
+                    ":", F.col("walk_id"), F.lit(str(t)), F.lit(str(r)),
+                    F.lit(seed),
+                )
+            )
+            cand = (
+                pending.join(deg_df, pending["node"] == deg_df["src"])
+                .select(
+                    "walk_id", "node", "prev",
+                    ((step_hash % F.col("deg")) + 1).alias("_r"),
+                )
+            )
+            cand = cand.join(
+                re_df,
+                (cand["node"] == re_df["src"]) & (cand["_r"] == re_df["rnk"]),
+            ).select(
+                "walk_id", "prev", F.col("node").alias("_cur"),
+                F.col("dst").alias("cand"),
+            )
+            cand = cand.join(
+                e_set,
+                (cand["prev"] == e_set["_ms"]) & (cand["cand"] == e_set["_md"]),
+                "left",
+            ).select(
+                "walk_id", "prev", "_cur", "cand",
+                F.when(F.col("prev").isNull(), F.lit(w_max))  # first step
+                .when(F.col("cand") == F.col("prev"), F.lit(w_return))
+                .when(F.col("_is_near"), F.lit(w_near))
+                .otherwise(F.lit(w_far))
+                .alias("_w"),
+            )
+            acc_hash = hash60(
+                F.concat_ws(
+                    ":", F.col("walk_id"), F.lit(str(t)), F.lit(str(r)),
+                    F.lit("acc"), F.lit(seed),
+                )
+            )
+            accept = (acc_hash % F.lit(w_max)) < F.col("_w")
+            take = F.lit(r == rounds) | accept
+            step_rows = (
+                cand.filter(take)
+                .select(
+                    "walk_id",
+                    F.col("_cur").alias("prev"),
+                    F.col("cand").alias("node"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            nxt = step_rows if nxt is None else nxt.unionByName(step_rows)
+            if r < rounds:
+                pending = (
+                    cand.filter(~take)
+                    .select("walk_id", F.col("_cur").alias("node"), "prev")
+                    .localCheckpoint(eager=True)
+                )
+        pos = nxt.select("walk_id", "node", "prev").localCheckpoint(
+            eager=True
+        )
+        out = out.unionByName(
+            pos.select("walk_id", F.lit(t).alias("step"), "node")
+        ).localCheckpoint(eager=True)
+    re_df.unpersist()
+    deg_df.unpersist()
+    e_set.unpersist()
+    return out.select("walk_id", F.col("step").cast("int"), "node")
+
+
+def node2vec_walks_py(
+    edges: list[tuple],
+    starts: list,
+    steps: int = 3,
+    w_return: int = 250_000,
+    w_near: int = 1_000_000,
+    w_far: int = 500_000,
+    rounds: int = 3,
+    seed: str = "n2v",
+):
+    """Python twin of :func:`node2vec_walks` (tests + oracle sanity):
+    identical ranked-neighbor order, hash draws, rejection protocol and
+    last-round fallback."""
+    from kg_microbe_merge_spark.functions.hashing import hash60_py
+
+    w_max = max(w_return, w_near, w_far)
+    eset = set(edges)
+    adj: dict = {}
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+    rows = []
+    for start in starts:
+        node, prev = str(start), None
+        rows.append((node, 0, node))
+        for t in range(1, steps + 1):
+            nbrs = adj.get(node)
+            if not nbrs:
+                break
+            chosen = None
+            for r in range(1, rounds + 1):
+                c = nbrs[hash60_py(f"{start}:{t}:{r}:{seed}") % len(nbrs)]
+                if prev is None:
+                    w = w_max
+                elif c == prev:
+                    w = w_return
+                elif (prev, c) in eset:
+                    w = w_near
+                else:
+                    w = w_far
+                acc = hash60_py(f"{start}:{t}:{r}:acc:{seed}") % w_max < w
+                if acc or r == rounds:
+                    chosen = c
+                    break
+            prev, node = node, chosen
+            rows.append((str(start), t, node))
+    return rows
+
+
+def node2vec_walks_sql(
+    edges_sql: str,
+    starts_sql: str,
+    steps: int = 3,
+    w_return: int = 250_000,
+    w_near: int = 1_000_000,
+    w_far: int = 500_000,
+    rounds: int = 3,
+    seed: str = "n2v",
+) -> str:
+    """DuckDB twin of :func:`node2vec_walks` (no max_degree): steps ×
+    rejection rounds unrolled as chained CTEs — identical ranked
+    relation, hash draws, CASE weight order and last-round fallback."""
+    from kg_microbe_merge_spark.functions.hashing import hash60_sql
+
+    w_max = max(w_return, w_near, w_far)
+    ctes = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "ranked AS (SELECT src, dst, row_number() OVER "
+        "(PARTITION BY src ORDER BY dst) AS rnk FROM e)",
+        "deg AS (SELECT src, max(rnk) AS deg FROM ranked GROUP BY src)",
+        f"p0_0 AS (SELECT CAST(id AS VARCHAR) AS walk_id, "
+        f"CAST(id AS VARCHAR) AS node, CAST(NULL AS VARCHAR) AS prev "
+        f"FROM ({starts_sql}))",
+    ]
+    unions = ["SELECT walk_id, 0 AS step, node FROM p0_0"]
+    prev_cte = "p0_0"
+    for t in range(1, steps + 1):
+        acc_parts = []
+        pend = prev_cte
+        for r in range(1, rounds + 1):
+            draw = hash60_sql(f"p.walk_id || ':{t}:{r}:{seed}'")
+            ctes.append(
+                f"c{t}_{r} AS (SELECT p.walk_id, p.prev, "
+                f"p.node AS cur, ranked.dst AS cand, "
+                f"CASE WHEN p.prev IS NULL THEN {w_max} "
+                f"WHEN ranked.dst = p.prev THEN {w_return} "
+                f"WHEN m.src IS NOT NULL THEN {w_near} "
+                f"ELSE {w_far} END AS w "
+                f"FROM {pend} p "
+                f"JOIN deg ON deg.src = p.node "
+                f"JOIN ranked ON ranked.src = p.node "
+                f"AND ranked.rnk = ({draw} % deg.deg) + 1 "
+                f"LEFT JOIN e m ON m.src = p.prev AND m.dst = ranked.dst)"
+            )
+            acc = hash60_sql(f"walk_id || ':{t}:{r}:acc:{seed}'")
+            cond = "TRUE" if r == rounds else f"{acc} % {w_max} < w"
+            ctes.append(
+                f"a{t}_{r} AS (SELECT walk_id, cur AS prev, cand AS node "
+                f"FROM c{t}_{r} WHERE {cond})"
+            )
+            acc_parts.append(f"SELECT walk_id, node, prev FROM a{t}_{r}")
+            if r < rounds:
+                ctes.append(
+                    f"p{t}_{r} AS (SELECT walk_id, cur AS node, prev "
+                    f"FROM c{t}_{r} WHERE NOT ({acc} % {w_max} < w))"
+                )
+                pend = f"p{t}_{r}"
+        ctes.append(f"w{t} AS ({' UNION ALL '.join(acc_parts)})")
+        unions.append(f"SELECT walk_id, {t} AS step, node FROM w{t}")
+        prev_cte = f"w{t}"
+    body = "\n        UNION ALL ".join(unions)
+    return (
+        "WITH " + ",\n        ".join(ctes) + "\n        SELECT walk_id, "
+        "CAST(step AS INTEGER) AS step, node FROM (" + body + ")"
+    )

@@ -185,3 +185,121 @@ def test_walk_row_counts_bounded_by_walks_not_degree(spark):
         for r in out.groupBy("step").count().withColumnRenamed("count", "c").collect()
     }
     assert per_step == {t: 1 for t in range(8)}
+
+
+# --- node2vec biased walks ------------------------------------------
+
+
+def test_node2vec_matches_python_twin(spark):
+    import random as _r
+
+    from kg_microbe_merge_spark.operators.walks import (
+        node2vec_walks,
+        node2vec_walks_py,
+    )
+
+    rng = _r.Random(13)
+    edges = sorted({(f"n{rng.randrange(25)}", f"n{rng.randrange(25)}")
+                    for _ in range(90)})
+    edges = [e for e in edges if e[0] != e[1]]
+    starts = [f"n{i}" for i in range(25)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([(x,) for x in starts], "id string")
+    got = {(r["walk_id"], r["step"], r["node"])
+           for r in node2vec_walks(e, s, steps=4).collect()}
+    want = set(node2vec_walks_py(edges, starts, steps=4))
+    assert got == want and got
+
+
+def test_node2vec_matches_duckdb_twin(spark):
+    import random as _r
+
+    import duckdb
+
+    from kg_microbe_merge_spark.operators.walks import (
+        node2vec_walks,
+        node2vec_walks_sql,
+    )
+
+    rng = _r.Random(5)
+    edges = sorted({(f"n{rng.randrange(15)}", f"n{rng.randrange(15)}")
+                    for _ in range(50)})
+    edges = [e for e in edges if e[0] != e[1]]
+    starts = [f"n{i}" for i in range(15)]
+    evals = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    svals = ", ".join(f"('{x}')" for x in starts)
+    sql = node2vec_walks_sql(
+        f"SELECT a AS src, b AS dst FROM (VALUES {evals}) t(a, b)",
+        f"SELECT x AS id FROM (VALUES {svals}) s(x)",
+        steps=3,
+    )
+    want = set(map(tuple, duckdb.sql(sql).fetchall()))
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([(x,) for x in starts], "id string")
+    got = {(r["walk_id"], r["step"], r["node"])
+           for r in node2vec_walks(e, s, steps=3).collect()}
+    assert got == want and got
+
+
+def test_node2vec_first_step_uniform_equals_deepwalk_shape(spark):
+    # prev is NULL on step 1 → weight w_max → always accepted in round
+    # 1, i.e. candidate = uniform draw with the round-1 salt
+    from kg_microbe_merge_spark.operators.walks import (
+        node2vec_walks,
+        node2vec_walks_py,
+    )
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([("a",)], "id string")
+    got = sorted(
+        (r["step"], r["node"])
+        for r in node2vec_walks(e, s, steps=1).collect()
+    )
+    want = sorted((st, n) for _, st, n in
+                  node2vec_walks_py(edges, ["a"], steps=1))
+    assert got == want
+    assert len(got) == 2  # start + one uniform step
+
+
+def test_node2vec_bias_prefers_near_over_far(spark):
+    # controlled second-order transition: walks funnel w_j -> a -> b;
+    # from b with prev=a the candidates are exactly a (return),
+    # c (near: (a,c) is an edge) and d (far). With w_near dominant and
+    # enough rejection rounds nearly every walk picks c; the uniform
+    # parameterization picks c ~1/3 of the time.
+    from kg_microbe_merge_spark.operators.walks import node2vec_walks_py
+
+    base = [("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("b", "d")]
+    starts = [f"w{j}" for j in range(120)]
+    edges = base + [(s, "a") for s in starts]
+
+    def c_frac(rows):
+        by_walk = {}
+        for w, st, n in rows:
+            by_walk.setdefault(w, {})[st] = n
+        picked = [wk[3] for wk in by_walk.values()
+                  if wk.get(2) == "b" and 3 in wk]
+        assert picked
+        return sum(n == "c" for n in picked) / len(picked)
+
+    biased_rows = node2vec_walks_py(
+        edges, starts, steps=3, w_return=1_000, w_near=1_000_000,
+        w_far=1_000, rounds=8)
+    uniform_rows = node2vec_walks_py(
+        edges, starts, steps=3, w_return=1_000_000,
+        w_near=1_000_000, w_far=1_000_000, rounds=1)
+    assert c_frac(biased_rows) > 0.85
+    assert c_frac(uniform_rows) < 0.6
+
+
+def test_node2vec_guards(spark):
+    from kg_microbe_merge_spark.operators.walks import node2vec_walks
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    s = spark.createDataFrame([("a",)], "id string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="positive"):
+        node2vec_walks(e, s, w_far=0)
+    with _pt.raises(ValueError, match="rounds"):
+        node2vec_walks(e, s, rounds=0)
