@@ -166,21 +166,47 @@ def anchor_alias_dict(
     the exchange) + one alias-partition window over the already
     dictionary-sized counts. The html column never crosses a shuffle.
     """
-    from pyspark.sql import Window
+    counts = anchor_pair_counts(
+        df, html_col=html_col, url_col=url_col,
+        min_len=min_len, max_len=max_len,
+    )
+    return finalize_alias_dict(counts, min_count=min_count)
 
+
+def anchor_pair_counts(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    min_len: int = 2,
+    max_len: int = 64,
+) -> DataFrame:
+    """The mergeable half of :func:`anchor_alias_dict`:
+    ``(alias, entity_id, n_links)`` pair counts with no min_count /
+    prior applied. Counts are SUM-mergeable across crawl slices, which
+    is what lets ``streaming/maintain.fold_alias_batch`` maintain the
+    dictionary continuously — union + groupBy-sum of two slices'
+    counts equals the counts of the union."""
     pairs = extract_anchors(df, html_col=html_col, url_col=url_col)
     alias = F.lower(
         F.regexp_replace(F.trim(F.col("anchor_text")), r"\s+", " ")
     )
-    counts = (
+    return (
         pairs.select(alias.alias("alias"), F.col("href").alias("entity_id"))
         .filter(
             (F.length("alias") >= min_len) & (F.length("alias") <= max_len)
         )
         .groupBy("alias", "entity_id")
         .agg(F.count(F.lit(1)).alias("n_links"))
-        .filter(F.col("n_links") >= min_count)
     )
+
+
+def finalize_alias_dict(counts: DataFrame, min_count: int = 2) -> DataFrame:
+    """Presentation half: min_count gate + alias totals + the
+    exact-integer micro prior over a pair-count relation (from
+    :func:`anchor_pair_counts` or the streaming snapshot store)."""
+    from pyspark.sql import Window
+
+    counts = counts.filter(F.col("n_links") >= min_count)
     w = Window.partitionBy("alias")
     return counts.select(
         "alias",

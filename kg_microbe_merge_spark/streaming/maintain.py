@@ -36,6 +36,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..operators.merge import edges_merge_provenance
@@ -666,6 +667,105 @@ def run_entailment_stream(
     def _fold(batch: DataFrame, epoch_id: int) -> None:
         fold_entailment_batch(
             spark, batch, snapshot_dir, tbox, keep_versions=keep_versions
+        )
+
+    writer = (
+        deltas.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def fold_alias_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    alias_dir: str,
+    epoch_id: int,
+    html_col: str = "html",
+    url_col: str = "url",
+    min_len: int = 2,
+    max_len: int = 64,
+) -> None:
+    """Fold one crawl micro-batch into the published anchor-alias
+    pair-count snapshot (the continuously maintained entity-linking
+    dictionary — ``functions/links.anchor_pair_counts`` is the
+    mergeable state, ``finalize_alias_dict`` the read path).
+
+    Counts merge by union + groupBy-SUM, which is exact but not
+    idempotent, so replays of an already-applied epoch are skipped via
+    the epoch ledger riding the version marker (the Count-Min
+    precedent). Normalization bounds travel in the sidecar; folds with
+    different bounds refuse — a dictionary mixing normalization rules
+    is silently wrong."""
+    from ..functions.links import anchor_pair_counts
+
+    params = {
+        "store": "alias_counts", "min_len": min_len, "max_len": max_len,
+    }
+    stored = _read_meta(alias_dir)
+    _check_params(stored, params, "alias dictionary")
+    last = stored.get("epoch") if stored else None
+    if last is not None and epoch_id <= last:
+        return
+    if not batch.take(1):
+        return
+    counts = anchor_pair_counts(
+        batch, html_col=html_col, url_col=url_col,
+        min_len=min_len, max_len=max_len,
+    )
+    cur = read_snapshot(spark, alias_dir)
+    if cur is not None:
+        counts = (
+            cur.unionByName(counts)
+            .groupBy("alias", "entity_id")
+            .agg(F.sum("n_links").alias("n_links"))
+        )
+    _publish(
+        counts, alias_dir,
+        marker=_meta_marker({**params, "epoch": epoch_id}),
+    )
+
+
+def read_alias_dict(
+    spark: SparkSession, alias_dir: str, min_count: int = 2
+) -> DataFrame | None:
+    """Current alias dictionary from the maintained pair-count
+    snapshot: min_count + totals + micro priors, ready for
+    ``functions/linking.link_mentions``."""
+    from ..functions.links import finalize_alias_dict
+
+    cur = read_snapshot(spark, alias_dir)
+    return None if cur is None else finalize_alias_dict(cur, min_count)
+
+
+def run_alias_stream(
+    spark: SparkSession,
+    delta_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    alias_dir: str,
+    html_col: str = "html",
+    url_col: str = "url",
+    min_len: int = 2,
+    max_len: int = 64,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain the anchor-alias dictionary over an append-only crawl
+    delta stream (file source standing in for Iceberg/queue, like
+    :func:`run_kg_maintenance_stream`)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    deltas = reader.parquet(delta_dir)
+
+    def _fold(batch: DataFrame, epoch_id: int) -> None:
+        fold_alias_batch(
+            spark, batch, alias_dir, epoch_id,
+            html_col=html_col, url_col=url_col,
+            min_len=min_len, max_len=max_len,
         )
 
     writer = (
