@@ -629,3 +629,63 @@ def bgp_ask(
         union=union, values=values,
     )
     return len(out.limit(1).collect()) > 0
+
+
+def bgp_describe(
+    edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    describe: list[str],
+    filters: list[str] | None = None,
+    optional: list[list[tuple[str, str, str]]] | None = None,
+    union: list[list[tuple[str, str, str]]] | None = None,
+    values: dict[str, list] | None = None,
+) -> DataFrame:
+    """SPARQL ``DESCRIBE``: the subgraph incident to the resources a
+    variable (or constant IRI) binds to — every triple whose subject
+    OR object is a described resource, as a distinct ``(subject,
+    predicate, object)`` graph (the W3C leaves DESCRIBE's form to the
+    implementation; this engine uses the common "all incident
+    triples" form).
+
+    ``describe`` entries are ``?var`` names (resolved against the
+    solution multiset) or plain IRIs (described directly, no patterns
+    consulted — SPARQL allows ``DESCRIBE <iri>`` with no WHERE).
+
+    Scale: the resource set distills to a distinct id relation
+    (dictionary-sized next to the graph) and the incident-triple
+    fetch is two semi joins on the subject/object keys — the edge
+    scan stays pushed-filter/bucket-join friendly, nothing quadratic.
+    """
+    if not describe:
+        raise ValueError("DESCRIBE needs at least one term")
+    vars_, iris = [], []
+    for term in describe:
+        (vars_ if _is_var(term) else iris).append(term)
+    res: DataFrame | None = None
+    if vars_:
+        out, var_order = _solutions(
+            edges, patterns, filters=filters, optional=optional,
+            union=union, values=values,
+        )
+        for v in vars_:
+            name = v[1:]
+            if name not in var_order:
+                raise ValueError(f"DESCRIBE variable {v!r} is not bound")
+            t = out.select(F.col(f"_v_{name}").alias("r"))
+            res = t if res is None else res.unionByName(t)
+    if iris:
+        spark = edges.sparkSession
+        t = spark.createDataFrame([(i,) for i in iris], "r string")
+        res = t if res is None else res.unionByName(t)
+    res = res.filter(F.col("r").isNotNull()).distinct()
+    subj = edges.join(
+        res.select(F.col("r").alias("subject")), "subject", "left_semi"
+    )
+    obj = edges.join(
+        res.select(F.col("r").alias("object")), "object", "left_semi"
+    )
+    return (
+        subj.unionByName(obj)
+        .select("subject", "predicate", "object")
+        .distinct()
+    )

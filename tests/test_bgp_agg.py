@@ -196,3 +196,36 @@ def test_ask(spark):
     assert not bgp_ask(g, [("?c", "owns", "?o"), ("?c", "in", "n2")])
     assert bgp_ask(g, [("?c", "in", "?n")], filters=["?n = 'n2'"])
     assert not bgp_ask(g, [("?c", "in", "?n")], filters=["?n = 'n9'"])
+
+
+def test_describe_variable_and_iri(spark):
+    from kg_microbe_merge_spark.plans.bgp import bgp_describe
+
+    g = _graph(spark)
+    # describe the nation every order-owning customer lives in
+    out = bgp_describe(
+        g,
+        [("?c", "owns", "?o"), ("?c", "in", "?n")],
+        describe=["?n"],
+    )
+    got = {(r["subject"], r["predicate"], r["object"])
+           for r in out.collect()}
+    # n1 is incident to exactly the two 'in' edges of c1/c2
+    assert got == {("c1", "in", "n1"), ("c2", "in", "n1")}
+
+    # DESCRIBE <iri> with no variable resolution
+    out2 = bgp_describe(g, [("?c", "in", "?n")], describe=["c1"])
+    got2 = {(r["subject"], r["predicate"], r["object"])
+            for r in out2.collect()}
+    assert got2 == {("c1", "in", "n1"), ("c1", "owns", "o1"),
+                    ("c1", "owns", "o2")}
+
+
+def test_describe_guards(spark):
+    from kg_microbe_merge_spark.plans.bgp import bgp_describe
+
+    g = _graph(spark)
+    with pytest.raises(ValueError, match="at least one"):
+        bgp_describe(g, [("?c", "in", "?n")], describe=[])
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_describe(g, [("?c", "in", "?n")], describe=["?zz"])
