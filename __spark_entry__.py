@@ -1373,6 +1373,29 @@ def q_modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(edges, labels)
 
 
+def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy graph coloring by iterated Luby MIS
+    (operators/coloring.py): partition the customer/supplier–nation
+    conflict graph into conflict-free concurrency batches (color
+    classes). Deterministic hash priorities; oracle GENERATED by the
+    module (color rounds × MIS rounds unrolled as materialized CTEs);
+    depth pinned ≤ (6 colors, 12 MIS rounds) in test_coloring."""
+    from kg_microbe_merge_spark.operators.coloring import greedy_coloring
+
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    edges = customer.select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("subject"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("object"),
+    ).unionByName(
+        supplier.select(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("subject"),
+            F.concat(F.lit("N"), F.col("s_nationkey")).alias("object"),
+        )
+    )
+    return greedy_coloring(edges, max_colors=6, mis_rounds=12)
+
+
 def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed densest-subgraph peeling (operators/densest.py,
     Bahmani et al. 2012 — remove all nodes with deg*V <= 3*E per
@@ -4293,6 +4316,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and node2vec_walks (second-order biased walks via deterministic
     rejection sampling, operators/walks.node2vec_walks —
     module-generated steps×rounds unrolled twin)
+    and graph_coloring (iterated-Luby-MIS conflict-free concurrency
+    batches, operators/coloring.py — module-generated colors×rounds
+    unrolled twin)
     and owl_entailment (OWL-lite inverseOf/symmetric/transitive via a
     signed predicate-implication lattice, operators/entailment.py —
     module-generated recursive-CTE twin) and weighted_sssp (frontier
@@ -4336,6 +4362,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": q_densest_subgraph,
         "modularity_communities": q_modularity_communities,
         "node2vec_walks": q_node2vec_walks,
+        "graph_coloring": q_graph_coloring,
         "bgp_over_entailment": q_bgp_over_entailment,
         "kg_corrupt_triples": q_kg_corrupt_triples,
         "linkpred_ranking": q_linkpred_ranking,
@@ -5040,6 +5067,19 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT c, 'type', 'Customer' FROM sol)
         SELECT DISTINCT subject, predicate, object FROM t
     """
+
+    # iterated-MIS greedy coloring: module-generated twin (color
+    # rounds × MIS rounds unrolled; depth pinned in test_coloring)
+    from kg_microbe_merge_spark.operators.coloring import coloring_sql
+
+    sql["graph_coloring"] = coloring_sql(
+        "SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst "
+        "FROM customer "
+        "UNION ALL "
+        "SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier",
+        colors=6,
+        mis_rounds=12,
+    )
 
     # modularity of the LPA assignment: the unrolled LPA twin as a
     # derived table + the same exact-integer per-community stats

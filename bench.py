@@ -166,6 +166,7 @@ HEADLINE = [
     "densest_subgraph",
     "modularity_communities",
     "node2vec_walks",
+    "graph_coloring",
 ]
 
 
