@@ -2699,6 +2699,32 @@ def q_schema_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_summary(nodes, edges)
 
 
+def q_mine_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/range expectation MINING
+    (operators/validate.mine_expectations): distill the
+    schema_summary type graph into the (predicate, subject_category,
+    object_category) expectations table kg_validation enforces —
+    per-predicate majority categories with exact-integer micro
+    confidences, deterministic (count DESC, category ASC) tie-break,
+    Unknown majorities dropped. Oracle: the schema_summary twin as
+    input to the module-generated mining twin."""
+    from kg_microbe_merge_spark.operators.stats import schema_summary
+    from kg_microbe_merge_spark.operators.validate import mine_expectations
+
+    nodes = nodes_merge(_kgx_nodes_from_lineitem(spark, sf_dir), ["R"])
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("L:"), F.col("o_orderkey")).alias("subject"),
+        F.concat(F.lit("rel:"), F.col("o_orderstatus")).alias("predicate"),
+        F.concat(F.lit("L:"), F.col("o_orderkey") + 32).alias("object"),
+    )
+    return mine_expectations(
+        schema_summary(nodes, edges),
+        min_support=5,
+        min_confidence_micro=250_000,
+    )
+
+
 def q_er_fs_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi–Sunter ER scoring (operators/er_scoring.py): smoothed
     per-feature m/u rates from ONE global aggregation over a labeled
@@ -4319,6 +4345,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and graph_coloring (iterated-Luby-MIS conflict-free concurrency
     batches, operators/coloring.py — module-generated colors×rounds
     unrolled twin)
+    and mine_expectations (domain/range expectation mining from the
+    schema_summary type graph, operators/validate.mine_expectations —
+    schema-summary twin feeding the module-generated mining twin)
     and owl_entailment (OWL-lite inverseOf/symmetric/transitive via a
     signed predicate-implication lattice, operators/entailment.py —
     module-generated recursive-CTE twin) and weighted_sssp (frontier
@@ -4363,6 +4392,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_communities": q_modularity_communities,
         "node2vec_walks": q_node2vec_walks,
         "graph_coloring": q_graph_coloring,
+        "mine_expectations": q_mine_expectations,
         "bgp_over_entailment": q_bgp_over_entailment,
         "kg_corrupt_triples": q_kg_corrupt_triples,
         "linkpred_ranking": q_linkpred_ranking,
@@ -6801,6 +6831,27 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM orders)
         {schema_summary_sql('n', 'e')}
     """
+
+    # expectation mining: schema_summary twin feeding the
+    # module-generated mining twin (identical tie-break + micro rule)
+    from kg_microbe_merge_spark.operators.validate import (
+        mine_expectations_sql,
+    )
+
+    sql["mine_expectations"] = mine_expectations_sql(
+        f"""
+        SELECT * FROM (
+        WITH n AS ({_A3_SQL}),
+        e AS (
+            SELECT 'L:' || o_orderkey AS subject,
+                   'rel:' || o_orderstatus AS predicate,
+                   'L:' || (o_orderkey + 32) AS object
+            FROM orders)
+        {schema_summary_sql('n', 'e')})
+        """,
+        min_support=5,
+        min_confidence_micro=250_000,
+    )
 
     # Fellegi-Sunter ER scoring: module-generated end-to-end twin
     from kg_microbe_merge_spark.operators.er_scoring import fs_sql

@@ -167,6 +167,7 @@ HEADLINE = [
     "modularity_communities",
     "node2vec_walks",
     "graph_coloring",
+    "mine_expectations",
 ]
 
 

@@ -174,3 +174,133 @@ def domain_range_sql(
         + " UNION ALL "
         + _end("object", "object_category", "object")
     )
+
+
+def mine_expectations(
+    summary: DataFrame,
+    min_support: int = 1,
+    min_confidence_micro: int = 500_000,
+) -> DataFrame:
+    """Induce domain/range expectations FROM the data — the discovery
+    half of the validation loop (``schema_summary`` describes what the
+    KG does; this distills it into the ``(predicate,
+    subject_category, object_category)`` expectations table that
+    :func:`domain_range_violations` then enforces, so constraints can
+    be mined on a trusted snapshot and applied to the next delta).
+
+    Input is a :func:`..stats.schema_summary` relation. Per predicate
+    each side's MAJORITY category wins (deterministic (count DESC,
+    category ASC) tie-break); a predicate is emitted only when
+
+    * its total edge count >= ``min_support``,
+    * BOTH majority shares >= ``min_confidence_micro`` (exact-integer
+      micro fraction, (10^6·cnt + tot div 2) div tot), and
+    * neither majority is the 'Unknown' bucket (an expectation
+      "subject may be anything unresolved" validates nothing).
+
+    Output: (predicate, subject_category, object_category, n_edges,
+    subject_confidence_micro, object_confidence_micro) — all counts
+    BIGINT, no floats.
+
+    Shape: two map-side-combinable grouped sums over the (already
+    type-graph-sized) summary + per-predicate ``min(struct)`` argmax
+    + one tiny predicate-keyed totals join — nothing rescans the
+    instance KG.
+    """
+    tot = summary.groupBy("predicate").agg(
+        F.sum("n_edges").alias("tot")
+    )
+
+    def _side(cat_col: str) -> DataFrame:
+        return (
+            summary.groupBy("predicate", cat_col)
+            .agg(F.sum("n_edges").alias("cnt"))
+            .groupBy("predicate")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg"),
+                        F.col(cat_col).alias("cat"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                "predicate",
+                F.col("b.cat").alias(cat_col),
+                (-F.col("b.neg")).alias(f"_cnt_{cat_col}"),
+            )
+        )
+
+    s = _side("subject_category")
+    o = _side("object_category")
+    out = (
+        s.join(o, "predicate")
+        .join(tot, "predicate")
+        .select(
+            "predicate",
+            "subject_category",
+            "object_category",
+            F.col("tot").cast("bigint").alias("n_edges"),
+            F.expr(
+                "(1000000 * _cnt_subject_category + tot div 2) div tot"
+            ).cast("bigint").alias("subject_confidence_micro"),
+            F.expr(
+                "(1000000 * _cnt_object_category + tot div 2) div tot"
+            ).cast("bigint").alias("object_confidence_micro"),
+        )
+    )
+    return out.filter(
+        (F.col("n_edges") >= min_support)
+        & (F.col("subject_confidence_micro") >= min_confidence_micro)
+        & (F.col("object_confidence_micro") >= min_confidence_micro)
+        & (F.col("subject_category") != "Unknown")
+        & (F.col("object_category") != "Unknown")
+    )
+
+
+def mine_expectations_sql(
+    summary_sql: str,
+    min_support: int = 1,
+    min_confidence_micro: int = 500_000,
+) -> str:
+    """DuckDB twin of :func:`mine_expectations` over a SQL relation
+    with the schema_summary columns — identical tie-break
+    (count DESC, category ASC ≡ min(struct(-cnt, cat))) and integer
+    confidence arithmetic."""
+    return f"""
+        WITH su AS MATERIALIZED ({summary_sql}),
+        tot AS (SELECT predicate, sum(n_edges) AS tot FROM su GROUP BY 1),
+        sc AS (
+            SELECT predicate, subject_category, sum(n_edges) AS cnt
+            FROM su GROUP BY 1, 2),
+        bs AS (
+            SELECT predicate, subject_category, cnt FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY predicate
+                    ORDER BY cnt DESC, subject_category ASC) AS rn
+                FROM sc) WHERE rn = 1),
+        oc AS (
+            SELECT predicate, object_category, sum(n_edges) AS cnt
+            FROM su GROUP BY 1, 2),
+        bo AS (
+            SELECT predicate, object_category, cnt FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY predicate
+                    ORDER BY cnt DESC, object_category ASC) AS rn
+                FROM oc) WHERE rn = 1)
+        SELECT bs.predicate, bs.subject_category, bo.object_category,
+               CAST(tot.tot AS BIGINT) AS n_edges,
+               CAST((1000000 * bs.cnt + tot.tot // 2) // tot.tot
+                    AS BIGINT) AS subject_confidence_micro,
+               CAST((1000000 * bo.cnt + tot.tot // 2) // tot.tot
+                    AS BIGINT) AS object_confidence_micro
+        FROM bs JOIN bo ON bs.predicate = bo.predicate
+        JOIN tot ON tot.predicate = bs.predicate
+        WHERE tot.tot >= {min_support}
+          AND (1000000 * bs.cnt + tot.tot // 2) // tot.tot
+              >= {min_confidence_micro}
+          AND (1000000 * bo.cnt + tot.tot // 2) // tot.tot
+              >= {min_confidence_micro}
+          AND bs.subject_category <> 'Unknown'
+          AND bo.object_category <> 'Unknown'
+    """

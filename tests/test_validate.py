@@ -156,3 +156,110 @@ def test_schema_summary(spark):
         ).fetchall()
     }
     assert got == oracle
+
+
+# --- expectation mining ----------------------------------------------
+
+
+def _summary_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "subject_category string, predicate string, "
+        "object_category string, n_edges long, n_subjects long, "
+        "n_objects long",
+    )
+
+
+def test_mine_expectations_majority_and_thresholds(spark):
+    from kg_microbe_merge_spark.operators.validate import mine_expectations
+
+    rows = [
+        # rel:a — clean: Gene→Disease 9 of 10, Gene→Chemical 1
+        ("Gene", "rel:a", "Disease", 9, 5, 4),
+        ("Gene", "rel:a", "Chemical", 1, 1, 1),
+        # rel:b — subject side ambiguous 5/5 → below 60% confidence
+        ("Gene", "rel:b", "Disease", 5, 3, 3),
+        ("Chemical", "rel:b", "Disease", 5, 2, 2),
+        # rel:c — majority object is Unknown → dropped
+        ("Gene", "rel:c", "Unknown", 8, 4, 4),
+        ("Gene", "rel:c", "Disease", 2, 2, 2),
+        # rel:d — below min_support
+        ("Gene", "rel:d", "Disease", 2, 1, 1),
+    ]
+    out = mine_expectations(
+        _summary_df(spark, rows),
+        min_support=3,
+        min_confidence_micro=600_000,
+    ).collect()
+    got = {
+        r["predicate"]: (
+            r["subject_category"], r["object_category"], r["n_edges"],
+            r["subject_confidence_micro"], r["object_confidence_micro"],
+        )
+        for r in out
+    }
+    assert got == {"rel:a": ("Gene", "Disease", 10, 1_000_000, 900_000)}
+
+
+def test_mine_expectations_tie_break_and_duckdb_twin(spark):
+    import duckdb
+
+    from kg_microbe_merge_spark.operators.validate import (
+        mine_expectations,
+        mine_expectations_sql,
+    )
+
+    rows = [
+        # exact tie 4/4 on the subject side → lexicographically first
+        # category wins; confidence 500k passes the default threshold
+        ("Beta", "rel:t", "X", 4, 2, 2),
+        ("Alpha", "rel:t", "X", 4, 2, 2),
+    ]
+    out = mine_expectations(_summary_df(spark, rows)).collect()
+    assert [(r["predicate"], r["subject_category"],
+             r["subject_confidence_micro"]) for r in out] == [
+        ("rel:t", "Alpha", 500_000)
+    ]
+    vals = ", ".join(
+        f"('{a}', '{p}', '{b}', {n}, {s}, {o})"
+        for a, p, b, n, s, o in rows
+    )
+    twin = duckdb.sql(mine_expectations_sql(
+        "SELECT * FROM (VALUES " + vals + ") t(subject_category, "
+        "predicate, object_category, n_edges, n_subjects, n_objects)"
+    )).fetchall()
+    assert [tuple(r) for r in twin] == [
+        (r["predicate"], r["subject_category"], r["object_category"],
+         r["n_edges"], r["subject_confidence_micro"],
+         r["object_confidence_micro"])
+        for r in out
+    ]
+
+
+def test_mined_expectations_feed_enforcement(spark):
+    # mine on a trusted snapshot, enforce on a delta containing a
+    # violation — the discovery→validation loop end to end
+    from kg_microbe_merge_spark.operators.stats import schema_summary
+    from kg_microbe_merge_spark.operators.validate import (
+        domain_range_violations,
+        mine_expectations,
+    )
+
+    nodes = spark.createDataFrame(
+        [("g1", "Gene"), ("g2", "Gene"), ("d1", "Disease"),
+         ("d2", "Disease"), ("c1", "Chemical")],
+        "id string, category string",
+    )
+    trusted = spark.createDataFrame(
+        [("g1", "affects", "d1"), ("g2", "affects", "d1"),
+         ("g1", "affects", "d2")],
+        "subject string, predicate string, object string",
+    )
+    exp = mine_expectations(schema_summary(nodes, trusted))
+    delta = spark.createDataFrame(
+        [("g1", "affects", "c1"), ("g2", "affects", "d2")],
+        "subject string, predicate string, object string",
+    )
+    v = domain_range_violations(delta, nodes, exp).collect()
+    assert [(r["subject"], r["object"], r["end"], r["actual_category"])
+            for r in v] == [("g1", "c1", "object", "Chemical")]
