@@ -504,6 +504,28 @@ def _semdedup_sql(k: int, iterations: int, dim: int, threshold: float) -> str:
     """
 
 
+def _semdedup_pairs_sql(k: int, iterations: int, dim: int, threshold: float) -> str:
+    """The pair half of :func:`_semdedup_sql` as a self-contained
+    SELECT (id_a, id_b) — feeds the dbscan twin."""
+    ctes = ",".join(_kmeans_ctes(k, iterations, dim))
+    return f"""
+        WITH {ctes},
+        un0 AS (SELECT vec_id, embedding::DOUBLE[] AS u0 FROM embeddings),
+        un AS (SELECT vec_id,
+                      CASE WHEN list_dot_product(u0, u0) = 0 THEN u0
+                           ELSE [x / sqrt(list_dot_product(u0, u0)) for x in u0]
+                      END AS u
+               FROM un0),
+        cl AS (
+            SELECT a.vec_id, a.cluster, un.u
+            FROM a{iterations} a JOIN un ON a.vec_id = un.vec_id)
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM cl x JOIN cl y
+             ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        WHERE round(list_dot_product(x.u, y.u), 6) >= {threshold!r}
+    """
+
+
 def _pagerank_sql(iterations: int, damping: float) -> str:
     """DuckDB twin of q_pagerank_kg: the identical power-iteration
     recurrence unrolled as chained CTEs. Float parity: the damping /
@@ -1979,6 +2001,23 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = _t(spark, sf_dir, "embeddings")
     return semantic_dedup(em, k=4, iterations=2, threshold=0.4)
+
+
+def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering (operators/dbscan.py) over SemDeDup's
+    kmeans-cell-bounded cosine pair relation: core (≥min_pts
+    neighbors), border (min core-neighbor cluster — deterministic
+    pinning), noise; clusters = min-id CC over core–core edges only,
+    so borders never chain clusters. Oracle: the shared Lloyd/pair
+    CTE chain feeding the module-generated dbscan twin."""
+    from kg_microbe_merge_spark.operators.dbscan import dbscan_from_pairs
+    from kg_microbe_merge_spark.operators.semdedup import (
+        semantic_dedup_pairs,
+    )
+
+    em = _t(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(em, k=4, iterations=2, threshold=0.35)
+    return dbscan_from_pairs(pairs, min_pts=3)
 
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4348,6 +4387,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and mine_expectations (domain/range expectation mining from the
     schema_summary type graph, operators/validate.mine_expectations —
     schema-summary twin feeding the module-generated mining twin)
+    and dbscan_embeddings (DBSCAN core/border/noise density clustering
+    over the SemDeDup pair relation, operators/dbscan.py — Lloyd/pair
+    CTE chain feeding the module-generated dbscan twin)
     and owl_entailment (OWL-lite inverseOf/symmetric/transitive via a
     signed predicate-implication lattice, operators/entailment.py —
     module-generated recursive-CTE twin) and weighted_sssp (frontier
@@ -4393,6 +4435,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": q_node2vec_walks,
         "graph_coloring": q_graph_coloring,
         "mine_expectations": q_mine_expectations,
+        "dbscan_embeddings": q_dbscan_embeddings,
         "bgp_over_entailment": q_bgp_over_entailment,
         "kg_corrupt_triples": q_kg_corrupt_triples,
         "linkpred_ranking": q_linkpred_ranking,
@@ -6831,6 +6874,15 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM orders)
         {schema_summary_sql('n', 'e')}
     """
+
+    # density clustering over the SemDeDup pair relation: shared
+    # Lloyd/pair CTE chain feeding the module-generated dbscan twin
+    from kg_microbe_merge_spark.operators.dbscan import dbscan_sql
+
+    sql["dbscan_embeddings"] = dbscan_sql(
+        _semdedup_pairs_sql(k=4, iterations=2, dim=64, threshold=0.35),
+        min_pts=3,
+    )
 
     # expectation mining: schema_summary twin feeding the
     # module-generated mining twin (identical tie-break + micro rule)

@@ -168,6 +168,7 @@ HEADLINE = [
     "node2vec_walks",
     "graph_coloring",
     "mine_expectations",
+    "dbscan_embeddings",
 ]
 
 
