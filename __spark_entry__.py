@@ -2003,6 +2003,28 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(em, k=4, iterations=2, threshold=0.4)
 
 
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality (operators/katz.py) over the
+    customer→order / customer→nation KG — attenuated walk counting
+    with the per-round integer-floor micro protocol (zero floats), so
+    the unrolled DuckDB twin matches bit for bit. Unlike PageRank,
+    endorsement is not divided by out-degree — the natural prior for
+    alias/same_as endorsement edges."""
+    from kg_microbe_merge_spark.operators.katz import katz_centrality
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("dst"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    return katz_centrality(
+        o.unionByName(c), alpha_micro=200_000, iterations=4
+    )
+
+
 def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Density clustering (operators/dbscan.py) over SemDeDup's
     kmeans-cell-bounded cosine pair relation: core (≥min_pts
@@ -4390,6 +4412,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and dbscan_embeddings (DBSCAN core/border/noise density clustering
     over the SemDeDup pair relation, operators/dbscan.py — Lloyd/pair
     CTE chain feeding the module-generated dbscan twin)
+    and katz_centrality (K-truncated Katz with the per-round
+    integer-floor micro protocol, operators/katz.py —
+    module-generated unrolled twin)
     and owl_entailment (OWL-lite inverseOf/symmetric/transitive via a
     signed predicate-implication lattice, operators/entailment.py —
     module-generated recursive-CTE twin) and weighted_sssp (frontier
@@ -4436,6 +4461,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring": q_graph_coloring,
         "mine_expectations": q_mine_expectations,
         "dbscan_embeddings": q_dbscan_embeddings,
+        "katz_centrality": q_katz_centrality,
         "bgp_over_entailment": q_bgp_over_entailment,
         "kg_corrupt_triples": q_kg_corrupt_triples,
         "linkpred_ranking": q_linkpred_ranking,
@@ -6874,6 +6900,21 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM orders)
         {schema_summary_sql('n', 'e')}
     """
+
+    # truncated Katz: module-generated integer-recurrence twin over
+    # the same customer/order/nation edge relation
+    from kg_microbe_merge_spark.operators.katz import katz_sql
+
+    sql["katz_centrality"] = katz_sql(
+        """
+        SELECT 'C' || o_custkey AS src, 'O' || o_orderkey AS dst
+        FROM orders
+        UNION ALL
+        SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer
+        """,
+        alpha_micro=200_000,
+        iterations=4,
+    )
 
     # density clustering over the SemDeDup pair relation: shared
     # Lloyd/pair CTE chain feeding the module-generated dbscan twin

@@ -169,6 +169,7 @@ HEADLINE = [
     "graph_coloring",
     "mine_expectations",
     "dbscan_embeddings",
+    "katz_centrality",
 ]
 
 
