@@ -2489,6 +2489,36 @@ def q_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfs_entailment(abox, tbox)
 
 
+def q_entailment_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY-provenance of the RDFS entailment
+    (operators/entailment.rdfs_entailment_provenance): every entailed
+    triple with the sorted pipe-joined set of rule tags that produce
+    it (asserted/rdfs2/3/5/7/9/11) — same broadcast rule streams as
+    rdfs_entailment, the output distinct upgraded to one grouped
+    set-agg (the A3 pipe convention). Oracle: module-generated tagged
+    twin over the same nation ABox + literal TBox."""
+    from kg_microbe_merge_spark.operators.entailment import (
+        rdfs_entailment_provenance,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    abox = n.select(
+        F.concat(F.lit("N:"), F.col("n_nationkey")).alias("subject"),
+        F.lit("located_in").alias("predicate"),
+        F.concat(F.lit("R:"), F.col("n_regionkey")).alias("object"),
+    ).unionByName(
+        n.filter(F.col("n_nationkey") % 2 == 0).select(
+            F.concat(F.lit("N:"), F.col("n_nationkey")).alias("subject"),
+            F.lit("rdf:type").alias("predicate"),
+            F.lit("Nation").alias("object"),
+        )
+    )
+    tbox = spark.createDataFrame(
+        _ENTAIL_TBOX, "subject string, predicate string, object string"
+    )
+    return rdfs_entailment_provenance(abox, tbox)
+
+
 def q_semantic_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IC / Resnik / Lin ontology similarity (operators/semsim.py):
     taxonomy = nation→region→ROOT, annotations = customers on their
@@ -4415,6 +4445,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and katz_centrality (K-truncated Katz with the per-round
     integer-floor micro protocol, operators/katz.py —
     module-generated unrolled twin)
+    and entailment_provenance (why-provenance rule tags per entailed
+    triple, operators/entailment.rdfs_entailment_provenance —
+    module-generated tagged twin)
     and owl_entailment (OWL-lite inverseOf/symmetric/transitive via a
     signed predicate-implication lattice, operators/entailment.py —
     module-generated recursive-CTE twin) and weighted_sssp (frontier
@@ -4462,6 +4495,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mine_expectations": q_mine_expectations,
         "dbscan_embeddings": q_dbscan_embeddings,
         "katz_centrality": q_katz_centrality,
+        "entailment_provenance": q_entailment_provenance,
         "bgp_over_entailment": q_bgp_over_entailment,
         "kg_corrupt_triples": q_kg_corrupt_triples,
         "linkpred_ranking": q_linkpred_ranking,
@@ -6789,6 +6823,31 @@ def _all_oracle_sql() -> dict[str, str]:
         f"('{s}', '{p}', '{o}')" for s, p, o in _ENTAIL_TBOX
     )
     sql["rdfs_entailment"] = entailment_sql(
+        "abox",
+        "tbox",
+        prelude_ctes=f"""
+        tbox AS (
+            SELECT * FROM (VALUES
+                {_tbox_values})
+            AS t(subject, predicate, object)),
+        abox AS (
+            SELECT 'N:' || n_nationkey AS subject,
+                   'located_in' AS predicate,
+                   'R:' || n_regionkey AS object
+            FROM nation
+            UNION ALL
+            SELECT 'N:' || n_nationkey, 'rdf:type', 'Nation'
+            FROM nation WHERE n_nationkey % 2 = 0),
+        """,
+    )
+
+    # rule provenance: the same ABox/TBox through the module-generated
+    # tagged twin (sorted-distinct pipe-joined rule sets)
+    from kg_microbe_merge_spark.operators.entailment import (
+        entailment_provenance_sql,
+    )
+
+    sql["entailment_provenance"] = entailment_provenance_sql(
         "abox",
         "tbox",
         prelude_ctes=f"""

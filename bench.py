@@ -170,6 +170,7 @@ HEADLINE = [
     "mine_expectations",
     "dbscan_embeddings",
     "katz_centrality",
+    "entailment_provenance",
 ]
 
 

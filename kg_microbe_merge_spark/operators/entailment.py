@@ -130,19 +130,18 @@ def _tbox_closure_df(pairs_df: DataFrame) -> DataFrame:
     )
 
 
-def rdfs_entailment(
+def _rdfs_streams(
     abox: DataFrame,
     tbox: DataFrame,
     type_pred: str = TYPE_PRED,
-    include_asserted: bool = True,
-    max_iterations: int = 30,
-) -> DataFrame:
-    """Materialize the RDFS-lite entailed graph of ``abox`` under
-    ``tbox``. Both are (subject, predicate, object); the TBox holds
-    the schema rows (see :func:`split_tbox`). Returns distinct
-    (subject, predicate, object) — asserted triples included unless
-    ``include_asserted=False`` (then only the strictly derived rows,
-    the release-pipeline "what did reasoning add" delta)."""
+) -> dict[str, DataFrame]:
+    """The stratified rule streams shared by :func:`rdfs_entailment`
+    and :func:`rdfs_entailment_provenance`: each key is a rule tag
+    mapping to the (subject, predicate, object) rows that rule
+    produces — 'asserted' (ABox), 'tbox' (schema rows), 'rdfs7'
+    (subproperty lift), 'rdfs2'/'rdfs3' (domain/range typing),
+    'rdfs9' (class inheritance), 'rdfs5'/'rdfs11' (materialized TBox
+    closures). Every join is ABox ⋈ broadcast(TBox closure)."""
     tb = tbox.select("subject", "predicate", "object")
 
     def _pairs(pred: str) -> DataFrame:
@@ -237,35 +236,91 @@ def rdfs_entailment(
         )
     )
 
-    # TBox entailments as triples (rdfs5/11 materialized).
-    tbox_closed = subprop_c.select(
+    sp_triples = subprop_c.select(
         F.col("src").alias("subject"),
         F.lit(SUBPROP_PRED).alias("predicate"),
         F.col("dst").alias("object"),
-    ).unionByName(
-        subclass_c.select(
-            F.col("src").alias("subject"),
-            F.lit(SUBCLASS_PRED).alias("predicate"),
-            F.col("dst").alias("object"),
-        )
     )
+    sc_triples = subclass_c.select(
+        F.col("src").alias("subject"),
+        F.lit(SUBCLASS_PRED).alias("predicate"),
+        F.col("dst").alias("object"),
+    )
+    return {
+        "asserted": a,
+        "tbox": tb,
+        "rdfs7": lifted,
+        "rdfs2": dom_types,
+        "rdfs3": rng_types,
+        "rdfs9": super_types,
+        "rdfs5": sp_triples,
+        "rdfs11": sc_triples,
+    }
 
+
+def rdfs_entailment(
+    abox: DataFrame,
+    tbox: DataFrame,
+    type_pred: str = TYPE_PRED,
+    include_asserted: bool = True,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Materialize the RDFS-lite entailed graph of ``abox`` under
+    ``tbox``. Both are (subject, predicate, object); the TBox holds
+    the schema rows (see :func:`split_tbox`). Returns distinct
+    (subject, predicate, object) — asserted triples included unless
+    ``include_asserted=False`` (then only the strictly derived rows,
+    the release-pipeline "what did reasoning add" delta)."""
+    s = _rdfs_streams(abox, tbox, type_pred)
     derived = (
-        lifted.unionByName(dom_types)
-        .unionByName(rng_types)
-        .unionByName(super_types)
-        .unionByName(tbox_closed)
+        s["rdfs7"].unionByName(s["rdfs2"])
+        .unionByName(s["rdfs3"])
+        .unionByName(s["rdfs9"])
+        .unionByName(s["rdfs5"])
+        .unionByName(s["rdfs11"])
     )
     if include_asserted:
-        out = expanded.unionByName(types).unionByName(derived).unionByName(tb)
+        out = s["asserted"].unionByName(s["tbox"]).unionByName(derived)
     else:
-        asserted = a.unionByName(tb)
+        asserted = s["asserted"].unionByName(s["tbox"])
         out = derived.join(
             asserted,
             ["subject", "predicate", "object"],
             "left_anti",
         )
     return out.distinct()
+
+
+def rdfs_entailment_provenance(
+    abox: DataFrame,
+    tbox: DataFrame,
+    type_pred: str = TYPE_PRED,
+) -> DataFrame:
+    """WHY-provenance of the entailed graph: every entailed triple
+    with the sorted pipe-joined set of rule tags that produce it —
+    ``rules`` ⊆ asserted | rdfs2 | rdfs3 | rdfs5 | rdfs7 | rdfs9 |
+    rdfs11 (TBox rows tag as 'asserted' too; a triple both asserted
+    and re-derived carries every applicable tag). The debugging face
+    of the materializer — "why does this triple exist" — at the cost
+    of the output distinct becoming a grouped set-agg (the A3
+    pipe-join convention, same single shuffle).
+
+    RDFS fragment only; the OWL lattice path composes rules before
+    the ABox mapping, so per-rule attribution there is not
+    well-defined (documented limitation)."""
+    s = _rdfs_streams(abox, tbox, type_pred)
+    tagged = None
+    for rule, df in s.items():
+        tag = "asserted" if rule in ("asserted", "tbox") else rule
+        t = df.select(
+            "subject", "predicate", "object", F.lit(tag).alias("rule")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return tagged.groupBy("subject", "predicate", "object").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("rule")), "|"
+        ).alias("rules")
+    )
 
 
 def _closure_by_pred(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
@@ -913,4 +968,71 @@ SELECT DISTINCT subject, predicate, object FROM (
     UNION ALL SELECT src, '{SUBPROP_PRED}', dst FROM sp
     UNION ALL SELECT src, '{SUBCLASS_PRED}', dst FROM sc
     UNION ALL SELECT subject, predicate, object FROM {tbox_cte})
+"""
+
+
+def entailment_provenance_sql(
+    abox_cte: str,
+    tbox_cte: str,
+    type_pred: str = TYPE_PRED,
+    prelude_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`rdfs_entailment_provenance`: the same
+    tagged rule streams, grouped with a sorted-distinct pipe-join of
+    rule tags per triple (the A3 string_agg convention)."""
+    return f"""
+WITH RECURSIVE
+{prelude_ctes}
+sp(src, dst) AS (
+    SELECT subject, object FROM {tbox_cte} WHERE predicate = '{SUBPROP_PRED}'
+    UNION
+    SELECT sp.src, t.object FROM sp
+    JOIN {tbox_cte} t ON sp.dst = t.subject AND t.predicate = '{SUBPROP_PRED}'),
+sc(src, dst) AS (
+    SELECT subject, object FROM {tbox_cte} WHERE predicate = '{SUBCLASS_PRED}'
+    UNION
+    SELECT sc.src, t.object FROM sc
+    JOIN {tbox_cte} t ON sc.dst = t.subject AND t.predicate = '{SUBCLASS_PRED}'),
+a AS (
+    SELECT subject, predicate, object FROM {abox_cte}
+    WHERE subject IS NOT NULL AND predicate IS NOT NULL AND object IS NOT NULL),
+lifted AS (
+    SELECT a.subject, sp.dst AS predicate, a.object FROM a
+    JOIN sp ON a.predicate = sp.src),
+expanded AS (
+    SELECT * FROM a UNION ALL SELECT * FROM lifted),
+dom_types AS (
+    SELECT e.subject, '{type_pred}' AS predicate, t.object
+    FROM expanded e JOIN {tbox_cte} t
+    ON e.predicate = t.subject AND t.predicate = '{DOMAIN_PRED}'),
+rng_types AS (
+    SELECT e.object AS subject, '{type_pred}' AS predicate, t.object
+    FROM expanded e JOIN {tbox_cte} t
+    ON e.predicate = t.subject AND t.predicate = '{RANGE_PRED}'),
+types AS (
+    SELECT * FROM expanded WHERE predicate = '{type_pred}'
+    UNION ALL SELECT * FROM dom_types
+    UNION ALL SELECT * FROM rng_types),
+super_types AS (
+    SELECT ty.subject, '{type_pred}' AS predicate, sc.dst AS object
+    FROM types ty JOIN sc ON ty.object = sc.src),
+tagged AS (
+    SELECT subject, predicate, object, 'asserted' AS rule FROM a
+    UNION ALL
+    SELECT subject, predicate, object, 'asserted' FROM {tbox_cte}
+    UNION ALL
+    SELECT subject, predicate, object, 'rdfs7' FROM lifted
+    UNION ALL
+    SELECT subject, predicate, object, 'rdfs2' FROM dom_types
+    UNION ALL
+    SELECT subject, predicate, object, 'rdfs3' FROM rng_types
+    UNION ALL
+    SELECT subject, predicate, object, 'rdfs9' FROM super_types
+    UNION ALL
+    SELECT src, '{SUBPROP_PRED}', dst, 'rdfs5' FROM sp
+    UNION ALL
+    SELECT src, '{SUBCLASS_PRED}', dst, 'rdfs11' FROM sc)
+SELECT subject, predicate, object,
+       array_to_string(list_sort(list_distinct(list(rule))), '|') AS rules
+FROM tagged GROUP BY subject, predicate, object
 """

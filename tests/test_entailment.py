@@ -355,3 +355,91 @@ def test_plan_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# --- rule provenance -------------------------------------------------
+
+
+def test_provenance_rule_tags_hand_checked(spark):
+    from kg_microbe_merge_spark.operators.entailment import (
+        rdfs_entailment_provenance,
+    )
+
+    abox = spark.createDataFrame(ABOX, T)
+    tbox = spark.createDataFrame(TBOX, T)
+    got = {
+        (r["subject"], r["predicate"], r["object"]): r["rules"]
+        for r in rdfs_entailment_provenance(abox, tbox).collect()
+    }
+    # asserted triple, re-derived by nothing
+    assert got[("d1", "treats", "x1")] == "asserted"
+    # subproperty lift
+    assert got[("d1", "affects", "x1")] == "rdfs7"
+    assert got[("d1", "related_to", "x1")] == "rdfs7"
+    # domain typing of the ASSERTED predicate
+    assert got[("d1", TYPE_PRED, "Drug")] == "rdfs2"
+    # d1 type Agent: domain of 'affects' reached via the lift — tag is
+    # rdfs2 (the typing rule fired on the lifted triple)
+    assert got[("d1", TYPE_PRED, "Agent")] == "rdfs2"
+    # range typing
+    assert got[("x1", TYPE_PRED, "Disease")] == "rdfs3"
+    # class inheritance over a derived type
+    assert got[("x1", TYPE_PRED, "Condition")] == "rdfs9"
+    # asserted type inherited up
+    assert got[("x3", TYPE_PRED, "Disease")] == "rdfs9"
+    assert got[("x3", TYPE_PRED, "Syndrome")] == "asserted"
+    # materialized TBox closure rows: asserted edges tag both ways,
+    # strictly-transitive edges tag rdfs5/rdfs11 only
+    assert got[("treats", SUBPROP_PRED, "affects")] == "asserted|rdfs5"
+    assert got[("treats", SUBPROP_PRED, "related_to")] == "rdfs5"
+    assert got[("Drug", SUBCLASS_PRED, "Entity")] == "rdfs11"
+
+
+def test_provenance_triple_set_matches_entailment(spark):
+    from kg_microbe_merge_spark.operators.entailment import (
+        rdfs_entailment_provenance,
+    )
+
+    abox = spark.createDataFrame(ABOX, T)
+    tbox = spark.createDataFrame(TBOX, T)
+    prov = rdfs_entailment_provenance(abox, tbox)
+    assert _triples(prov.select("subject", "predicate", "object")) == (
+        _triples(rdfs_entailment(abox, tbox))
+    )
+    # derived-only delta == rows whose tag set lacks 'asserted'
+    derived = set(
+        _triples(rdfs_entailment(abox, tbox, include_asserted=False))
+    )
+    got_derived = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in prov.collect()
+        if "asserted" not in r["rules"].split("|")
+    }
+    assert got_derived == derived
+
+
+def test_provenance_vs_duckdb_twin(spark):
+    from kg_microbe_merge_spark.operators.entailment import (
+        entailment_provenance_sql,
+        rdfs_entailment_provenance,
+    )
+
+    abox = spark.createDataFrame(ABOX, T)
+    tbox = spark.createDataFrame(TBOX, T)
+    got = {
+        (r["subject"], r["predicate"], r["object"], r["rules"])
+        for r in rdfs_entailment_provenance(abox, tbox).collect()
+    }
+    avals = ", ".join(f"('{a}','{b}','{c}')" for a, b, c in ABOX)
+    tvals = ", ".join(f"('{a}','{b}','{c}')" for a, b, c in TBOX)
+    sql = entailment_provenance_sql(
+        "abox", "tbox",
+        prelude_ctes=(
+            f"abox AS (SELECT * FROM (VALUES {avals}) "
+            "t(subject, predicate, object)),"
+            f"tbox AS (SELECT * FROM (VALUES {tvals}) "
+            "t(subject, predicate, object)),"
+        ),
+    )
+    want = set(map(tuple, duckdb.sql(sql).fetchall()))
+    assert got == want and got
