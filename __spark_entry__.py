@@ -2025,6 +2025,41 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled bounded-hop Brandes betweenness
+    (operators/betweenness.py) over the customer→order entry edges +
+    per-customer order chains — interior chain orders broker their
+    customer's later orders. Deterministic hash-sampled sources,
+    per-term-floored integer dependency protocol (zero floats);
+    oracle GENERATED by the module (forward sigma rounds + backward
+    dependency rounds unrolled)."""
+    from kg_microbe_merge_spark.operators.betweenness import (
+        betweenness_centrality,
+    )
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    chain = (
+        orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.lead("o_orderkey").over(w).alias("nk"),
+        )
+        .filter(F.col("nk").isNotNull())
+        .select(
+            F.concat(F.lit("O"), F.col("k")).alias("src"),
+            F.concat(F.lit("O"), F.col("nk")).alias("dst"),
+        )
+    )
+    entries = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("dst"),
+    )
+    return betweenness_centrality(
+        chain.unionByName(entries), k_sources=8, max_hops=4
+    )
+
+
 def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Density clustering (operators/dbscan.py) over SemDeDup's
     kmeans-cell-bounded cosine pair relation: core (≥min_pts
@@ -4448,6 +4483,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and entailment_provenance (why-provenance rule tags per entailed
     triple, operators/entailment.rdfs_entailment_provenance —
     module-generated tagged twin)
+    and betweenness_sampled (hash-sampled bounded-hop Brandes
+    betweenness with per-term-floored integer dependencies,
+    operators/betweenness.py — module-generated forward/backward
+    unrolled twin)
     and owl_entailment (OWL-lite inverseOf/symmetric/transitive via a
     signed predicate-implication lattice, operators/entailment.py —
     module-generated recursive-CTE twin) and weighted_sssp (frontier
@@ -4496,6 +4535,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_embeddings": q_dbscan_embeddings,
         "katz_centrality": q_katz_centrality,
         "entailment_provenance": q_entailment_provenance,
+        "betweenness_sampled": q_betweenness_sampled,
         "bgp_over_entailment": q_bgp_over_entailment,
         "kg_corrupt_triples": q_kg_corrupt_triples,
         "linkpred_ranking": q_linkpred_ranking,
@@ -6959,6 +6999,28 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM orders)
         {schema_summary_sql('n', 'e')}
     """
+
+    # sampled betweenness: module-generated forward/backward unrolled
+    # twin over the same chain+entry edge relation
+    from kg_microbe_merge_spark.operators.betweenness import (
+        betweenness_sql,
+    )
+
+    sql["betweenness_sampled"] = betweenness_sql(
+        """
+        WITH ch AS (
+            SELECT 'O' || o_orderkey AS src,
+                   'O' || lead(o_orderkey) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey
+                   ) AS dst
+            FROM orders)
+        SELECT src, dst FROM ch WHERE dst IS NOT NULL
+        UNION ALL
+        SELECT 'C' || o_custkey, 'O' || o_orderkey FROM orders
+        """,
+        k_sources=8,
+        max_hops=4,
+    )
 
     # truncated Katz: module-generated integer-recurrence twin over
     # the same customer/order/nation edge relation

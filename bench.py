@@ -171,6 +171,7 @@ HEADLINE = [
     "dbscan_embeddings",
     "katz_centrality",
     "entailment_provenance",
+    "betweenness_sampled",
 ]
 
 
