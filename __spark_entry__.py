@@ -3803,6 +3803,36 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_vocab(d, size=100, min_count=2)
 
 
+def q_unigram_segment_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer segmentation (operators/unigram_lm.py,
+    Kudo 2018 hard-EM family): seed substring vocabulary with micro-ln
+    costs, then each top-corpus word's MIN-COST piece segmentation —
+    the per-word lattice shortest path, executed as one Arrow-batched
+    DP over the Zipf-bounded word dimension. The gate verifies the
+    minimum COST (unique under ties) against an INDEPENDENT
+    walk-enumeration oracle that recursively explores every complete
+    piece walk per word."""
+    from kg_microbe_merge_spark.operators.unigram_lm import (
+        seed_vocab,
+        segment_words,
+        vocab_costs,
+    )
+    from kg_microbe_merge_spark.operators.vocab import top_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        top_vocab(d, size=60, min_count=3)
+        .select(F.col("token").alias("word"), F.col("n").alias("freq"))
+        .filter(F.length("word") <= 16)
+    )
+    costs = vocab_costs(
+        seed_vocab(words, max_piece_len=4, vocab_size=40, min_count=2)
+    )
+    return segment_words(
+        words, costs, max_piece_len=4, max_word_len=16
+    ).select("word", "cost_micro")
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-candidate counting (operators/vocab.py): adjacent
     token-pair counts built row-locally from the token array, one
@@ -4487,6 +4517,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     betweenness with per-term-floored integer dependencies,
     operators/betweenness.py — module-generated forward/backward
     unrolled twin)
+    and unigram_segment_cost (unigram-LM tokenizer lattice
+    segmentation, operators/unigram_lm.py — module-generated
+    walk-enumeration twin over the relationally re-derived seed
+    vocabulary)
     and owl_entailment (OWL-lite inverseOf/symmetric/transitive via a
     signed predicate-implication lattice, operators/entailment.py —
     module-generated recursive-CTE twin) and weighted_sssp (frontier
@@ -4536,6 +4570,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_centrality": q_katz_centrality,
         "entailment_provenance": q_entailment_provenance,
         "betweenness_sampled": q_betweenness_sampled,
+        "unigram_segment_cost": q_unigram_segment_cost,
         "bgp_over_entailment": q_bgp_over_entailment,
         "kg_corrupt_triples": q_kg_corrupt_triples,
         "linkpred_ranking": q_linkpred_ranking,
@@ -6368,6 +6403,53 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM c)
         SELECT token_id, token, n FROM r WHERE token_id < 100
     """
+
+    # Unigram-LM segmentation cost: the same word dimension + seed
+    # vocabulary + micro-ln costs derived relationally, then the
+    # module-generated walk-enumeration twin
+    from kg_microbe_merge_spark.operators.unigram_lm import (
+        segment_cost_sql,
+    )
+
+    _uni_words = f"""
+        WITH c AS MATERIALIZED (
+            SELECT token, cast(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+            WHERE token <> ''
+            GROUP BY token
+            HAVING count(*) >= 3),
+        r AS (
+            SELECT cast(row_number() OVER (ORDER BY n DESC, token ASC) - 1
+                        AS BIGINT) AS token_id, token, n
+            FROM c)
+        SELECT token AS word, n AS freq FROM r
+        WHERE token_id < 60 AND length(token) <= 16
+    """
+    _uni_costs = f"""
+        WITH uw AS MATERIALIZED ({_uni_words}),
+        sub AS (
+            SELECT substring(uw.word, i.i, l.l) AS piece, uw.freq
+            FROM uw,
+                 range(1, 17) i(i),
+                 range(1, 5) l(l)
+            WHERE i.i + l.l - 1 <= length(uw.word)),
+        cnt AS (SELECT piece, sum(freq) AS count FROM sub GROUP BY piece),
+        vocab AS (
+            SELECT piece, count FROM cnt WHERE length(piece) = 1
+            UNION ALL
+            SELECT piece, count FROM (
+                SELECT piece, count FROM cnt
+                WHERE length(piece) > 1 AND count >= 2
+                ORDER BY count DESC, piece LIMIT 40)),
+        tot AS (SELECT sum(count) AS t FROM vocab)
+        SELECT piece,
+               CAST(floor(-ln(CAST(count AS DOUBLE) / CAST(t AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT) AS cost_micro
+        FROM vocab, tot
+    """
+    sql["unigram_segment_cost"] = segment_cost_sql(
+        _uni_words, _uni_costs, max_piece_len=4, max_word_len=16
+    )
 
     # Twin of q_bpe_pairs: adjacent pairs via a 1-based list
     # comprehension over the token array.

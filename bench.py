@@ -172,6 +172,7 @@ HEADLINE = [
     "katz_centrality",
     "entailment_provenance",
     "betweenness_sampled",
+    "unigram_segment_cost",
 ]
 
 
