@@ -180,6 +180,84 @@ def _cmd_cypher(args: argparse.Namespace) -> None:
     cypher_query(nodes, edges, args.query).show(args.limit, truncate=False)
 
 
+def _cmd_sparql(args: argparse.Namespace) -> None:
+    """Run a structured SPARQL-subset query from a YAML file against a
+    merged KG — the LOCAL analogue of the reference's ``kg query``
+    command (reference run.py:182-207 + query.py:26-59: a YAML-driven
+    SPARQL query whose result lands in a TSV). The YAML holds the
+    query in the engine's structured form::
+
+        form: select           # select|aggregate|construct|ask|describe
+        patterns: [["?n", "located_in", "?r"]]
+        filters: ["?r <> 'R:0'"]     # optional blocks per form:
+        select: ["?n", "?r"]         # optional/union/values/distinct/
+        group_by: ["?r"]             # order_by/limit/offset/aggregates/
+        aggregates: {n: "COUNT(?n)"} # having/template/describe
+
+    ``--output`` writes the solution table as a single TSV (the
+    reference's result_dict_to_tsv analogue); otherwise rows print.
+    """
+    import yaml
+
+    from .plans.bgp import (
+        bgp_aggregate,
+        bgp_ask,
+        bgp_construct,
+        bgp_describe,
+        bgp_query,
+    )
+    from .sources.kgx import read_kgx_tsv, write_tsv_single
+
+    with open(args.query_file) as fh:
+        q = yaml.safe_load(fh)
+    spark = get_spark(app_name="kg-sparql")
+    edges_tsv = os.path.join(args.kg_dir, "merged_kg_edges_full.tsv")
+    if not os.path.exists(edges_tsv):
+        edges_tsv = os.path.join(args.kg_dir, "merged_kg_edges.tsv")
+    edges = read_kgx_tsv(spark, [edges_tsv])
+
+    def tup(block):
+        return [tuple(p) for p in block] if block else None
+
+    common = dict(
+        filters=q.get("filters"),
+        optional=[tup(g) for g in q["optional"]] if q.get("optional") else None,
+        union=[tup(g) for g in q["union"]] if q.get("union") else None,
+        values=q.get("values"),
+    )
+    form = q.get("form", "select")
+    if form == "ask":
+        print(bgp_ask(edges, tup(q["patterns"]), **common))
+        return
+    if form == "select":
+        out = bgp_query(
+            edges, tup(q["patterns"]), select=q.get("select"),
+            distinct=bool(q.get("distinct")), order_by=q.get("order_by"),
+            limit=q.get("limit"), offset=q.get("offset", 0), **common,
+        )
+    elif form == "aggregate":
+        out = bgp_aggregate(
+            edges, tup(q["patterns"]), group_by=q["group_by"],
+            aggregates=q["aggregates"], having=q.get("having"),
+            order_by=q.get("order_by"), limit=q.get("limit"), **common,
+        )
+    elif form == "construct":
+        out = bgp_construct(
+            edges, tup(q["patterns"]), template=tup(q["template"]), **common
+        )
+    elif form == "describe":
+        out = bgp_describe(
+            edges, tup(q["patterns"]), describe=q["describe"], **common
+        )
+    else:
+        raise SystemExit(f"unknown query form: {form!r}")
+    if args.output:
+        write_tsv_single(out, args.output)
+        print(f"wrote {args.output}")
+    else:
+        out.show(args.limit_rows, truncate=False)
+
+
 def _cmd_export_rdf(args: argparse.Namespace) -> None:
     """Export a merged KG as RDF N-Triples (sources/rdf.py) — the
     interchange format of the SPARQL world the reference queries
@@ -292,6 +370,20 @@ def main(argv: list[str] | None = None) -> None:
                          "merged_kg_edges[_full].tsv")
     cy.add_argument("--limit", type=int, default=50)
     cy.set_defaults(fn=_cmd_cypher)
+
+    sq = sub.add_parser(
+        "sparql",
+        help="run a YAML-structured SPARQL-subset query over a merged "
+        "KG (local analogue of the reference's `kg query`)",
+    )
+    sq.add_argument("--kg-dir", required=True)
+    sq.add_argument("--query-file", required=True,
+                    help="YAML query document (see _cmd_sparql)")
+    sq.add_argument("--output", default=None,
+                    help="write the result as a single TSV")
+    sq.add_argument("--limit-rows", type=int, default=50,
+                    help="rows to print when not writing a TSV")
+    sq.set_defaults(fn=_cmd_sparql)
 
     rdf = sub.add_parser(
         "export-rdf", help="export a merged KG as RDF N-Triples"

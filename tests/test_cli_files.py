@@ -381,3 +381,50 @@ def test_cli_entail_end_to_end(spark, tmp_path):
         for line in open(out3).read().strip().split("\n")[1:]
     }
     assert rows3 and ("D:1", "treats", "X:1") not in rows3
+
+
+def test_cli_sparql_end_to_end(spark, tmp_path, capsys):
+    from kg_microbe_merge_spark.cli import main
+
+    base = _make_transform_dir(tmp_path)
+    out = str(tmp_path / "kg")
+    main(["merge", "--transform-dir", base, "--output", out,
+          "--single-file"])
+
+    # SELECT with FILTER → TSV result (the reference `kg query` shape)
+    qf = tmp_path / "q.yaml"
+    qf.write_text(
+        "form: select\n"
+        "patterns:\n"
+        "  - ['?s', 'biolink:related_to', '?o']\n"
+        "filters: [\"?o <> 'X:2'\"]\n"
+        "select: ['?s', '?o']\n"
+        "order_by: ['?s']\n"
+    )
+    res = str(tmp_path / "res.tsv")
+    main(["sparql", "--kg-dir", out, "--query-file", str(qf),
+          "--output", res])
+    lines = open(res).read().strip().split("\n")
+    assert lines[0] == "s\to"
+    assert lines[1:] == ["X:1\tEC:9.9.9.9"]
+
+    # aggregate form prints instead of writing
+    qf2 = tmp_path / "q2.yaml"
+    qf2.write_text(
+        "form: aggregate\n"
+        "patterns:\n"
+        "  - ['?s', 'biolink:related_to', '?o']\n"
+        "group_by: ['?s']\n"
+        "aggregates: {n_targets: 'COUNT(DISTINCT ?o)'}\n"
+    )
+    main(["sparql", "--kg-dir", out, "--query-file", str(qf2)])
+    printed = capsys.readouterr().out
+    assert "n_targets" in printed and "2" in printed
+
+    # ask form prints a boolean
+    qf3 = tmp_path / "q3.yaml"
+    qf3.write_text(
+        "form: ask\npatterns:\n  - ['X:1', '?p', 'X:2']\n"
+    )
+    main(["sparql", "--kg-dir", out, "--query-file", str(qf3)])
+    assert "True" in capsys.readouterr().out
