@@ -50,8 +50,6 @@ Reference scope: beyond the reference; no reference code consulted.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
