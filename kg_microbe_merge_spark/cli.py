@@ -246,8 +246,11 @@ def _cmd_sparql(args: argparse.Namespace) -> None:
             edges, tup(q["patterns"]), template=tup(q["template"]), **common
         )
     elif form == "describe":
+        # DESCRIBE <iri> with no WHERE block is valid SPARQL (and
+        # bgp_describe supports it) — patterns are optional here
         out = bgp_describe(
-            edges, tup(q["patterns"]), describe=q["describe"], **common
+            edges, tup(q.get("patterns") or []), describe=q["describe"],
+            **common,
         )
     else:
         raise SystemExit(f"unknown query form: {form!r}")

@@ -127,17 +127,29 @@ def betweenness_centrality(
         "s", "node", "dist", F.lit(0).cast("bigint").alias("delta")
     )
     for d in range(max_hops - 1, -1, -1):
+        # upper/lower/settled all share lineage (delta derives from
+        # settled), so attribute-reference equality like
+        # upper["s"] == lower["s"] can degenerate to the trivially-true
+        # 's == 's self-comparison Spark warns about. Rename EVERY
+        # joined column up front so the predicates are unambiguous by
+        # construction (the _sw/_w2 pattern, applied to all three
+        # sides).
         lower = delta.filter(F.col("dist") == d + 1).select(
-            "s",
-            F.col("node").alias("w"),
+            F.col("s").alias("_ls"),
+            F.col("node").alias("_lw"),
             F.col("delta").alias("delta_w"),
         )
-        upper = settled.filter(F.col("dist") == d)
+        upper = settled.filter(F.col("dist") == d).select(
+            F.col("s").alias("_us"),
+            F.col("node").alias("_un"),
+            F.col("sigma").alias("_usigma"),
+        )
         contrib = (
-            upper.join(e, upper["node"] == e["src"])
+            upper.join(e, F.col("_un") == e["src"])
             .join(
                 lower,
-                (upper["s"] == lower["s"]) & (e["dst"] == lower["w"]),
+                (F.col("_us") == F.col("_ls"))
+                & (e["dst"] == F.col("_lw")),
             )
             .join(
                 settled.select(
@@ -145,13 +157,14 @@ def betweenness_centrality(
                     F.col("node").alias("_w2"),
                     F.col("sigma").alias("sigma_w"),
                 ),
-                (upper["s"] == F.col("_sw")) & (e["dst"] == F.col("_w2")),
+                (F.col("_us") == F.col("_sw"))
+                & (e["dst"] == F.col("_w2")),
             )
             .select(
-                upper["s"].alias("s"),
-                upper["node"].alias("node"),
+                F.col("_us").alias("s"),
+                F.col("_un").alias("node"),
                 F.expr(
-                    f"(sigma * ({MICRO} + delta_w)) div sigma_w"
+                    f"(_usigma * ({MICRO} + delta_w)) div sigma_w"
                 ).cast("bigint").alias("c"),
             )
             .groupBy("s", "node")

@@ -98,6 +98,12 @@ def greedy_coloring(
         raise ColoringDepthExceeded(
             f"{uncolored.count()} nodes uncolored after {max_colors} colors"
         )
+    if out is None:
+        # empty / all-self-loop edge relation: no node is incident to
+        # an undirected edge, so the coloring is the empty relation —
+        # not None, which would crash callers that .show()/.collect()
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "node string, color int")
     return out
 
 

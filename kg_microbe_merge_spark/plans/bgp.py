@@ -471,9 +471,12 @@ def _compile_aggregate(spec: str, alias: str) -> F.Column:
         if fn == "GROUP_CONCAT":
             return F.array_join(F.array_sort(col), sep).alias(alias)
     if fn == "SUM":
-        return F.sum(col).alias(alias)
+        # cast explicitly so DISTINCT and non-DISTINCT SUM agree on the
+        # output type (BIGINT) — the implicit string→double cast would
+        # otherwise make adding/removing DISTINCT change the column type
+        return F.sum(col.cast("bigint")).alias(alias)
     if fn == "AVG":
-        return F.avg(col).alias(alias)
+        return F.avg(col.cast("double")).alias(alias)
     if fn in ("MIN", "SAMPLE"):
         return F.min(col).alias(alias)
     if fn == "MAX":

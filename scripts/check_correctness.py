@@ -45,6 +45,25 @@ def _render(v) -> str | None:
     return str(v)
 
 
+def _driver_hash_risk(df: pd.DataFrame) -> str | None:
+    """Detect cells a row-serialization hash can canonicalize
+    differently across engines: embedded newlines / tabs / carriage
+    returns inside string cells (the exact r3 ``line_dedup`` failure
+    mode)."""
+    for c in df.columns:
+        col = df[c]
+        if col.dtype != object:
+            continue
+        mask = col.map(
+            lambda v: isinstance(v, str)
+            and ("\n" in v or "\t" in v or "\r" in v)
+        )
+        if mask.any():
+            i = mask.idxmax()
+            return f"col={c} row={i} has embedded control char: {col.iloc[i]!r}"
+    return None
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -111,6 +130,17 @@ def main() -> int:
             odf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        risk = _driver_hash_risk(sdf)
+        if risk:
+            # r2 was burned by float64 coercion, r3 by embedded-newline
+            # canonicalization: each time the local gate was green while
+            # the driver hash was red. Any control character inside a
+            # cell is a canonicalization hazard for a row-serialization
+            # hash — treat it as a FAILURE so it never reaches the
+            # driver.
+            print(f"FAIL  {name}: driver-hash risk: {risk}")
             failed.append(name)
             continue
         errs = compare(name, sdf, odf)

@@ -91,6 +91,36 @@ def test_duckdb_twin(spark):
     assert got == want and got
 
 
+def test_overlapping_equal_depth_bfs_trees(spark):
+    # adversarial for the backward-sweep self-joins: three sources
+    # whose BFS trees OVERLAP at equal depths (s1/s2/s3 all reach m1/m2
+    # at dist 1 and t at dist 2, with sigma(t) = 2 per source). If the
+    # (source, node) join keys ever degenerate to a trivially-true
+    # self-comparison, dependencies leak across sources here and the
+    # totals diverge from the python/networkx twins.
+    edges = []
+    for s in ("s1", "s2", "s3"):
+        edges += [(s, "m1"), (s, "m2")]
+    edges += [("m1", "t"), ("m2", "t"), ("t", "u")]
+    srcs = spark.createDataFrame([("s1",), ("s2",), ("s3",)], "s string")
+    got = {
+        r["node"]: r["bc_micro"]
+        for r in betweenness_centrality(
+            _df(spark, edges), sources=srcs, max_hops=4
+        ).collect()
+    }
+    assert got == betweenness_py(edges, sources=["s1", "s2", "s3"],
+                                 max_hops=4)
+    # per source s: delta(t) = (sigma_t/sigma_u)·(1+delta_u) = 1,
+    # delta(m_i) = (1/2)·(1+delta_t) = 1, delta(u) = 0 — summed over
+    # the 3 sources. Cross-source leakage (the trivially-true-join
+    # failure mode) would inflate t/m1/m2 above 3.0.
+    assert got["m1"] == 3_000_000
+    assert got["m2"] == 3_000_000
+    assert got["t"] == 3_000_000
+    assert got.get("u", 0) == 0
+
+
 def test_explicit_sources_and_guards(spark):
     edges = [("a", "b"), ("b", "c"), ("c", "d")]
     srcs = spark.createDataFrame([("a",)], "s string")
