@@ -4145,67 +4145,78 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_a3_nodes_group_merge(spark, SF001)
 
 
+# Round-4 driver gate (50-entry cap, least-proven-first). Every name
+# here has NEVER had a fully-green driver row in CORRECTNESS_r01-r03
+# (computed by diffing the three files): line_dedup leads (r3 rows ✓
+# schema ✓ hash ✗, reshaped this round to newline-free output), then
+# the round-3 operators whose gate slots were deferred — KG reasoning,
+# graph analytics, ER, tokenizer training, mixing/sharding, sketches.
+# Twice-driver-green rows (a3/a4/w1/j2/cc_components &c) moved to
+# extra_queries() to free slots; they stay fully oracle-checked by
+# scripts/check_correctness.py and pytest. 17 never-verified names
+# remain queued for the round-5 rotation (see extra_queries).
+_GATE_R4 = [
+    "line_dedup",
+    "owl_entailment",
+    "kg_incremental_entailment",
+    "kg_incremental_closure",
+    "subclass_closure",
+    "kg_validation",
+    "weighted_sssp",
+    "table_profile",
+    "ppjoin_pairs",
+    "weighted_sample",
+    "entailment_provenance",
+    "bgp_aggregates",
+    "bgp_construct",
+    "bgp_property_paths",
+    "cypher_var_length",
+    "scc_components",
+    "dag_levels",
+    "ktruss_3",
+    "densest_subgraph",
+    "modularity_communities",
+    "node2vec_walks",
+    "katz_centrality",
+    "betweenness_sampled",
+    "graph_coloring",
+    "mis_conflict_free",
+    "wl_refinement",
+    "hyperball_balls",
+    "kmv_token_overlap",
+    "kmv_join_size",
+    "bpe_merges",
+    "unigram_segment_cost",
+    "er_fs_scoring",
+    "meta_blocking",
+    "temperature_mix",
+    "cap_per_source",
+    "negative_samples",
+    "shard_layout",
+    "kg_incremental_edges",
+    "scd2_history",
+    "semantic_similarity",
+    "bgp_over_entailment",
+    "kg_corrupt_triples",
+    "linkpred_ranking",
+    "er_agreement_patterns",
+    "schema_summary",
+    "blocking_eval",
+    "pmi_collocations",
+    "skew_report",
+    "bm25_topk",
+    "pq_adc_topk",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-gated registry, capped at 50 entries (the driver truncates
-    there). Ordered least-proven-first: the newest round-3 operators
-    lead; rotated-out entries (r2-driver-green, code unchanged since)
-    live in :func:`extra_queries` (still fully oracle-checked locally
-    by scripts/check_correctness.py and pytest)."""
-    return {
-        # least-proven first so they always get a verdict: the newest
-        # round-3 operators, then the five the round-2 driver gate
-        # truncated before reaching
-        "rdfs_entailment": q_rdfs_entailment,
-        "link_prediction": q_link_prediction,
-        "line_dedup": q_line_dedup,
-        "hits_kg": q_hits_kg,
-        "zorder_values": q_zorder_values,
-        "exact_dup_runs": q_exact_dup_runs,
-        "suffix_ranks": q_suffix_ranks,
-        "semdedup": q_semdedup,
-        "label_propagation": q_label_propagation,
-        "gopher_quality": q_gopher_quality,
-        "kg_incremental_cc": q_kg_incremental_cc,
-        "hll_distinct_spans": q_hll_distinct_spans,
-        "cms_heavy_tokens": q_cms_heavy_tokens,
-        "bloom_prune_decisions": q_bloom_prune_decisions,
-        "quantile_doc_lengths": q_quantile_doc_lengths,
-        "substring_dedup_cut": q_substring_dedup_cut,
-        "bigram_lm_perplexity": q_bigram_lm,
-        "random_projection": q_random_projection,
-        "sq8_adc_topk": q_sq8_adc_topk,
-        "pii_redaction": q_pii_redaction,
-        "url_parse_stats": q_url_parse_stats,
-        "tfidf_topk": q_tfidf_topk,
-        "quality_model_score": q_quality_model,
-        "duplicated_spans": q_duplicated_spans,
-        "kcore_2": q_kcore,
-        "kg_incremental_upsert": q_kg_incremental_upsert,
-        "bfs_khop": q_bfs_khop,
-        "triangle_counts": q_triangle_counts,
-        "pagerank_kg": q_pagerank_kg,
-        "kmeans_clusters": q_kmeans_clusters,
-        "sequence_packing": q_sequence_packing,
-        "near_dup_dedup": q_near_dup_dedup,
-        "benchmark_contamination": q_benchmark_contamination,
-        "ivf_cosine_topk": q_ivf_cosine_topk,
-        "cypher_match": q_cypher_match,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_near_dups": q_simhash_near_dups,
-        "lsh_cosine_topk": q_lsh_cosine_topk,
-        "multimodal_features": q_multimodal_features,
-        "corpus_curation": q_corpus_curation,
-        "a3_nodes_group_merge": q_a3_nodes_group_merge,
-        "a4_edges_provenance": q_a4_edges_provenance,
-        "w1_priority_dedup": q_w1_priority_dedup,
-        "j2_coverage_anti": q_j2_coverage_anti,
-        "s2_union_align": q_s2_union_align,
-        "bgp_filter_optional": q_bgp_filter_optional,
-        "cc_components": q_cc_components,
-        "triples_extract": q_triples_extract,
-        "pivot_events": q_pivot_events,
-        "deterministic_sample": q_deterministic_sample,
-    }
+    there). Round-4 rotation: the gate holds exactly the queries that
+    have never had a fully-green driver row (see ``_GATE_R4``); every
+    previously driver-green query lives in :func:`extra_queries`, still
+    fully oracle-checked locally."""
+    fns = _all_query_fns()
+    return {k: fns[k] for k in _GATE_R4}
 
 
 def _mix_tier_col():
@@ -4567,8 +4578,76 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pivot_events (hour-part bucketed sums), a3_nodes_group_merge
     (partial collect_set agg) and graph_stats_report, and the full
     TPC-H Q1 oracle is retained here.
+    Round-4 rotation: every query with a fully-green round-1/2/3 driver
+    row (90 of the 157 registered) now lives here so the 50 gate slots
+    go to the never-driver-verified set (_GATE_R4). The 17
+    never-verified names that did not fit the cap — mine_expectations,
+    dbscan_embeddings, clustering_coeff, dup_coverage, chunk_sliding,
+    kg_snapshot_diff, kg_random_walks, skipgram_pairs, winnow_overlap,
+    er_token_blocking, url_canonicalize, crawl_schedule, robots_gate,
+    sorted_neighborhood, vocab_topk, bpe_pairs, bgp_union — are queued
+    for the round-5 rotation.
+
     Still oracle-checked by scripts/check_correctness.py and pytest."""
+    gated = set(_GATE_R4)
     return {
+        k: v for k, v in _all_query_fns().items() if k not in gated
+    }
+
+
+def _all_query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every registered query (gated + extra), name → callable."""
+    return {
+        "rdfs_entailment": q_rdfs_entailment,
+        "link_prediction": q_link_prediction,
+        "line_dedup": q_line_dedup,
+        "hits_kg": q_hits_kg,
+        "zorder_values": q_zorder_values,
+        "exact_dup_runs": q_exact_dup_runs,
+        "suffix_ranks": q_suffix_ranks,
+        "semdedup": q_semdedup,
+        "label_propagation": q_label_propagation,
+        "gopher_quality": q_gopher_quality,
+        "kg_incremental_cc": q_kg_incremental_cc,
+        "hll_distinct_spans": q_hll_distinct_spans,
+        "cms_heavy_tokens": q_cms_heavy_tokens,
+        "bloom_prune_decisions": q_bloom_prune_decisions,
+        "quantile_doc_lengths": q_quantile_doc_lengths,
+        "substring_dedup_cut": q_substring_dedup_cut,
+        "bigram_lm_perplexity": q_bigram_lm,
+        "random_projection": q_random_projection,
+        "sq8_adc_topk": q_sq8_adc_topk,
+        "pii_redaction": q_pii_redaction,
+        "url_parse_stats": q_url_parse_stats,
+        "tfidf_topk": q_tfidf_topk,
+        "quality_model_score": q_quality_model,
+        "duplicated_spans": q_duplicated_spans,
+        "kcore_2": q_kcore,
+        "kg_incremental_upsert": q_kg_incremental_upsert,
+        "bfs_khop": q_bfs_khop,
+        "triangle_counts": q_triangle_counts,
+        "pagerank_kg": q_pagerank_kg,
+        "kmeans_clusters": q_kmeans_clusters,
+        "sequence_packing": q_sequence_packing,
+        "near_dup_dedup": q_near_dup_dedup,
+        "benchmark_contamination": q_benchmark_contamination,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
+        "cypher_match": q_cypher_match,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_near_dups": q_simhash_near_dups,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "multimodal_features": q_multimodal_features,
+        "corpus_curation": q_corpus_curation,
+        "a3_nodes_group_merge": q_a3_nodes_group_merge,
+        "a4_edges_provenance": q_a4_edges_provenance,
+        "w1_priority_dedup": q_w1_priority_dedup,
+        "j2_coverage_anti": q_j2_coverage_anti,
+        "s2_union_align": q_s2_union_align,
+        "bgp_filter_optional": q_bgp_filter_optional,
+        "cc_components": q_cc_components,
+        "triples_extract": q_triples_extract,
+        "pivot_events": q_pivot_events,
+        "deterministic_sample": q_deterministic_sample,
         "semantic_similarity": q_semantic_similarity,
         "bgp_property_paths": q_bgp_property_paths,
         "bgp_aggregates": q_bgp_aggregates,

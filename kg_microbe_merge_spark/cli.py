@@ -10,9 +10,13 @@ pipeline, QC coverage checks, ad-hoc SQL.
     python -m kg_microbe_merge_spark sql --kg-dir out/ "SELECT count(*) FROM nodes"
     python -m kg_microbe_merge_spark export-rdf --kg-dir out/ --output out/kg_nt
 
-The reference's SPARQL federation command (query.py) and the declared-
-but-unimplemented ML holdout split (run.py:273 raises NotImplementedError)
-are intentionally out of scope, as in the reference itself.
+    python -m kg_microbe_merge_spark holdouts --nodes nodes.tsv \\
+        --edges edges.tsv --output out/holdouts [--validation]
+
+The reference's SPARQL federation command (query.py) is intentionally
+out of scope (network service); its declared-but-unimplemented ML
+holdout split (run.py:273 raises NotImplementedError) IS implemented
+here — see ``_cmd_holdouts``.
 """
 
 from __future__ import annotations
@@ -323,6 +327,76 @@ def _cmd_entail(args: argparse.Namespace) -> None:
     print(f"wrote entailed triples to {args.output}")
 
 
+def _cmd_holdouts(args: argparse.Namespace) -> None:
+    """ML holdout split — the surface the reference's ``kg holdouts``
+    declares but never implements (reference run.py:210-273 raises
+    NotImplementedError; its docstring defines the output contract this
+    command honors): given KGX node+edge TSVs, emit positive train/test
+    (/valid) edge sets and matching type-consistent negative edge sets.
+
+    Engine semantics (scale-first, deterministic): edges are assigned
+    to splits by id-hash bucket (operators/split.holdout_split — no
+    RNG state, identical across runs/partitionings/cluster sizes);
+    negatives are filtered type-consistent corruptions drawn from the
+    same predicate's entity pool (operators/negatives.corrupt_triples),
+    split by the same hash protocol. The reference's
+    spanning-tree-preserving edge selection is a documented deviation:
+    a global MST over 10^12 edges serializes the sampler, while the
+    hash split stays shuffle-free; connectivity QC is available
+    separately via the coverage / cc machinery."""
+    from pyspark.sql import functions as F
+
+    from .operators.negatives import corrupt_triples
+    from .operators.split import holdout_split
+    from .sources.kgx import read_kgx_tsv, write_tsv_dir, write_tsv_single
+
+    spark = get_spark(app_name="kg-holdouts")
+    f = args.train_fraction
+    if not 0.0 < f < 1.0:
+        raise SystemExit(f"--train-fraction must be in (0, 1): {f}")
+    if args.validation:
+        rest = (1.0 - f) / 2.0
+        weights = {"train": f, "test": rest, "valid": rest}
+    else:
+        weights = {"train": f, "test": 1.0 - f}
+
+    edges = read_kgx_tsv(spark, [args.edges], exclude_columns=["id"])
+    ekey = F.concat_ws("\t", "subject", "predicate", "object")
+    pos = holdout_split(
+        edges.withColumn("_ek", ekey), id_col="_ek", weights=weights,
+        salt=args.salt,
+    )
+    triples = edges.select("subject", "predicate", "object")
+    neg = corrupt_triples(
+        triples, k=1, corrupt="object", salt=args.salt
+    ).select(
+        "subject", "predicate", F.col("negative").alias("object")
+    )
+    neg = holdout_split(
+        neg.withColumn("_ek", ekey), id_col="_ek", weights=weights,
+        salt=args.salt + ":neg",
+    )
+
+    os.makedirs(args.output, exist_ok=True)
+    sink = write_tsv_single if args.single_file else write_tsv_dir
+
+    def emit(df, split: str, name: str) -> None:
+        out = df.filter(F.col("split") == split).drop("_ek", "split")
+        path = os.path.join(args.output, name)
+        sink(out, path + ".tsv" if args.single_file else path)
+
+    emit(pos, "train", "pos_train_edges")
+    emit(pos, "test", "pos_test_edges")
+    emit(neg, "train", "neg_train")
+    emit(neg, "test", "neg_test")
+    if args.validation:
+        emit(pos, "valid", "pos_valid_edges")
+        emit(neg, "valid", "neg_valid")
+    n_out = 4 + (2 if args.validation else 0)
+    print(f"wrote {n_out} holdout sets to {args.output} "
+          f"(weights: {weights})")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="kg_microbe_merge_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -411,6 +485,27 @@ def main(argv: list[str] | None = None) -> None:
                     help="emit only the strictly derived triples")
     en.add_argument("--single-file", action="store_true")
     en.set_defaults(fn=_cmd_entail)
+
+    h = sub.add_parser(
+        "holdouts",
+        help="ML holdout split: positive + negative train/test(/valid) "
+             "edge sets (the reference declares this surface but "
+             "raises NotImplementedError)",
+    )
+    h.add_argument("--nodes", required=True,
+                   help="nodes KGX TSV (schema parity with the "
+                        "reference surface; splits are edge-driven)")
+    h.add_argument("--edges", required=True, help="edges KGX TSV")
+    h.add_argument("--output", required=True)
+    h.add_argument("--train-fraction", type=float, default=0.8)
+    h.add_argument("--validation", action="store_true",
+                   help="also emit pos_valid_edges/neg_valid (splits "
+                        "the non-train fraction in half)")
+    h.add_argument("--salt", default="holdout",
+                   help="hash salt — a different salt is a different "
+                        "(still deterministic) split")
+    h.add_argument("--single-file", action="store_true")
+    h.set_defaults(fn=_cmd_holdouts)
 
     s = sub.add_parser("sql", help="ad-hoc SQL over a merged KG")
     s.add_argument("query")

@@ -428,3 +428,65 @@ def test_cli_sparql_end_to_end(spark, tmp_path, capsys):
     )
     main(["sparql", "--kg-dir", out, "--query-file", str(qf3)])
     assert "True" in capsys.readouterr().out
+
+
+def test_cli_holdouts_end_to_end(spark, tmp_path):
+    """`kg holdouts` e2e — the surface the reference declares but never
+    implements (run.py:210-273): positive + negative train/test(/valid)
+    edge TSVs, deterministic, disjoint, exhaustive over the input."""
+    from kg_microbe_merge_spark.cli import main
+
+    nodes = tmp_path / "nodes.tsv"
+    edges = tmp_path / "edges.tsv"
+    nodes.write_text(
+        "id\tcategory\tname\n"
+        + "".join(f"X:{i}\tbiolink:A\tn{i}\n" for i in range(30))
+    )
+    edges.write_text(
+        "subject\tpredicate\tobject\trelation\tknowledge_source\n"
+        + "".join(
+            f"X:{i}\tbiolink:related_to\tX:{(i * 7 + 1) % 30}\tRO:1\tsrc\n"
+            for i in range(30)
+        )
+    )
+    out = str(tmp_path / "holdouts")
+    main([
+        "holdouts", "--nodes", str(nodes), "--edges", str(edges),
+        "--output", out, "--train-fraction", "0.8", "--validation",
+        "--single-file",
+    ])
+
+    def rows(name):
+        txt = open(os.path.join(out, name + ".tsv")).read().strip()
+        lines = txt.split("\n")
+        assert lines[0].startswith("subject\tpredicate\tobject")
+        return {tuple(l.split("\t")[:3]) for l in lines[1:] if l}
+
+    tr = rows("pos_train_edges")
+    te = rows("pos_test_edges")
+    va = rows("pos_valid_edges")
+    # disjoint + exhaustive positive split
+    assert not (tr & te) and not (tr & va) and not (te & va)
+    assert len(tr) + len(te) + len(va) == 30
+    assert len(tr) >= len(te) and len(tr) >= len(va)
+    # negatives exist, are type-consistent triples, and never collide
+    # with a true edge
+    pos_all = tr | te | va
+    neg_all = (
+        rows("neg_train") | rows("neg_test") | rows("neg_valid")
+    )
+    assert neg_all and not (neg_all & pos_all)
+    assert all(p == "biolink:related_to" for _, p, _o in neg_all)
+    # deterministic: a second run reproduces the same train set
+    out2 = str(tmp_path / "holdouts2")
+    main([
+        "holdouts", "--nodes", str(nodes), "--edges", str(edges),
+        "--output", out2, "--train-fraction", "0.8", "--validation",
+        "--single-file",
+    ])
+    tr2 = {
+        tuple(l.split("\t")[:3])
+        for l in open(os.path.join(out2, "pos_train_edges.tsv"))
+        .read().strip().split("\n")[1:]
+    }
+    assert tr2 == tr
