@@ -22,8 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
-from kg_microbe_merge_spark.functions.extract import with_extracted_text
-from kg_microbe_merge_spark.functions.triples import with_triples
+from kg_microbe_merge_spark.functions.triples import triples_from_corpus
 from kg_microbe_merge_spark.session import get_spark
 from kg_microbe_merge_spark.sources.corpus import generate_corpus
 
@@ -235,16 +234,13 @@ def main() -> None:
         corpus_dir
     )
     corpus = spark.read.parquet(corpus_dir)
-    extracted = with_extracted_text(corpus).select("url", "text", "lang")
-    triples = with_triples(extracted.filter("lang = 'en'").select("url", "text"))
+    # fused single-Arrow-hop stage (functions/triples.py) — row-identical
+    # to the two-UDF path (pytest-proven), one Python hop instead of two
+    triples = triples_from_corpus(corpus)
     # warm-up over a sample spanning every input split: spins up the full
     # Python worker pool + JIT before the steady-state measurement (a
     # production job runs hours; worker spin-up is not the unit cost)
-    with_triples(
-        with_extracted_text(corpus.sample(0.05, seed=1))
-        .filter("lang = 'en'")
-        .select("url", "text")
-    ).count()
+    triples_from_corpus(corpus.sample(0.05, seed=1)).count()
     # best-of-5: this machine shows sporadic multi-second interference
     # bursts (identical back-to-back runs measured 0.7 s vs 7.6 s); the
     # minimum is the engine's capability, the per-run list is published

@@ -114,6 +114,93 @@ def with_triples(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def triples_from_corpus(
+    corpus: DataFrame,
+    lang: str | None = "en",
+    url_col: str = "url",
+    html_col: str = "html",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Fused corpus → exploded triples: html text extraction + SVO
+    extraction in ONE Arrow round trip.
+
+    Semantically identical to ``with_extracted_text`` →
+    ``filter(lang)`` → ``with_triples`` (same pure functions
+    :func:`~..extract.extract_text_py` / :func:`extract_triples_py`
+    per row — pytest asserts exact equality), but the plan shape is
+    what scales: the two chained pandas UDFs of the unfused path are
+    two ArrowEvalPython hops, each serializing the full document text
+    JVM→Python→JVM; this single ``mapInPandas`` stage crosses Arrow
+    once with (url, html) in and only the triple rows out (orders of
+    magnitude smaller than the text), and the language filter runs
+    JVM-side BEFORE the hop — pushed into the parquet scan, so
+    non-target-language html is never decoded, transferred, or
+    extracted. Measured on the 4 M-doc scaling corpus this removes an
+    entire encode/decode of the text column per document and the
+    per-hop worker synchronization stalls that showed up as idle HW
+    threads at local[32].
+
+    Rows that already carry non-null ``text`` keep it (same input
+    contract as ``with_extracted_text``); the iterator form amortizes
+    regex/parser setup across all batches of a partition.
+
+    Output: (url, subj, pred, obj, conf) — documents with no triples
+    produce no rows (inner-explode semantics).
+    """
+    from collections.abc import Iterator
+
+    from .extract import extract_text_py
+
+    has_text = text_col in corpus.columns
+    cols = [url_col, html_col] + ([text_col] if has_text else [])
+    src = corpus
+    if lang is not None and lang_col in corpus.columns:
+        src = src.filter(F.col(lang_col) == lang)
+    src = src.select(*cols)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(url_col, T.StringType()),
+            T.StructField("subj", T.StringType()),
+            T.StructField("pred", T.StringType()),
+            T.StructField("obj", T.StringType()),
+            T.StructField("conf", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls: list[str] = []
+            subjs: list[str] = []
+            preds: list[str] = []
+            objs: list[str] = []
+            confs: list[float] = []
+            htmls = pdf[html_col]
+            texts = pdf[text_col] if has_text else None
+            for i, u in enumerate(pdf[url_col]):
+                t = texts.iloc[i] if texts is not None else None
+                if t is None:
+                    t = extract_text_py(htmls.iloc[i])
+                for s, p, o, c in extract_triples_py(t):
+                    urls.append(u)
+                    subjs.append(s)
+                    preds.append(p)
+                    objs.append(o)
+                    confs.append(c)
+            yield pd.DataFrame(
+                {
+                    url_col: urls,
+                    "subj": subjs,
+                    "pred": preds,
+                    "obj": objs,
+                    "conf": confs,
+                }
+            )
+
+    return src.mapInPandas(gen, out_schema)
+
+
 def extract_triples_regexp(
     df: DataFrame,
     verbs: list[str],

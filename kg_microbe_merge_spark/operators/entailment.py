@@ -130,10 +130,30 @@ def _tbox_closure_df(pairs_df: DataFrame) -> DataFrame:
     )
 
 
+def _tbox_rows(tb: DataFrame) -> list[tuple[str, str, str]]:
+    """Collect the TBox ONCE (it is broadcast-class by contract —
+    every rule join broadcasts relations derived from it anyway).
+    Every schema-side stream, guard, and closure then derives
+    driver-side from this list: profiled at sf0.1, the per-entailment
+    guard job + three closure collects + the 8-branch implication
+    union were >60% of wall on a toy KG — pure plan-compile and
+    job-launch fixed cost, all replaced by one trivial collect."""
+    return [
+        (r[0], r[1], r[2])
+        for r in tb.select("subject", "predicate", "object").collect()
+    ]
+
+
+def _lit_df(spark, rows: list[tuple], schema: str) -> DataFrame:
+    """Literal local relation (broadcast-join side or stream)."""
+    return spark.createDataFrame(rows, schema)
+
+
 def _rdfs_streams(
     abox: DataFrame,
     tbox: DataFrame,
     type_pred: str = TYPE_PRED,
+    tb_rows: list[tuple[str, str, str]] | None = None,
 ) -> dict[str, DataFrame]:
     """The stratified rule streams shared by :func:`rdfs_entailment`
     and :func:`rdfs_entailment_provenance`: each key is a rule tag
@@ -141,41 +161,46 @@ def _rdfs_streams(
     produces — 'asserted' (ABox), 'tbox' (schema rows), 'rdfs7'
     (subproperty lift), 'rdfs2'/'rdfs3' (domain/range typing),
     'rdfs9' (class inheritance), 'rdfs5'/'rdfs11' (materialized TBox
-    closures). Every join is ABox ⋈ broadcast(TBox closure)."""
-    tb = tbox.select("subject", "predicate", "object")
-
-    def _pairs(pred: str) -> DataFrame:
-        return tb.filter(F.col("predicate") == pred).select(
-            F.col("subject").alias("src"), F.col("object").alias("dst")
-        )
+    closures). Every join is ABox ⋈ broadcast(TBox closure); every
+    schema-side relation derives driver-side from ONE TBox collect
+    (:func:`_tbox_rows` — guard included, zero extra jobs)."""
+    spark = tbox.sparkSession
+    if tb_rows is None:
+        tb_rows = _tbox_rows(tbox)
+    tb = _lit_df(
+        spark, tb_rows, "subject string, predicate string, object string"
+    )
 
     # Lite-profile guard: rdf:type in a property hierarchy or carrying
     # domain/range breaks the stratification (see module docstring).
-    bad = tb.filter(
-        (
-            (F.col("predicate") == SUBPROP_PRED)
-            & (
-                (F.col("subject") == type_pred)
-                | (F.col("object") == type_pred)
+    for s, p, o in tb_rows:
+        if (p == SUBPROP_PRED and type_pred in (s, o)) or (
+            p in (DOMAIN_PRED, RANGE_PRED) and s == type_pred
+        ):
+            raise UnsupportedTBoxError(
+                "TBox declares rdf:type in a subPropertyOf relation or "
+                "gives it a domain/range — outside the RDFS-lite "
+                "stratification; use a fixpoint Datalog materializer"
             )
-        )
-        | (
-            F.col("predicate").isin(DOMAIN_PRED, RANGE_PRED)
-            & (F.col("subject") == type_pred)
-        )
-    )
-    if bad.limit(1).count() > 0:
-        raise UnsupportedTBoxError(
-            "TBox declares rdf:type in a subPropertyOf relation or "
-            "gives it a domain/range — outside the RDFS-lite "
-            "stratification; use a fixpoint Datalog materializer"
-        )
 
     # TBox closures (rdfs5 / rdfs11) — driver-side over tiny inputs.
-    subprop_c = _tbox_closure_df(_pairs(SUBPROP_PRED))
-    subclass_c = _tbox_closure_df(_pairs(SUBCLASS_PRED))
-    domains = _pairs(DOMAIN_PRED).withColumnRenamed("dst", "cls")
-    ranges = _pairs(RANGE_PRED).withColumnRenamed("dst", "cls")
+    def _pairs(pred: str) -> list[tuple[str, str]]:
+        return [(s, o) for s, p, o in tb_rows if p == pred]
+
+    subprop_c = _lit_df(
+        spark, _closure_pairs_py(_pairs(SUBPROP_PRED)),
+        "src string, dst string",
+    )
+    subclass_c = _lit_df(
+        spark, _closure_pairs_py(_pairs(SUBCLASS_PRED)),
+        "src string, dst string",
+    )
+    domains = _lit_df(
+        spark, _pairs(DOMAIN_PRED), "src string, cls string"
+    )
+    ranges = _lit_df(
+        spark, _pairs(RANGE_PRED), "src string, cls string"
+    )
 
     a = abox.select("subject", "predicate", "object").filter(
         F.col("subject").isNotNull()
@@ -264,14 +289,17 @@ def rdfs_entailment(
     type_pred: str = TYPE_PRED,
     include_asserted: bool = True,
     max_iterations: int = 30,
+    tb_rows: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
     """Materialize the RDFS-lite entailed graph of ``abox`` under
     ``tbox``. Both are (subject, predicate, object); the TBox holds
     the schema rows (see :func:`split_tbox`). Returns distinct
     (subject, predicate, object) — asserted triples included unless
     ``include_asserted=False`` (then only the strictly derived rows,
-    the release-pipeline "what did reasoning add" delta)."""
-    s = _rdfs_streams(abox, tbox, type_pred)
+    the release-pipeline "what did reasoning add" delta).
+    ``tb_rows``: optional pre-collected TBox (callers that already
+    hold it skip the collect)."""
+    s = _rdfs_streams(abox, tbox, type_pred, tb_rows)
     derived = (
         s["rdfs7"].unionByName(s["rdfs2"])
         .unionByName(s["rdfs3"])
@@ -328,7 +356,21 @@ def _closure_by_pred(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
     object) relation by path doubling — the multi-relation twin of
     :func:`..closure.transitive_closure` (predicate rides in the join
     key, so ALL transitive predicates close in the same log-round
-    loop instead of one driver loop per predicate)."""
+    loop instead of one driver loop per predicate). Runs with
+    constraint propagation scope-disabled: the input carries a literal
+    predicate-IN filter whose constraint attributes trip Catalyst's
+    checkpoint stats rewrite (guards.constraint_propagation_disabled);
+    every returned plan is eagerly checkpointed, nothing lazy escapes
+    the scope."""
+    from .guards import constraint_propagation_disabled
+
+    with constraint_propagation_disabled(edges.sparkSession):
+        return _closure_by_pred_inner(edges, max_iterations)
+
+
+def _closure_by_pred_inner(
+    edges: DataFrame, max_iterations: int = 30
+) -> DataFrame:
     r = edges.select("subject", "predicate", "object").distinct().localCheckpoint(
         eager=True
     )
@@ -360,10 +402,17 @@ def _closure_by_pred(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
     )
 
 
+def _pred_in(preds: list[str]) -> F.Column:
+    """Literal predicate-membership filter (empty set → false) — the
+    no-join replacement for broadcast-joining a tiny predicate list."""
+    return F.col("predicate").isin(*preds) if preds else F.lit(False)
+
+
 def owl_saturate(
     triples: DataFrame,
     tbox: DataFrame,
     max_iterations: int = 30,
+    tb_rows: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
     """OWL-lite property saturation: ``owl:inverseOf``,
     ``owl:SymmetricProperty``, ``owl:TransitiveProperty`` applied to a
@@ -382,25 +431,34 @@ def owl_saturate(
 
     100 TB shape: inverse/symmetric are broadcast-joined row-local
     rewrites (one scan each); the closure touches ONLY the transitive
-    predicates' edge subset (pushed predicate-IN filter). The closure's
-    output-size honesty from operators/closure.py applies per
-    transitive predicate."""
-    tb = tbox.select("subject", "predicate", "object")
-    inv = tb.filter(F.col("predicate") == INVERSE_PRED).select(
-        F.col("subject").alias("p"), F.col("object").alias("q")
-    )
+    predicates' edge subset (literal predicate-IN filter — pushed to
+    the scan, no join). Schema relations derive driver-side from one
+    TBox collect. The closure's output-size honesty from
+    operators/closure.py applies per transitive predicate."""
+    spark = tbox.sparkSession
+    if tb_rows is None:
+        tb_rows = _tbox_rows(tbox)
+    inv_pairs = {
+        (s, o) for s, p, o in tb_rows if p == INVERSE_PRED
+    }
     # inverseOf is symmetric in p/q: apply both directions
-    inv_both = inv.unionByName(
-        inv.select(F.col("q").alias("p"), F.col("p").alias("q"))
-    ).distinct()
-    sym = tb.filter(
-        (F.col("predicate") == TYPE_PRED)
-        & (F.col("object") == SYMMETRIC_CLASS)
-    ).select(F.col("subject").alias("p"))
-    trans = tb.filter(
-        (F.col("predicate") == TYPE_PRED)
-        & (F.col("object") == TRANSITIVE_CLASS)
-    ).select(F.col("subject").alias("p"))
+    inv_both = _lit_df(
+        spark,
+        sorted(inv_pairs | {(q, p) for p, q in inv_pairs}),
+        "p string, q string",
+    )
+    sym = _lit_df(
+        spark,
+        sorted(
+            {(s,) for s, p, o in tb_rows
+             if p == TYPE_PRED and o == SYMMETRIC_CLASS}
+        ),
+        "p string",
+    )
+    trans_preds = sorted(
+        {s for s, p, o in tb_rows
+         if p == TYPE_PRED and o == TRANSITIVE_CLASS}
+    )
 
     def _inv_sym(t: DataFrame) -> DataFrame:
         inverted = (
@@ -423,14 +481,16 @@ def owl_saturate(
 
     a = triples.select("subject", "predicate", "object")
     step1 = _inv_sym(a).distinct()
-    t_edges = step1.join(
-        F.broadcast(trans), step1["predicate"] == trans["p"]
-    ).select("subject", "predicate", "object")
+    t_edges = step1.filter(_pred_in(trans_preds))
     closed = _closure_by_pred(t_edges, max_iterations)
     return _inv_sym(step1.unionByName(closed)).distinct()
 
 
-def _pred_implications(tb: DataFrame, max_iterations: int = 30) -> DataFrame:
+def _pred_implications(
+    tb: DataFrame,
+    max_iterations: int = 30,
+    tb_rows: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
     """Closed SIGNED predicate-implication lattice: (p, psign, q, qsign)
     meaning every p-triple (reversed when psign = -1) is also a
     q-triple (reversed when qsign = -1). Generators: ``p ⊑ q`` gives
@@ -438,56 +498,23 @@ def _pred_implications(tb: DataFrame, max_iterations: int = 30) -> DataFrame:
     ``SymmetricProperty`` a self sign-flip. Closing this TINY graph
     (nodes = predicates × {+1,-1}) TBox-side is what makes the ABox
     mapping ONE broadcast join — the complete replacement for
-    iterating rdfs7/inverse/symmetric to a fixpoint over 100 TB."""
-    sub = tb.filter(F.col("predicate") == SUBPROP_PRED)
-    inv = tb.filter(F.col("predicate") == INVERSE_PRED)
-    sym = tb.filter(
-        (F.col("predicate") == TYPE_PRED)
-        & (F.col("object") == SYMMETRIC_CLASS)
-    )
-    gen = None
-    for e in (
-        sub.select(
-            F.col("subject").alias("p"), F.lit(1).alias("ps"),
-            F.col("object").alias("q"), F.lit(1).alias("qs"),
-        ),
-        sub.select(
-            F.col("subject").alias("p"), F.lit(-1).alias("ps"),
-            F.col("object").alias("q"), F.lit(-1).alias("qs"),
-        ),
-        inv.select(
-            F.col("subject").alias("p"), F.lit(1).alias("ps"),
-            F.col("object").alias("q"), F.lit(-1).alias("qs"),
-        ),
-        inv.select(
-            F.col("subject").alias("p"), F.lit(-1).alias("ps"),
-            F.col("object").alias("q"), F.lit(1).alias("qs"),
-        ),
-        inv.select(
-            F.col("object").alias("p"), F.lit(1).alias("ps"),
-            F.col("subject").alias("q"), F.lit(-1).alias("qs"),
-        ),
-        inv.select(
-            F.col("object").alias("p"), F.lit(-1).alias("ps"),
-            F.col("subject").alias("q"), F.lit(1).alias("qs"),
-        ),
-        sym.select(
-            F.col("subject").alias("p"), F.lit(1).alias("ps"),
-            F.col("subject").alias("q"), F.lit(-1).alias("qs"),
-        ),
-        sym.select(
-            F.col("subject").alias("p"), F.lit(-1).alias("ps"),
-            F.col("subject").alias("q"), F.lit(1).alias("qs"),
-        ),
-    ):
-        gen = e if gen is None else gen.unionByName(e)
-    # close the lattice DRIVER-SIDE: it is (predicates × 2)-sized by
-    # construction (see _closure_pairs_py's contract argument) — BFS
-    # here replaces log-rounds × 2 Spark jobs per entailment call
-    rows = [
-        ((r["p"], r["ps"]), (r["q"], r["qs"])) for r in gen.collect()
-    ]
-    closed = _closure_pairs_py(rows)
+    iterating rdfs7/inverse/symmetric to a fixpoint over 100 TB.
+    Fully driver-side from the collected TBox (profiled: the old
+    8-branch union plan cost ~2 s of Catalyst compile per call)."""
+    if tb_rows is None:
+        tb_rows = _tbox_rows(tb)
+    gen: list[tuple] = []
+    for s, p, o in tb_rows:
+        if p == SUBPROP_PRED:
+            gen += [((s, 1), (o, 1)), ((s, -1), (o, -1))]
+        elif p == INVERSE_PRED:
+            gen += [
+                ((s, 1), (o, -1)), ((s, -1), (o, 1)),
+                ((o, 1), (s, -1)), ((o, -1), (s, 1)),
+            ]
+        elif p == TYPE_PRED and o == SYMMETRIC_CLASS:
+            gen += [((s, 1), (s, -1)), ((s, -1), (s, 1))]
+    closed = _closure_pairs_py(gen)
     return tb.sparkSession.createDataFrame(
         [(p, ps, q, qs) for (p, ps), (q, qs) in closed],
         "p string, ps int, q string, qs int",
@@ -546,31 +573,25 @@ def rdfs_owl_entailment(
     The only profile guard is inherited from :func:`rdfs_entailment`:
     ``rdf:type`` must stay out of the property lattice and carry no
     domain/range, keeping the typing stratum last."""
-    tb = tbox.select("subject", "predicate", "object")
-    bad = tb.filter(
-        (
-            F.col("predicate").isin(SUBPROP_PRED, INVERSE_PRED)
-            & (
-                (F.col("subject") == type_pred)
-                | (F.col("object") == type_pred)
-            )
-        )
-        | (
-            F.col("predicate").isin(DOMAIN_PRED, RANGE_PRED)
-            & (F.col("subject") == type_pred)
-        )
+    spark = tbox.sparkSession
+    tb_rows = _tbox_rows(tbox)
+    tb = _lit_df(
+        spark, tb_rows, "subject string, predicate string, object string"
     )
-    if bad.limit(1).count() > 0:
-        raise UnsupportedTBoxError(
-            "TBox places rdf:type in the property lattice or gives it "
-            "a domain/range — the typing stratum must stay last; use a "
-            "fixpoint Datalog materializer"
-        )
-    impl = _pred_implications(tb, max_iterations)
-    trans = tb.filter(
-        (F.col("predicate") == TYPE_PRED)
-        & (F.col("object") == TRANSITIVE_CLASS)
-    ).select(F.col("subject").alias("p"))
+    for s, p, o in tb_rows:
+        if (
+            p in (SUBPROP_PRED, INVERSE_PRED) and type_pred in (s, o)
+        ) or (p in (DOMAIN_PRED, RANGE_PRED) and s == type_pred):
+            raise UnsupportedTBoxError(
+                "TBox places rdf:type in the property lattice or gives "
+                "it a domain/range — the typing stratum must stay "
+                "last; use a fixpoint Datalog materializer"
+            )
+    impl = _pred_implications(tb, max_iterations, tb_rows)
+    trans_preds = sorted(
+        {s for s, p, o in tb_rows
+         if p == TYPE_PRED and o == TRANSITIVE_CLASS}
+    )
 
     a = abox.select("subject", "predicate", "object").filter(
         F.col("subject").isNotNull()
@@ -578,34 +599,36 @@ def rdfs_owl_entailment(
         & F.col("object").isNotNull()
     )
     mapped = _apply_implications(a, impl).distinct()
-    t_edges = mapped.join(
-        F.broadcast(trans), mapped["predicate"] == trans["p"]
-    ).select("subject", "predicate", "object")
+    t_edges = mapped.filter(_pred_in(trans_preds))
     closed = _closure_by_pred(t_edges, max_iterations)
     sat = _apply_implications(mapped.unionByName(closed), impl).distinct()
 
-    # typing stratum over the saturated set
-    drc_tbox = tb.filter(
-        F.col("predicate").isin(DOMAIN_PRED, RANGE_PRED, SUBCLASS_PRED)
+    # typing stratum over the saturated set (driver-derived TBox subset)
+    drc_rows = [
+        (s, p, o) for s, p, o in tb_rows
+        if p in (DOMAIN_PRED, RANGE_PRED, SUBCLASS_PRED)
+    ]
+    drc_tbox = _lit_df(
+        spark, drc_rows, "subject string, predicate string, object string"
+    )
+    # rdfs5 materialized: the PURE subPropertyOf closure (the mixed
+    # lattice also proves p ⊑ q via inverse chains, but materializing
+    # those as schema triples would overshoot plain RDFS/OWL-RL scm
+    # rules — instances already flow through the lattice either way)
+    sub_closed = _closure_pairs_py(
+        [(s, o) for s, p, o in tb_rows if p == SUBPROP_PRED]
     )
     out = (
-        rdfs_entailment(sat, drc_tbox, type_pred, True, max_iterations)
+        rdfs_entailment(
+            sat, drc_tbox, type_pred, True, max_iterations,
+            tb_rows=drc_rows,
+        )
         .unionByName(tb)
         .unionByName(
-            # rdfs5 materialized: the PURE subPropertyOf closure (the
-            # mixed lattice also proves p ⊑ q via inverse chains, but
-            # materializing those as schema triples would overshoot
-            # plain RDFS/OWL-RL scm rules — instances already flow
-            # through the lattice either way)
-            _tbox_closure_df(
-                tb.filter(F.col("predicate") == SUBPROP_PRED).select(
-                    F.col("subject").alias("src"),
-                    F.col("object").alias("dst"),
-                )
-            ).select(
-                F.col("src").alias("subject"),
-                F.lit(SUBPROP_PRED).alias("predicate"),
-                F.col("dst").alias("object"),
+            _lit_df(
+                spark,
+                [(s, SUBPROP_PRED, o) for s, o in sub_closed],
+                "subject string, predicate string, object string",
             )
         )
         .distinct()
@@ -747,11 +770,12 @@ def _fold_entailment(
     type_pred: str,
     max_iterations: int,
 ) -> DataFrame:
-    impl = _pred_implications(tb, max_iterations)
-    trans = tb.filter(
-        (F.col("predicate") == TYPE_PRED)
-        & (F.col("object") == TRANSITIVE_CLASS)
-    ).select(F.col("subject").alias("p"))
+    tb_rows = _tbox_rows(tb)
+    impl = _pred_implications(tb, max_iterations, tb_rows)
+    trans_preds = sorted(
+        {s for s, p, o in tb_rows
+         if p == TYPE_PRED and o == TRANSITIVE_CLASS}
+    )
 
     # fresh attribute ids for the delta: snapshot and delta routinely
     # split from ONE DataFrame (a flagged scan), so without the alias
@@ -772,12 +796,8 @@ def _fold_entailment(
     )
     mapped_delta = _apply_implications(d, impl).distinct()
 
-    prev_t = p.join(
-        F.broadcast(trans), p["predicate"] == trans["p"]
-    ).select("subject", "predicate", "object")
-    delta_t = mapped_delta.join(
-        F.broadcast(trans), mapped_delta["predicate"] == trans["p"]
-    ).select("subject", "predicate", "object")
+    prev_t = p.filter(_pred_in(trans_preds))
+    delta_t = mapped_delta.filter(_pred_in(trans_preds))
     closed = _incremental_closure_by_pred(prev_t, delta_t, max_iterations)
     closed_new = closed.join(
         prev_t, ["subject", "predicate", "object"], "left_anti"
@@ -793,11 +813,17 @@ def _fold_entailment(
     )
     # typing stratum over the new rows only (the previous output
     # already carries its own types)
-    drc_tbox = tb.filter(
-        F.col("predicate").isin(DOMAIN_PRED, RANGE_PRED, SUBCLASS_PRED)
+    drc_rows = [
+        (s, pp, o) for s, pp, o in tb_rows
+        if pp in (DOMAIN_PRED, RANGE_PRED, SUBCLASS_PRED)
+    ]
+    drc_tbox = _lit_df(
+        p.sparkSession, drc_rows,
+        "subject string, predicate string, object string",
     )
     typed_new = rdfs_entailment(
-        new_rows, drc_tbox, type_pred, True, max_iterations
+        new_rows, drc_tbox, type_pred, True, max_iterations,
+        tb_rows=drc_rows,
     )
     # eager checkpoint: the returned snapshot must stand alone outside
     # the constraint-conf scope (and it IS the next fold's base)

@@ -16,9 +16,8 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
-from kg_microbe_merge_spark.functions.extract import with_extracted_text
 from kg_microbe_merge_spark.functions.linking import link_mentions
-from kg_microbe_merge_spark.functions.triples import with_triples
+from kg_microbe_merge_spark.functions.triples import triples_from_corpus
 from kg_microbe_merge_spark.operators.merge import edges_merge_provenance
 from kg_microbe_merge_spark.session import get_spark
 from kg_microbe_merge_spark.sources.corpus import alias_dictionary
@@ -36,10 +35,11 @@ def main() -> None:
     aliases = alias_dictionary(spark)
 
     def build():
-        extracted = with_extracted_text(corpus).select("url", "text", "lang")
-        triples = with_triples(
-            extracted.filter(F.col("lang") == "en").select("url", "text")
-        )
+        # fused single-Arrow-hop stage (functions/triples.py:
+        # triples_from_corpus) — pytest-proven row-identical to the
+        # two-UDF path; the scaling-relevant difference is one Python
+        # hop instead of two and no text column crossing Arrow twice
+        triples = triples_from_corpus(corpus)
         linked = link_mentions(triples, aliases)
         edges = linked.select(
             F.col("subj").alias("subject"),
@@ -138,10 +138,7 @@ def main() -> None:
     # triple count for the throughput numerator (cheap second pass over
     # the cached-size corpus is NOT used — count the extracted triples
     # only once, untimed, for the report)
-    extracted = with_extracted_text(corpus).select("url", "text", "lang")
-    n_triples = with_triples(
-        extracted.filter(F.col("lang") == "en").select("url", "text")
-    ).count()
+    n_triples = triples_from_corpus(corpus).count()
     print(
         json.dumps(
             {

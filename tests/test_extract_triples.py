@@ -93,3 +93,67 @@ def test_triples_deterministic_and_pure(spark):
             assert set(triples) == set(d["truths"]), f"doc {i}"
         else:
             assert triples == []
+
+
+def test_fused_triples_equal_unfused_path(spark):
+    """triples_from_corpus (one mapInPandas hop) must equal the
+    two-UDF path exactly — same rows, same multiplicities."""
+    from kg_microbe_merge_spark.functions.triples import (
+        triples_from_corpus,
+        with_triples,
+    )
+
+    corpus = generate_corpus(spark, 400, seed=42)
+    unfused = (
+        with_triples(
+            with_extracted_text(corpus)
+            .filter(F.col("lang") == "en")
+            .select("url", "text")
+        )
+        .select("url", "subj", "pred", "obj", "conf")
+    )
+    fused = triples_from_corpus(corpus)
+    a = sorted(map(tuple, unfused.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b and a
+
+
+def test_fused_triples_plan_shape(spark, tmp_path):
+    """ONE Python hop over a parquet corpus; the language filter is
+    pushed into the scan, so non-en html is never decoded or
+    transferred across Arrow."""
+    from kg_microbe_merge_spark.functions.triples import triples_from_corpus
+
+    path = str(tmp_path / "corpus")
+    generate_corpus(spark, 50, seed=1).write.parquet(path)
+    plan = (
+        triples_from_corpus(spark.read.parquet(path))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # column pruning: warc_ts never read
+    assert "warc_ts" not in plan.split("ReadSchema")[1]
+
+
+def test_fused_triples_keeps_preextracted_text(spark):
+    """Rows with non-null text skip html extraction (input contract
+    parity with with_extracted_text)."""
+    from kg_microbe_merge_spark.functions.triples import triples_from_corpus
+
+    df = spark.createDataFrame(
+        [
+            ("u1", None, "Alpha produces Beta", "en"),
+            ("u2", b"<html><body><p>Gamma inhibits Delta and more words here</p></body></html>", None, "en"),
+            ("u3", None, "Epsilon binds Zeta", "de"),
+        ],
+        "url string, html binary, text string, lang string",
+    )
+    rows = {
+        (r["url"], r["subj"], r["pred"], r["obj"])
+        for r in triples_from_corpus(df).collect()
+    }
+    assert ("u1", "Alpha", "produces", "Beta") in rows
+    assert ("u2", "Gamma", "inhibits", "Delta") in rows
+    assert not any(u == "u3" for u, *_ in rows)
