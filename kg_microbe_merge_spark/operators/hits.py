@@ -68,16 +68,36 @@ def hits(
     )
     hubs = nodes.select("node", F.lit(1.0).alias("hub"))
     auths = None
+    cached: list[DataFrame] = []
     for _ in range(iterations):
         auths = _half_step(
-            e_by_src, nodes, hubs, "hub", "src", "dst", "authority"
+            e_by_src, hubs, "hub", "src", "dst", "authority", cached
         )
         hubs = _half_step(
-            e_by_dst, nodes, auths, "authority", "dst", "src", "hub"
+            e_by_dst, auths, "authority", "dst", "src", "hub", cached
         )
+    # cut lineage once at the end (the per-round persists already hold
+    # the data; the checkpoints make unpersisting them safe), then free
+    # every cached relation
+    hubs = hubs.localCheckpoint(eager=True)
+    auths = auths.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
     e_by_src.unpersist()
     e_by_dst.unpersist()
-    out = hubs.join(auths, "node").select("node", "hub", "authority")
+    # zero-fill ONCE at the output: intermediate half-steps carry only
+    # nonzero scores (zero-score nodes contribute nothing to the sums,
+    # so dropping their explicit rows is exact), which removes a
+    # nodes-left-join shuffle from every half-step
+    out = (
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
+        )
+    )
     if round_to is not None:
         out = out.select(
             "node",
@@ -89,29 +109,29 @@ def hits(
 
 def _half_step(
     e: DataFrame,
-    nodes: DataFrame,
     scores: DataFrame,
     score_col: str,
     join_end: str,
     sum_end: str,
     out_col: str,
+    cached: list[DataFrame],
 ) -> DataFrame:
     """One HITS half-step: propagate ``score_col`` across edges from
-    ``join_end`` to ``sum_end``, max-normalize, checkpoint."""
+    ``join_end`` to ``sum_end``, max-normalize. ONE action per
+    half-step: the max-agg ``first()`` materializes the persisted sum
+    table as a side effect (scores are nonnegative, so max over the
+    nonzero rows equals max over the zero-filled table; max over
+    doubles is summation-order independent — safe to pull to the
+    driver and re-broadcast as a literal, like the CC checksum)."""
     raw = (
         e.join(scores, e[join_end] == scores["node"])
         .groupBy(F.col(sum_end).alias("node"))
         .agg(F.sum(score_col).alias("_s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    stepped = nodes.join(raw, "node", "left").select(
-        "node", F.coalesce(F.col("_s"), F.lit(0.0)).alias("_s")
-    )
-    stepped = stepped.localCheckpoint(eager=True)
-    # max over doubles is summation-order independent — safe to pull to
-    # the driver and re-broadcast as a literal (O(1) rows, like the CC
-    # convergence checksum)
-    mx = stepped.agg(F.max("_s")).first()[0] or 0.0
+    cached.append(raw)
+    mx = raw.agg(F.max("_s")).first()[0] or 0.0
     norm = (
         (F.col("_s") / F.lit(mx)) if mx > 0.0 else F.lit(0.0)
     )
-    return stepped.select("node", norm.alias(out_col))
+    return raw.select("node", norm.alias(out_col))

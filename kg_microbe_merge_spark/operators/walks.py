@@ -295,8 +295,11 @@ def node2vec_walks(
         F.col(start_col).cast("string").alias("node"),
         F.lit(None).cast("string").alias("prev"),
     )
+    # out accumulates as a PLAIN union of per-step checkpointed pos
+    # frames — checkpointing the union itself would re-materialize all
+    # accumulated rows every step (O(steps²) copies, one extra job per
+    # step) for layers that are already materialized
     out = pos.select("walk_id", F.lit(0).alias("step"), "node")
-    out = out.localCheckpoint(eager=True)
     for t in range(1, steps + 1):
         pending = pos
         nxt = None
@@ -341,14 +344,14 @@ def node2vec_walks(
             )
             accept = (acc_hash % F.lit(w_max)) < F.col("_w")
             take = F.lit(r == rounds) | accept
-            step_rows = (
-                cand.filter(take)
-                .select(
-                    "walk_id",
-                    F.col("_cur").alias("prev"),
-                    F.col("cand").alias("node"),
-                )
-                .localCheckpoint(eager=True)
+            # no per-round checkpoint of the accepted rows: they are
+            # materialized once by the per-step pos checkpoint below
+            # (the pending checkpoint already bounds lineage; within a
+            # step the union stays ≤ rounds layers deep)
+            step_rows = cand.filter(take).select(
+                "walk_id",
+                F.col("_cur").alias("prev"),
+                F.col("cand").alias("node"),
             )
             nxt = step_rows if nxt is None else nxt.unionByName(step_rows)
             if r < rounds:
@@ -362,7 +365,7 @@ def node2vec_walks(
         )
         out = out.unionByName(
             pos.select("walk_id", F.lit(t).alias("step"), "node")
-        ).localCheckpoint(eager=True)
+        )
     re_df.unpersist()
     deg_df.unpersist()
     e_set.unpersist()
