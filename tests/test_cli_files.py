@@ -490,3 +490,30 @@ def test_cli_holdouts_end_to_end(spark, tmp_path):
         .read().strip().split("\n")[1:]
     }
     assert tr2 == tr
+
+
+def test_image_features_real_codec_guard():
+    """image_features prefers the PIL path and falls back to the
+    deterministic fake when the codec is absent (this container) or
+    the payload is corrupt; decode_image raises a clear guard."""
+    import pytest
+
+    from kg_microbe_merge_spark.operators.multimodal import (
+        decode_image,
+        fake_decode_features,
+        image_features,
+    )
+
+    assert image_features(None) == [0.0] * 16
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        assert image_features(b"abc") == fake_decode_features(b"abc")
+        with pytest.raises(NotImplementedError, match="pillow"):
+            decode_image(b"\xff\xd8\xff")
+    else:  # pragma: no cover - PIL absent in CI image
+        assert len(image_features(b"not-an-image")) == 16
