@@ -4145,78 +4145,85 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_a3_nodes_group_merge(spark, SF001)
 
 
-# Round-4 driver gate (50-entry cap, least-proven-first). Every name
-# here has NEVER had a fully-green driver row in CORRECTNESS_r01-r03
-# (computed by diffing the three files): line_dedup leads (r3 rows ✓
-# schema ✓ hash ✗, reshaped this round to newline-free output), then
-# the round-3 operators whose gate slots were deferred — KG reasoning,
-# graph analytics, ER, tokenizer training, mixing/sharding, sketches.
-# Twice-driver-green rows (a3/a4/w1/j2/cc_components &c) moved to
-# extra_queries() to free slots; they stay fully oracle-checked by
-# scripts/check_correctness.py and pytest. 17 never-verified names
-# remain queued for the round-5 rotation (see extra_queries).
-_GATE_R4 = [
-    "line_dedup",
-    "owl_entailment",
-    "kg_incremental_entailment",
-    "kg_incremental_closure",
-    "subclass_closure",
-    "kg_validation",
-    "weighted_sssp",
-    "table_profile",
-    "ppjoin_pairs",
-    "weighted_sample",
-    "entailment_provenance",
-    "bgp_aggregates",
-    "bgp_construct",
-    "bgp_property_paths",
-    "cypher_var_length",
-    "scc_components",
-    "dag_levels",
-    "ktruss_3",
-    "densest_subgraph",
-    "modularity_communities",
-    "node2vec_walks",
-    "katz_centrality",
-    "betweenness_sampled",
-    "graph_coloring",
-    "mis_conflict_free",
-    "wl_refinement",
-    "hyperball_balls",
-    "kmv_token_overlap",
-    "kmv_join_size",
-    "bpe_merges",
-    "unigram_segment_cost",
-    "er_fs_scoring",
-    "meta_blocking",
-    "temperature_mix",
-    "cap_per_source",
-    "negative_samples",
-    "shard_layout",
-    "kg_incremental_edges",
-    "scd2_history",
-    "semantic_similarity",
-    "bgp_over_entailment",
-    "kg_corrupt_triples",
-    "linkpred_ranking",
-    "er_agreement_patterns",
-    "schema_summary",
-    "blocking_eval",
-    "pmi_collocations",
-    "skew_report",
-    "bm25_topk",
-    "pq_adc_topk",
+# Round-5 driver gate (50-entry cap). Composition per VERDICT.md r4
+# "Next round" items 1+5: (a) the 17 queries that have NEVER had a
+# driver row in CORRECTNESS_r01-r04 (computed by diffing the four
+# files against _all_query_fns(); cumulative driver-green coverage
+# becomes 157/157 when these land), (b) hits_kg — its sparse
+# half-step rewrite (operators/hits.py) landed AFTER its last green
+# driver row, so it carries only local-oracle evidence, (c) the six
+# flagship re-gates VERDICT names for regression cover, (d) 26
+# re-gates drawn from the queries whose last green driver row is the
+# OLDEST (round 2) — least-recently-proven-first. Everything else
+# moves to extra_queries(), still fully oracle-checked by
+# scripts/check_correctness.py and pytest.
+_GATE_R5 = [
+    # (a) never driver-verified — 17
+    "mine_expectations",
+    "dbscan_embeddings",
+    "bgp_union",
+    "clustering_coeff",
+    "dup_coverage",
+    "chunk_sliding",
+    "kg_snapshot_diff",
+    "kg_random_walks",
+    "skipgram_pairs",
+    "winnow_overlap",
+    "er_token_blocking",
+    "url_canonicalize",
+    "crawl_schedule",
+    "robots_gate",
+    "sorted_neighborhood",
+    "vocab_topk",
+    "bpe_pairs",
+    # (b) semantics-relevant rewrite after last green row
+    "hits_kg",
+    # (c) flagship regression cover (VERDICT r4 item 1)
+    "a3_nodes_group_merge",
+    "a4_edges_provenance",
+    "w1_priority_dedup",
+    "j2_coverage_anti",
+    "cc_components",
+    "minhash_lsh",
+    # (d) oldest driver evidence (last green: round 2)
+    "a2_count_distinct",
+    "a3_nodes_group_merge_salted",
+    "a3_nodes_group_merge_skew_aware",
+    "a4_edges_distinct",
+    "anti_join",
+    "semi_join",
+    "u1_endpoint_union",
+    "dedup_exact",
+    "ngram_jaccard",
+    "embedding_near_dups",
+    "embedding_topk",
+    "global_topk",
+    "topk_per_group",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q18_large_orders",
+    "sessionization",
+    "rolling_1h_range",
+    "asof_enrich",
+    "range_band_join",
+    "holdout_split",
+    "graph_stats_report",
+    "cc_chain_hub",
+    "stratified_sample",
+    "text_quality",
+    "bgp_two_hop",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-gated registry, capped at 50 entries (the driver truncates
-    there). Round-4 rotation: the gate holds exactly the queries that
-    have never had a fully-green driver row (see ``_GATE_R4``); every
-    previously driver-green query lives in :func:`extra_queries`, still
-    fully oracle-checked locally."""
+    there). Round-5 rotation: the 17 never-driver-verified queries,
+    hits_kg (rewritten after its last green row), and 32 re-gates of
+    the least-recently-proven queries (see ``_GATE_R5``); every other
+    query lives in :func:`extra_queries`, still fully oracle-checked
+    locally."""
     fns = _all_query_fns()
-    return {k: fns[k] for k in _GATE_R4}
+    return {k: fns[k] for k in _GATE_R5}
 
 
 def _mix_tier_col():
@@ -4578,18 +4585,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pivot_events (hour-part bucketed sums), a3_nodes_group_merge
     (partial collect_set agg) and graph_stats_report, and the full
     TPC-H Q1 oracle is retained here.
-    Round-4 rotation: every query with a fully-green round-1/2/3 driver
-    row (90 of the 157 registered) now lives here so the 50 gate slots
-    go to the never-driver-verified set (_GATE_R4). The 17
-    never-verified names that did not fit the cap — mine_expectations,
-    dbscan_embeddings, clustering_coeff, dup_coverage, chunk_sliding,
-    kg_snapshot_diff, kg_random_walks, skipgram_pairs, winnow_overlap,
-    er_token_blocking, url_canonicalize, crawl_schedule, robots_gate,
-    sorted_neighborhood, vocab_topk, bpe_pairs, bgp_union — are queued
-    for the round-5 rotation.
+    Round-5 rotation: the gate (_GATE_R5) holds the 17 queries that
+    had never been driver-verified through round 4 (once green,
+    cumulative driver coverage is 157/157 registered queries),
+    hits_kg (sparse half-step rewrite landed after its last green
+    driver row), and 32 least-recently-proven re-gates (the VERDICT
+    r4 flagship list plus every query whose last green row was round
+    2). Everything else — including the full round-4 gate, all green
+    in CORRECTNESS_r04 — lives here.
 
     Still oracle-checked by scripts/check_correctness.py and pytest."""
-    gated = set(_GATE_R4)
+    gated = set(_GATE_R5)
     return {
         k: v for k, v in _all_query_fns().items() if k not in gated
     }

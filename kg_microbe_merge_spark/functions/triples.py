@@ -201,6 +201,82 @@ def triples_from_corpus(
     return src.mapInPandas(gen, out_schema)
 
 
+def triples_from_corpus_jvm(
+    corpus: DataFrame,
+    lang: str | None = "en",
+    url_col: str = "url",
+    html_col: str = "html",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Zero-Python twin of :func:`triples_from_corpus` — same output
+    rows (pytest-proven identical on the scaling corpus AND on
+    adversarial out-of-class html), different physical plan.
+
+    Rows whose html falls inside the whitelisted plain-tag class
+    (:func:`~..extract.jvm_extract_eligible`) run entirely as Catalyst
+    expressions: decode → skip-container removal → block marking → tag
+    strip → whitespace normalization → SVO ``regexp_extract_all`` —
+    one whole-stage-codegen span, no Arrow hop, no Python workers.
+    Rows OUTSIDE the class (or with pre-populated ``text``) take the
+    fused Arrow path, so correctness never depends on the regex twin
+    handling the open html grammar. At 100 TB this removes two full
+    copies of every eligible document (JVM→Arrow→Python) and frees the
+    Python-worker cores entirely when the corpus is template-clean.
+    """
+    from ..functions.extract import jvm_extract_eligible, jvm_extract_text
+
+    has_text = text_col in corpus.columns
+    src = corpus
+    if lang is not None and lang_col in corpus.columns:
+        src = src.filter(F.col(lang_col) == lang)
+
+    eligible = jvm_extract_eligible(F.col(html_col))
+    if has_text:
+        eligible = eligible & F.col(text_col).isNull()
+
+    jvm_side = (
+        src.filter(eligible)
+        .select(
+            F.col(url_col),
+            jvm_extract_text(F.col(html_col)).alias("_text"),
+        )
+        .select(
+            url_col,
+            F.explode(
+                F.regexp_extract_all(F.col("_text"), F.lit(_JVM_SVO_PAT), 0)
+            ).alias("_m"),
+        )
+        .select(
+            url_col,
+            F.regexp_extract(F.col("_m"), _JVM_SVO_PAT, 1).alias("subj"),
+            F.translate(
+                F.regexp_extract(F.col("_m"), _JVM_SVO_PAT, 2), " ", "_"
+            ).alias("pred"),
+            F.regexp_extract(F.col("_m"), _JVM_SVO_PAT, 3).alias("obj"),
+            F.lit(1.0).alias("conf"),
+        )
+        .filter(
+            ~F.lower(F.col("subj")).isin(*STOPWORDS)
+            & ~F.lower(F.col("obj")).isin(*STOPWORDS)
+        )
+    )
+    py_side = triples_from_corpus(
+        src.filter(~F.coalesce(eligible, F.lit(False))),
+        lang=None,  # already filtered above
+        url_col=url_col,
+        html_col=html_col,
+        text_col=text_col,
+        lang_col=lang_col,
+    )
+    return jvm_side.unionByName(py_side)
+
+
+# (?U): Java \s matches Python's Unicode \s. Same pattern string as
+# _TRIPLE_RE; leftmost non-overlapping matches in both engines.
+_JVM_SVO_PAT = rf"(?U)({_ENTITY_RE})\s+({_VERB_ALT})\s+({_ENTITY_RE})"
+
+
 def extract_triples_regexp(
     df: DataFrame,
     verbs: list[str],

@@ -18,7 +18,7 @@ import __spark_entry__ as entry_mod
 
 def test_gate_is_exactly_the_rotation_list_and_capped():
     q = entry_mod.queries()
-    assert list(q) == entry_mod._GATE_R4
+    assert list(q) == entry_mod._GATE_R5
     assert len(q) <= 50, "driver truncates at 50 — entries past the cap get no verdict"
     assert len(q) == len(set(q)), "duplicate gate names"
 
