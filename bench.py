@@ -292,6 +292,25 @@ def main() -> None:
         "BENCH",
         "scaling_windows.jsonl",
     )
+    # measured memory-bandwidth roofline (scripts/membw_probe.py): the
+    # machine's own triad-bandwidth scaling bounds any bandwidth-bound
+    # workload's pair efficiency — the closed-case attribution for the
+    # 8->32 pair (see BENCH/BASELINE.md)
+    roofline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH",
+        "membw_roofline.json",
+    )
+    if os.path.exists(roofline_path):
+        with open(roofline_path) as f:
+            r = json.load(f)
+        out["membw_roofline"] = {
+            "triad_gb_per_sec_best": r.get("triad_gb_per_sec"),
+            "bandwidth_bound_pair_ceiling": r.get(
+                "bandwidth_bound_pair_ceiling"
+            ),
+            "measured_at": r.get("measured_at"),
+        }
     if os.path.exists(windows_path):
         with open(windows_path) as f:
             wins = [json.loads(l) for l in f if l.strip()]

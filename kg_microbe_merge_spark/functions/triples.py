@@ -215,32 +215,54 @@ def triples_from_corpus_jvm(
 
     Rows whose html falls inside the whitelisted plain-tag class
     (:func:`~..extract.jvm_extract_eligible`) run entirely as Catalyst
-    expressions: decode → skip-container removal → block marking → tag
-    strip → whitespace normalization → SVO ``regexp_extract_all`` —
-    one whole-stage-codegen span, no Arrow hop, no Python workers.
-    Rows OUTSIDE the class (or with pre-populated ``text``) take the
-    fused Arrow path, so correctness never depends on the regex twin
-    handling the open html grammar. At 100 TB this removes two full
-    copies of every eligible document (JVM→Arrow→Python) and frees the
-    Python-worker cores entirely when the corpus is template-clean.
+    expressions: cast → skip-container removal → block marking → tag
+    strip → whitespace normalization → SVO ``regexp_extract_all``.
+    Rows OUTSIDE the class (or with pre-populated ``text``) are
+    resolved by the Arrow reference UDF, fed a NULL-MASKED html column
+    in the same single pass — the ArrowEvalPython node runs over all
+    rows but its batches carry bytes only for the rare out-of-class
+    documents, so correctness never depends on the regex twin handling
+    the open html grammar while eligible documents never cross Arrow.
+    At 100 TB this removes two full copies of every eligible document
+    (JVM→Arrow→Python) from the memory-bandwidth budget.
     """
-    from ..functions.extract import jvm_extract_eligible, jvm_extract_text
+    from ..functions.extract import (
+        extract_text_udf,
+        jvm_extract_eligible_pre,
+        jvm_extract_text_pre,
+        jvm_no_skip,
+    )
 
     has_text = text_col in corpus.columns
     src = corpus
     if lang is not None and lang_col in corpus.columns:
         src = src.filter(F.col(lang_col) == lang)
 
-    eligible = jvm_extract_eligible(F.col(html_col))
-    if has_text:
-        eligible = eligible & F.col(text_col).isNull()
+    # Single-pass text resolution (one scan, no union; the expensive
+    # skip-container removal runs ONCE via an explicit intermediate
+    # column — Catalyst does not CSE identical regex subtrees):
+    #   1. pre-populated text wins (input contract),
+    #   2. class-eligible html extracts JVM-side,
+    #   3. everything else goes to the Arrow reference UDF — fed a
+    #      NULL-masked html column, so the Arrow batch carries bytes
+    #      ONLY for the rare out-of-class rows (nulls are ~free) even
+    #      though the ArrowEvalPython node runs over every row.
+    with_noskip = src.withColumn("_noskip", jvm_no_skip(F.col(html_col)))
+    eligible = jvm_extract_eligible_pre(F.col(html_col), F.col("_noskip"))
+    pre_text = F.col(text_col) if has_text else F.lit(None).cast("string")
+    need_py = pre_text.isNull() & ~F.coalesce(eligible, F.lit(False))
+    full_text = F.coalesce(
+        pre_text,
+        F.when(eligible, jvm_extract_text_pre(F.col("_noskip"))),
+        extract_text_udf(F.when(need_py, F.col(html_col))),
+    )
 
-    jvm_side = (
-        src.filter(eligible)
-        .select(
-            F.col(url_col),
-            jvm_extract_text(F.col(html_col)).alias("_text"),
-        )
+    # SVO is ALWAYS JVM: its equivalence with extract_triples_py does
+    # not depend on the html class (same pattern string, (?U) Unicode
+    # \s, identical leftmost non-overlapping semantics; fuzz-proven in
+    # tests/test_extract_jvm.py over out-of-class documents too).
+    return (
+        with_noskip.select(F.col(url_col), full_text.alias("_text"))
         .select(
             url_col,
             F.explode(
@@ -261,15 +283,6 @@ def triples_from_corpus_jvm(
             & ~F.lower(F.col("obj")).isin(*STOPWORDS)
         )
     )
-    py_side = triples_from_corpus(
-        src.filter(~F.coalesce(eligible, F.lit(False))),
-        lang=None,  # already filtered above
-        url_col=url_col,
-        html_col=html_col,
-        text_col=text_col,
-        lang_col=lang_col,
-    )
-    return jvm_side.unionByName(py_side)
 
 
 # (?U): Java \s matches Python's Unicode \s. Same pattern string as

@@ -28,12 +28,16 @@ Scale design (the :mod:`.pagerank` shape, applied twice per round):
   table against it. Per-round shuffles: scores → edge partitioning and
   the map-side-combined ``sum`` per endpoint — hub nodes with 10^6
   in-links never materialize a neighbor list on one reducer.
-* The normalizer is one O(1) driver action per half-step (an ``agg``
-  of a single max — same cost class as the CC convergence check);
-  the division is a literal broadcast into the next stage.
-* Scores are eagerly ``localCheckpoint``-ed per round: lineage stays
-  O(1). On a real cluster use reliable ``checkpoint`` (see
-  :mod:`.components`).
+* The normalizer is a single-row max-aggregate BROADCAST back over the
+  sum table (BroadcastNestedLoopJoin of one row — the declarative form
+  of collect-and-re-literalize): no driver collect anywhere in the
+  recurrence.
+* ONE eager ``localCheckpoint`` per round bounds the logical plan
+  (each half-step's sum table appears twice downstream, so the tree
+  would double per half-step — 2^8 subtrees for 4 rounds — without the
+  round barrier) while halving the action count of a
+  collect-per-half-step design. On a real cluster use reliable
+  ``checkpoint`` (see :mod:`.components`).
 """
 
 from __future__ import annotations
@@ -68,21 +72,19 @@ def hits(
     )
     hubs = nodes.select("node", F.lit(1.0).alias("hub"))
     auths = None
-    cached: list[DataFrame] = []
     for _ in range(iterations):
-        auths = _half_step(
-            e_by_src, hubs, "hub", "src", "dst", "authority", cached
-        )
-        hubs = _half_step(
-            e_by_dst, auths, "authority", "dst", "src", "hub", cached
-        )
-    # cut lineage once at the end (the per-round persists already hold
-    # the data; the checkpoints make unpersisting them safe), then free
-    # every cached relation
-    hubs = hubs.localCheckpoint(eager=True)
+        auths = _half_step(e_by_src, hubs, "hub", "src", "dst", "authority")
+        hubs = _half_step(e_by_dst, auths, "authority", "dst", "src", "hub")
+        # ONE action per ROUND (the eager checkpoint), none per
+        # half-step and no driver collects: each half-step's sum table
+        # appears twice in the downstream plan (feeding the next step
+        # AND under its own broadcast max-normalizer), so the logical
+        # tree doubles per half-step — the round checkpoint resets it
+        # to a leaf, keeping analysis/optimization O(1) per round while
+        # halving the action count of the old collect-per-half-step
+        # design
+        hubs = hubs.localCheckpoint(eager=True)
     auths = auths.localCheckpoint(eager=True)
-    for df in cached:
-        df.unpersist()
     e_by_src.unpersist()
     e_by_dst.unpersist()
     # zero-fill ONCE at the output: intermediate half-steps carry only
@@ -114,24 +116,27 @@ def _half_step(
     join_end: str,
     sum_end: str,
     out_col: str,
-    cached: list[DataFrame],
 ) -> DataFrame:
     """One HITS half-step: propagate ``score_col`` across edges from
-    ``join_end`` to ``sum_end``, max-normalize. ONE action per
-    half-step: the max-agg ``first()`` materializes the persisted sum
-    table as a side effect (scores are nonnegative, so max over the
-    nonzero rows equals max over the zero-filled table; max over
-    doubles is summation-order independent — safe to pull to the
-    driver and re-broadcast as a literal, like the CC checksum)."""
+    ``join_end`` to ``sum_end``, max-normalize. ZERO driver actions:
+    the single-row max-aggregate is broadcast back over the sum table
+    (BroadcastNestedLoopJoin of a 1-row relation — the declarative form
+    of collect-and-re-literalize), so the whole multi-round recurrence
+    stays one lazy plan and the driver never synchronizes mid-round.
+    Scores are nonnegative, so max over the nonzero rows equals max
+    over the zero-filled table; max over doubles is summation-order
+    independent — the value is identical to the collected variant."""
     raw = (
         e.join(scores, e[join_end] == scores["node"])
         .groupBy(F.col(sum_end).alias("node"))
         .agg(F.sum(score_col).alias("_s"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cached.append(raw)
-    mx = raw.agg(F.max("_s")).first()[0] or 0.0
-    norm = (
-        (F.col("_s") / F.lit(mx)) if mx > 0.0 else F.lit(0.0)
+    mx = raw.agg(F.max("_s").alias("_mx"))
+    return raw.crossJoin(F.broadcast(mx)).select(
+        "node",
+        F.when(
+            F.col("_mx").isNull() | (F.col("_mx") <= 0.0), F.lit(0.0)
+        )
+        .otherwise(F.col("_s") / F.col("_mx"))
+        .alias(out_col),
     )
-    return raw.select("node", norm.alias(out_col))

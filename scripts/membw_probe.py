@@ -33,7 +33,11 @@ import time
 
 N_ELEMS = 32 * 1024 * 1024  # 256 MiB per array, 3 arrays = 768 MiB/proc
 BYTES_PER_ELEM = 32  # load b + load c + store a + write-allocate a
-SECONDS = 6.0
+SECONDS = 3.0
+TRIALS = 6  # host co-tenancy swings guest bandwidth 5-10x between
+# short windows (measured); each level takes max over TRIALS samples —
+# the machine's best-case supply, matching the scaling bench's
+# best-of-accepted convention. All samples are archived.
 
 
 def _worker(core: int, out_q: mp.Queue) -> None:
@@ -78,19 +82,32 @@ def main() -> None:
     ]
     with open("/proc/loadavg") as f:
         load = f.read().split()[:3]
-    bw = {}
+    samples: dict[int, list[float]] = {p: [] for p in levels}
+    # interleave levels across trials so a host-side bandwidth dip hits
+    # every level equally instead of biasing whichever level ran then
+    for t in range(TRIALS):
+        for p in levels:
+            samples[p].append(measure(p))
+        print(
+            f"# trial {t + 1}: "
+            + ", ".join(f"{p}c={samples[p][-1]}" for p in levels),
+            file=sys.stderr,
+        )
+    bw = {p: max(v) for p, v in samples.items()}
     for p in levels:
-        bw[p] = measure(p)
-        print(f"# {p} cores: {bw[p]} GB/s", file=sys.stderr)
+        print(f"# {p} cores: best {bw[p]} GB/s of {samples[p]}",
+              file=sys.stderr)
     pairs = {}
     for n in levels:
         if n * 4 in bw:
             pairs[f"{n}->{n * 4}"] = round(bw[n * 4] / (4 * bw[n]), 3)
     out = {
         "triad_gb_per_sec": bw,
+        "triad_samples_gb_per_sec": samples,
         "bandwidth_bound_pair_ceiling": pairs,
         "elems_per_array": N_ELEMS,
-        "seconds_per_level": SECONDS,
+        "seconds_per_trial": SECONDS,
+        "trials": TRIALS,
         "loadavg_at_start": load,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }

@@ -110,6 +110,67 @@ disks), which this box cannot emulate at the top pair.
 """
 
 
+def _roofline_section() -> str:
+    """Measured memory-bandwidth roofline (scripts/membw_probe.py) —
+    rendered when BENCH/membw_roofline.json exists."""
+    path = os.path.join(BENCH_DIR, "membw_roofline.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        r = json.load(f)
+    bw = r["triad_gb_per_sec"]
+    ceil = r["bandwidth_bound_pair_ceiling"]
+    rows = "\n".join(
+        f"| {p} | {bw[p]} | {round(bw[p] / int(p), 1)} "
+        f"| {r.get('triad_samples_gb_per_sec', {}).get(p, '—')} |"
+        for p in bw
+    )
+    crows = "\n".join(f"| {k} | **{v}** |" for k, v in ceil.items())
+    return f"""
+## Measured memory-bandwidth roofline (the closed case for the top pair)
+
+STREAM-like triad (`a = b + s*c`, 256 MiB arrays ≫ LLC, one pinned
+process per core, max over {r.get('trials', '?')} interleaved trials —
+host co-tenancy swings guest bandwidth 5-10× between short windows, so
+the max is the machine's best-case supply, the same convention as the
+pipeline's best-of-accepted walls; all samples archived in
+`BENCH/membw_roofline.json`, measured {r.get('measured_at', '—')}):
+
+| cores | best GB/s | GB/s per core | all samples |
+|---|---|---|---|
+{rows}
+
+Bandwidth-bound scaling ceiling per N→4N pair — the maximum efficiency
+ANY memory-bandwidth-bound workload can achieve between those core
+counts on this box, BW(4N)/(4·BW(N)):
+
+| pair | ceiling |
+|---|---|
+{crows}
+
+Reading: the machine's own memory system scales 8→32 at only
+{ceil.get('8->32', '—')} best-case — 4× cores on one socket do not
+bring 4× bandwidth. A pipeline that streams every document byte is
+bounded by this ceiling on the top pair regardless of engine quality;
+the measured pipeline efficiencies (and the zero-Python JVM-twin A/B
+below, which hits the same wall with no Arrow and no Python workers)
+sit at or above large fractions of it, while the 2→8 pair — whose
+ceiling is {ceil.get('2->8', '—')} — is where engine behavior is
+observable, and the pipeline delivers ≈1.0 there. Reproduce:
+`python scripts/membw_probe.py 2,8,32`.
+"""
+
+
+def _notes_section() -> str:
+    """BENCH/ROUND_NOTES.md is hand-written narrative (round-specific
+    A/Bs, attributions) preserved verbatim across re-renders."""
+    path = os.path.join(BENCH_DIR, "ROUND_NOTES.md")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        return "\n" + f.read()
+
+
 def render(summary: dict, windows: list[dict]) -> str:
     results = summary["levels"]
     control = summary.get("jvm_control", {})
@@ -220,7 +281,7 @@ pair is the honest cluster analogue.
 
 Machine context: 1-minute load average at measurement start was
 {load_before[0]} (of 32).
-{windows_md}
+{_roofline_section()}{windows_md}{_notes_section()}
 Reproduce: `SCALING_LEVELS={levels_csv} SCALING_RUNS={runs} python
 scripts/scaling_bench.py {n_docs}`
 (raw JSON of the latest window: `{json.dumps(summary)}`)

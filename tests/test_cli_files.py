@@ -517,3 +517,72 @@ def test_image_features_real_codec_guard():
             decode_image(b"\xff\xd8\xff")
     else:  # pragma: no cover - PIL absent in CI image
         assert len(image_features(b"not-an-image")) == 16
+
+
+def _kg_fixture_from_corpus(spark, tmp_path, n_docs):
+    """Corpus→KG derived KGX transform dir at a given corpus size: two
+    'sources' (hash-split) so the merge exercises multi-file union +
+    group-merge, not a passthrough."""
+    import pyspark.sql.functions as F
+
+    from kg_microbe_merge_spark.plans.pipeline import run_pipeline
+    from kg_microbe_merge_spark.sources.kgx import write_tsv_single
+
+    wd = str(tmp_path / f"pipe_{n_docs}")
+    out = run_pipeline(spark, wd, n_docs=n_docs, seed=42)
+    base = tmp_path / f"transformed_{n_docs}"
+    for src_i in (0, 1):
+        d = base / f"src{src_i}"
+        d.mkdir(parents=True)
+        pick = F.abs(F.xxhash64("id")) % 2 == src_i
+        write_tsv_single(
+            out["nodes"].filter(pick), str(d / f"src{src_i}_nodes.tsv")
+        )
+        epick = F.abs(F.xxhash64("subject", "object")) % 2 == src_i
+        write_tsv_single(
+            out["edges"].filter(epick), str(d / f"src{src_i}_edges.tsv")
+        )
+    return str(base)
+
+
+def _tsv_content_hash(path_or_dir):
+    """Order-independent content hash: all data lines (headers dropped)
+    sorted, md5 — identical content in either sink layout hashes equal."""
+    import hashlib
+
+    lines = []
+    if os.path.isdir(path_or_dir):
+        for fn in sorted(os.listdir(path_or_dir)):
+            if fn.startswith(("part-",)) and not fn.endswith(".crc"):
+                with open(os.path.join(path_or_dir, fn)) as f:
+                    body = f.read().splitlines()
+                if body:
+                    lines.extend(body[1:])  # per-part header
+    else:
+        with open(path_or_dir) as f:
+            lines = f.read().splitlines()[1:]
+    return hashlib.md5("\n".join(sorted(lines)).encode()).hexdigest(), len(lines)
+
+
+def test_cli_merge_sink_parity_across_scales(spark, tmp_path):
+    """Corpus→KG→merge at TWO corpus scales: the distributed default
+    sink and the byte-compared --single-file sink must carry identical
+    merged-KG content (same line multiset) at both sizes — pins the
+    production write path against the golden path as fixtures grow
+    (VERDICT r4 item 6)."""
+    from kg_microbe_merge_spark.cli import main
+
+    for n_docs in (400, 4000):
+        base = _kg_fixture_from_corpus(spark, tmp_path, n_docs)
+        out_s = str(tmp_path / f"out_single_{n_docs}")
+        out_d = str(tmp_path / f"out_dist_{n_docs}")
+        main(["merge", "--transform-dir", base, "--output", out_s,
+              "--single-file"])
+        main(["merge", "--transform-dir", base, "--output", out_d])
+        for fname in ("merged_kg_nodes", "merged_kg_edges"):
+            h_single, n_single = _tsv_content_hash(
+                os.path.join(out_s, f"{fname}.tsv")
+            )
+            h_dist, n_dist = _tsv_content_hash(os.path.join(out_d, fname))
+            assert n_single == n_dist > 0, (fname, n_docs, n_single, n_dist)
+            assert h_single == h_dist, (fname, n_docs)
