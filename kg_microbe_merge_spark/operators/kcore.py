@@ -71,7 +71,9 @@ def kcore_edges(
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b")
         )
-        e = e.localCheckpoint(eager=True)
+        # lazy: the checksum action below materializes the checkpoint
+        # (one job per round instead of two — the components.py A/B)
+        e = e.localCheckpoint(eager=False)
         row = e.select(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(a, b))").alias("h"),

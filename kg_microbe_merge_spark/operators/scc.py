@@ -75,7 +75,9 @@ def _min_label_fixpoint(
                     "_chg"
                 ),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the changed-count below scans every partition and
+            # materializes the checkpoint (one job/round, not two)
+            .localCheckpoint(eager=False)
         )
         changed = new.filter(F.col("_chg")).count()
         labels = new.select("node", "lbl")
@@ -118,7 +120,7 @@ def strongly_connected_components(
             has_in = active_edges.select(F.col("dst").alias("node")).distinct()
             trivial = active_nodes.join(has_out, "node", "left_anti").union(
                 active_nodes.join(has_in, "node", "left_anti")
-            ).distinct().localCheckpoint(eager=True)
+            ).distinct().localCheckpoint(eager=False)
             n_trivial = trivial.count()
             if n_trivial == 0:
                 break

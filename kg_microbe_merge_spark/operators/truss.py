@@ -96,7 +96,9 @@ def ktruss_edges(
             .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
             .select("a", "b")
         )
-        e = e.localCheckpoint(eager=True)
+        # lazy: the checksum action below materializes the checkpoint
+        # (one job per round instead of two — the components.py A/B)
+        e = e.localCheckpoint(eager=False)
         row = e.select(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(a, b))").alias("h"),
