@@ -4579,12 +4579,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     loop itself is pytest-proven against planted parameters) and
     blocking_eval (pair completeness / quality / reduction ratio,
     operators/blocking.blocking_metrics — arithmetic twin).
-    q1_pricing_summary had green round-1 AND round-2 driver rows and
-    ceded its slot to the new rdfs_entailment KG-reasoning query: its
-    scan-pruned partial/final aggregation shape stays gated via
-    pivot_events (hour-part bucketed sums), a3_nodes_group_merge
-    (partial collect_set agg) and graph_stats_report, and the full
-    TPC-H Q1 oracle is retained here.
     Round-5 rotation: the gate (_GATE_R5) holds the 17 queries that
     had never been driver-verified through round 4 (once green,
     cumulative driver coverage is 157/157 registered queries),
